@@ -1,0 +1,774 @@
+"""Relational core: projection/filter (§2.2), joins (§2.3), sorts /
+limits / set ops (§2.6), and the flagship query (§7.1).
+
+The flagship — revenue by nation over a shipdate range — is the
+TPC-H-flavored analog of the reference's "energy by site for a period"
+report (SURVEY.md §7.1; reference reconstruction §0.1): a star join of
+the big fact through mid dims to tiny dims, time-filtered, grouped,
+summed.  The plan Catalyst should (and does — tests/test_plans.py)
+produce at any scale: pushed shipdate filter at the Parquet scan,
+broadcast hash joins for nation/region, shuffle joins on the fact keys
+only, partial aggregation before the final shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shared_solar_data_warehouse_spark.parity import davg, dsum, sql_davg, sql_dsum
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import load_table
+
+
+# ---------------------------------------------------------------------------
+# Flagship (§7.1) — also what entry() runs
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "flagship_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation for a one-year shipdate window (star join)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            dsum((F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projection / filter / row ops
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "project_select",
+    oracle="""
+    SELECT l_orderkey AS order_key,
+           l_linenumber AS line_no,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    """,
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column subset + rename + computed column (pure row-local math:
+    the double product is IEEE-identical on both engines)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_no"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+    )
+
+
+@op(
+    "project_cast",
+    oracle="""
+    SELECT CAST(o_orderkey AS INTEGER) AS key_int,
+           CAST(o_orderkey AS DOUBLE) AS key_dbl,
+           CAST(o_custkey AS VARCHAR) AS cust_str,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders
+    """,
+)
+def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit width/type casts.  Deliberately excludes double->int
+    (Spark truncates, DuckDB rounds — SURVEY.md §5.4) and
+    double->string (formatting differs)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").cast("int").alias("key_int"),
+        F.col("o_orderkey").cast("double").alias("key_dbl"),
+        F.col("o_custkey").cast("string").alias("cust_str"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )
+
+
+@op(
+    "filter_pred",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_type LIKE '%ECONOMY%'
+      AND NOT (p_retailprice > 1800.0)
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate: comparison + AND/NOT + BETWEEN + IN + LIKE."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & F.col("p_type").like("%ECONOMY%")
+        & ~(F.col("p_retailprice") > 1800.0)
+    ).select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+
+
+@op(
+    "filter_null",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, flag_or_null,
+           (flag_or_null IS NOT DISTINCT FROM 'R') AS is_returned
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               nullif(l_returnflag, 'N') AS flag_or_null
+        FROM lineitem
+    )
+    WHERE flag_or_null IS NOT NULL OR l_linenumber = 1
+    """,
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics: nullif-manufactured nulls (fixtures are null-free),
+    isNull/isNotNull, and null-safe equality (<=>)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    with_null = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_or_null"),
+    )
+    return with_null.filter(
+        F.col("flag_or_null").isNotNull() | (F.col("l_linenumber") == 1)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "flag_or_null",
+        F.col("flag_or_null").eqNullSafe(F.lit("R")).alias("is_returned"),
+    )
+
+
+@op(
+    "project_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 150000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'filled'
+                              ELSE 'partial' END AS status_name
+    FROM orders
+    """,
+)
+def project_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Searched CASE and simple CASE conditional projection."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 150000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "filled")
+        .otherwise("partial")
+        .alias("status_name"),
+    )
+
+
+@op(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-row distinct (hash aggregate with no measures)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey"
+    ).distinct()
+
+
+@op(
+    "dedup_by_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-key dedup with a DETERMINISTIC keeper (latest order,
+    key-tiebroken) — the hash-matchable replacement for Spark's
+    arbitrary-row ``dropDuplicates(subset)`` (SURVEY.md §2.2 note)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@op("row_sample", tags=("rows-only",))
+def row_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — rows-only (sampler RNG is engine-specific)."""
+    return load_table(spark, sf_dir, "orders").sample(0.1, seed=42)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "join_inner_eq",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_name, p_brand,
+           round(l_extendedprice - p_retailprice, 4) AS price_delta
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def join_inner_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join fact⋈dim on int64 keys (sort-merge or shuffled
+    hash under AQE; the point is correctness of the default path)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p_name",
+        "p_brand",
+        F.round(F.col("l_extendedprice") - F.col("p_retailprice"), 4).alias(
+            "price_delta"
+        ),
+    )
+
+
+@op(
+    "join_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join of tiny dims — zero shuffle of the
+    probe side; the mandatory plan for dim joins at 100 TB."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@op(
+    "join_shuffle_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hint-forced shuffled-hash join (avoids the sort of sort-merge
+    when one side builds a compact hash table per partition)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@op(
+    "join_multikey",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, g.n_lines
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey, l_suppkey, count(*) AS n_lines
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ) g ON l.l_partkey = g.l_partkey AND l.l_suppkey = g.l_suppkey
+    """,
+)
+def join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key equi join (both keys participate in the shuffle
+    partitioning, so co-location is on the pair)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_partkey", "l_suppkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return li.join(g, on=["l_partkey", "l_suppkey"]).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "n_lines"
+    )
+
+
+_BIG_LINE = "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem WHERE l_quantity >= 49"
+
+
+@op(
+    "join_left_outer",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, big.l_quantity, big.l_extendedprice
+    FROM orders LEFT JOIN ({_BIG_LINE}) big ON o_orderkey = big.l_orderkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with real null extension (most orders have no
+    qty>=49 lineitem)."""
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left").select(
+        "o_orderkey", "o_orderstatus", "l_quantity", "l_extendedprice"
+    )
+
+
+@op(
+    "join_right_outer",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, big.l_quantity, big.l_extendedprice
+    FROM ({_BIG_LINE}) big RIGHT JOIN orders ON big.l_orderkey = o_orderkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (mirror of left; planner normalizes sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+    return big.join(o, big.l_orderkey == o.o_orderkey, "right").select(
+        "o_orderkey", "o_orderstatus", "l_quantity", "l_extendedprice"
+    )
+
+
+@op(
+    "join_full_outer",
+    oracle="""
+    SELECT cn.nationkey AS c_nation, cn.n_cust, sn.nationkey AS s_nation, sn.n_supp
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+          FROM customer WHERE c_acctbal > 9000 GROUP BY 1) cn
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+          FROM supplier GROUP BY 1) sn
+    ON cn.nationkey = sn.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two partially-overlapping keyed aggregates."""
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, cn.nationkey == sn.nationkey, "full").select(
+        cn.nationkey.alias("c_nation"),
+        "n_cust",
+        sn.nationkey.alias("s_nation"),
+        "n_supp",
+    )
+
+
+@op(
+    "join_left_semi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi join: emit left rows with >=1 match, no dup blowup."""
+    o = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@op(
+    "join_left_anti",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti join."""
+    o = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_anti").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@op(
+    "join_cross",
+    oracle="""
+    SELECT r_name, seg.c_mktsegment
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (tiny×tiny only — a guarded op by design)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    seg = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return r.crossJoin(seg)
+
+
+@op(
+    "join_theta",
+    oracle="""
+    SELECT a.n_nationkey AS nation_a, b.n_nationkey AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_nationkey < b.n_nationkey AND a.n_regionkey = b.n_regionkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) condition alongside an equi key: Catalyst keys
+    the shuffle on the equi part and applies < as a post-filter, so
+    this stays a hash join, not a nested-loop blowup."""
+    a = load_table(spark, sf_dir, "nation").alias("a")
+    b = load_table(spark, sf_dir, "nation").alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        & (F.col("a.n_regionkey") == F.col("b.n_regionkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("nation_a"),
+        F.col("b.n_nationkey").alias("nation_b"),
+    )
+
+
+@op(
+    "join_range",
+    oracle="""
+    SELECT e.event_id, b.bucket_id
+    FROM events e
+    JOIN (SELECT range AS bucket_id,
+                 range * 40.0 AS lo,
+                 range * 40.0 + 40.0 AS hi
+          FROM range(0, 10)) b
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/band join: each reading lands in its value bucket.
+    The bucket side is tiny -> broadcast nested loop, which is the
+    right plan; for big-big range joins the 100 TB recipe is bucketing
+    both sides by coarse bins first (see operators/timeseries.py)."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = spark.range(0, 10).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 40.0).alias("lo"),
+        (F.col("id") * 40.0 + 40.0).alias("hi"),
+    )
+    return e.join(
+        F.broadcast(buckets),
+        (e.value >= buckets.lo) & (e.value < buckets.hi),
+    ).select("event_id", "bucket_id")
+
+
+@op(
+    "join_asof",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS prior_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: for each purchase, the most recent click of
+    the same user at-or-before its timestamp.
+
+    Spark SQL has no native batch as-of join (pandas-on-Spark's
+    ``merge_asof`` exists but leaves the optimized path), so this uses
+    the union-tag construction (SURVEY.md §2.3): tag both sides, union,
+    and take ``last(click_id, ignorenulls)`` over a per-user window
+    ordered by (ts, side) — one shuffle on user_id, no range explosion,
+    scales linearly in events per user.  DuckDB's native ASOF JOIN is
+    the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("side"),  # clicks sort first at equal ts (>= is inclusive)
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("prior_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("purchase_id").isNotNull())
+        .select("user_id", "purchase_id", "prior_click_id")
+    )
+
+
+@op(
+    "join_self",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber AS line_a, b.l_linenumber AS line_b,
+           round(b.l_extendedprice - a.l_extendedprice, 4) AS price_step
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join pairing consecutive line numbers within an order."""
+    a = load_table(spark, sf_dir, "lineitem").alias("a")
+    b = load_table(spark, sf_dir, "lineitem").alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("line_a"),
+        F.col("b.l_linenumber").alias("line_b"),
+        F.round(F.col("b.l_extendedprice") - F.col("a.l_extendedprice"), 4).alias(
+            "price_step"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+
+@op(
+    "sort_multi",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort, mixed direction (range-partitioned global sort)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .orderBy(
+            F.col("c_mktsegment").asc(),
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey").asc(),
+        )
+    )
+
+
+@op(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k with unique tie-break key (physical plan is
+    TakeOrderedAndProject: per-partition heaps, no full sort)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+@op(
+    "offset_n",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 10
+    """,
+)
+def offset_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pagination (unique total order, then offset+limit)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(10)
+        .limit(20)
+    )
+
+
+@op(
+    "set_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority AS priority FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority AS priority FROM orders
+    WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union via unionByName (no dedup shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", F.col("o_orderpriority").alias("priority")
+    )
+    return urgent.unionByName(high)
+
+
+@op(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9990
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union (union all + distinct)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9990)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.unionByName(s).distinct()
+
+
+@op(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (dedups both sides)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@op(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (multiplicity = min of the two sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    right = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return left.intersectAll(right)
+
+
+@op(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)
+
+
+@op(
+    "set_except_all",
+    oracle="""
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority AS priority FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (multiplicity = left minus right, floored at 0)."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    right = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("priority")
+    )
+    return left.exceptAll(right)

@@ -1,0 +1,68 @@
+"""Determinism helpers for DuckDB-oracle hash parity (SURVEY.md §5.4).
+
+The one systematic trap in float aggregation is summation order: Spark's
+shuffle makes ``sum(double)`` order-dependent in the last ulps, and with
+enough output groups a ``round(x, 4)`` eventually straddles a rounding
+boundary.  The fix used across the registry is EXACT accumulation:
+
+  Spark side:   round(cast(sum(cast(x AS decimal(25,8))) AS double), 4)
+  DuckDB side:  round(CAST(sum(CAST(x AS DECIMAL(25,8))) AS DOUBLE), 4)
+
+The double->decimal cast rounds the same value to the same 8 fractional
+digits in both engines (tie cases are measure-zero for computed
+doubles), the decimal sum is exact and order-independent, and the final
+decimal->double cast is the deterministic nearest-double.  The helpers
+below keep the two sides textually adjacent in every operator.
+
+Other pinned rules (enforced by convention in each operator module):
+- never output raw ``events.ts`` (ns in parquet; Spark truncates to µs,
+  DuckDB keeps ns) — always ``date_trunc`` / ``to_date`` both sides;
+- unique trailing tie-break key on every ORDER BY ... LIMIT;
+- ``array_sort`` every collected list; ``min_by``/``max_by`` not
+  ``first``/``last`` in aggregations;
+- lower_snake_case alias on every computed column, both sides;
+- DuckDB ``sum(BIGINT)`` returns HUGEINT — always cast back to BIGINT
+  in oracle SQL; DuckDB ``count`` is already BIGINT like Spark's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Decimal type used for exact accumulation: 8 fractional digits (well
+#: inside double's ~16 significant digits for magnitude <= 1e8 values),
+#: 17 integer digits of headroom (1e6-scale values x 1e11 rows).
+DEC = "decimal(25,8)"
+
+
+def dsum(col: Column | str, ndigits: int = 4) -> Column:
+    """Order-independent double sum, rounded: the Spark half of the pattern."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)).cast("double"), ndigits)
+
+
+def davg(col: Column | str, ndigits: int = 4) -> Column:
+    """Order-independent double mean: exact decimal sum / count, rounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast(DEC)).cast("double") / F.count(c).cast("double"), ndigits
+    )
+
+
+def sql_dsum(expr: str, ndigits: int = 4) -> str:
+    """DuckDB half of :func:`dsum` — keep textually adjacent in oracles."""
+    return f"round(CAST(sum(CAST({expr} AS DECIMAL(25,8))) AS DOUBLE), {ndigits})"
+
+
+def sql_davg(expr: str, ndigits: int = 4) -> str:
+    """DuckDB half of :func:`davg`."""
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(25,8))) AS DOUBLE)"
+        f" / CAST(count({expr}) AS DOUBLE), {ndigits})"
+    )
+
+
+def r4(col: Column, ndigits: int = 4) -> Column:
+    """Round a computed double for output (non-accumulated expressions)."""
+    return F.round(col, ndigits)

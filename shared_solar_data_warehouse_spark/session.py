@@ -1,0 +1,71 @@
+"""SparkSession construction and parity-critical session pinning.
+
+The ONLY place a session is built (SURVEY.md §7.0). The driver harness
+passes us ITS session, so every registry builder calls ``pin_session``
+defensively: these are runtime SQL confs, safe to set on a live session,
+and they are what makes results hash-comparable against the DuckDB
+oracle (UTC timestamps) and fast on local[N] (AQE, small shuffle
+partition count for small SFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs safe to apply to an existing session.
+_RUNTIME_CONFS = {
+    # Timestamp determinism vs DuckDB (SURVEY.md §5.4).
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join splitting —
+    # the local[N] default and the 100 TB default alike.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Arrow for every pandas interop path (pandas_udf, applyInPandas,
+    # toPandas) — columnar batch transfer instead of pickled rows.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # events.ts is TIMESTAMP(NANOS) parquet, which Spark's µs timestamp
+    # cannot represent and by default refuses to read.  Read nanos as
+    # raw int64 instead; sources.io.load_table converts to a µs
+    # TimestampType column (floor division — see its docstring).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Apply parity/perf runtime confs to an existing session (idempotent)."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be non-modifiable in exotic deployments; the
+            # defaults we'd be setting are then whatever the operator
+            # of that session chose — proceed rather than fail.
+            pass
+    return spark
+
+
+def get_session(app_name: str = "shared_solar_data_warehouse_spark") -> SparkSession:
+    """Build (or get) the pinned local session for tests/bench.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    Shuffle partitions match core count — at test SFs every shuffle fits
+    in memory and 200 partitions would be pure scheduling overhead; at
+    100 TB this knob is instead set ~2-3× total executor cores and AQE
+    coalesces from there.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32" if cpus == "*" else cpus)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return pin_session(spark)

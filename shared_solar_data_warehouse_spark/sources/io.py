@@ -1,0 +1,229 @@
+"""Sources & sinks (SURVEY.md §2.1) + the shared table loader.
+
+The warehouse's canonical storage is partitioned Parquet (columnar,
+vectorized scan, row-group statistics for predicate pushdown) — the
+Spark-native analog of the reference's "normalize gateway CSV logs into
+warehouse tables" stage (SURVEY.md §3.1, reconstruction: the reference
+checkout is empty, §0).  CSV/NDJSON readers model the raw-log ingest
+path; both read with EXPLICIT schemas — ``inferSchema`` is banned in
+engine paths (full-data extra pass + nondeterministic typing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.session import pin_session
+
+#: All fixture tables, in FK-dependency order (FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; also pins parity confs on the session.
+
+    ``events.ts`` is ns-precision in Parquet.  Spark timestamps are µs,
+    so the session reads nanos as int64 (``nanosAsLong`` conf) and this
+    loader rebuilds ``ts`` as a µs TimestampType via floor division —
+    the value DuckDB sees truncated to µs.  Operators must still never
+    OUTPUT raw ``ts`` (oracle keeps ns); bucket/truncate both sides
+    (SURVEY.md §5.4).
+    """
+    pin_session(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV CAST(1000 AS BIGINT)"))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Expose fixture tables as temp views for SQL-twin operators."""
+    for name in names or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scratch_dir(sf_dir: str, op_name: str) -> str:
+    """Deterministic per-(sf, op) scratch path for sink/ingest round-trips."""
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join("/tmp", "sswh_spark_scratch", base, op_name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# §2.1 operators
+# ---------------------------------------------------------------------------
+
+
+@op("scan_parquet", oracle="SELECT * FROM nation")
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full table scan of a Parquet fixture (vectorized columnar read)."""
+    return load_table(spark, sf_dir, "nation")
+
+
+@op(
+    "scan_parquet_pruned",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'R'
+    """,
+)
+def scan_parquet_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with column pruning + predicate pushdown.
+
+    Plan contract (asserted in tests/test_plans.py): the Parquet scan
+    node carries PushedFilters for both predicates and a ReadSchema of
+    exactly 4 columns — at 100 TB this is the difference between
+    reading ~25% of the column bytes and reading everything.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+
+
+@op("scan_csv", oracle="SELECT * FROM nation")
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared CSV ingest (the raw gateway-log entry format).
+
+    Round-trips the `nation` fixture through CSV so the oracle can
+    check it against the pre-registered view: write parquet->csv, read
+    back with an explicit StructType (never inferSchema).
+    """
+    path = scratch_dir(sf_dir, "scan_csv")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@op(
+    "scan_json",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared NDJSON ingest, round-tripped from the events fixture.
+
+    Excludes the ns-precision ``ts`` column (JSON timestamp round-trips
+    are a parity trap — SURVEY.md §5.4); doubles round-trip exactly via
+    shortest-repr JSON encoding.
+    """
+    path = scratch_dir(sf_dir, "scan_json")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@op(
+    "sink_parquet",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned warehouse write + read-back (hive-style layout).
+
+    Partitioning by a date-derived column is the 100 TB layout rule
+    (SURVEY.md §7.4): queries with a time predicate prune whole
+    directories before any I/O happens (static partition pruning).
+    """
+    path = scratch_dir(sf_dir, "sink_parquet")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    li.write.partitionBy("ship_year").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("ship_year").cast("int").alias("ship_year")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@op(
+    "sink_csv",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE), 4)
+               AS total_price,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Report export: aggregate -> single-file CSV -> read back.
+
+    ``coalesce(1)`` is correct ONLY because the report is 3 rows; a
+    100 TB export keeps natural partitioning and lets the downstream
+    consumer glob the directory.
+    """
+    from shared_solar_data_warehouse_spark.parity import dsum
+
+    path = scratch_dir(sf_dir, "sink_csv")
+    report = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            dsum("l_extendedprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    report.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("total_price", T.DoubleType()),
+            T.StructField("n_rows", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@op("source_range", oracle="SELECT range AS id, range * 2 AS doubled FROM range(0, 1000)")
+def source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic distributed generator (`Range` physical node, no input I/O)."""
+    pin_session(spark)
+    return spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 2).alias("doubled")
+    )
