@@ -1,0 +1,401 @@
+"""Aggregations (SURVEY.md §2.4) — the reference's flagship computation
+family (time-bucketed energy sums, §0.1 reconstruction) in its general
+relational form.
+
+Spark's hash aggregate is automatically two-phase (partial map-side
+combine, then final after the key shuffle), so every op here ships only
+pre-aggregated partial states across the wire — the property that makes
+groupBy viable at 100 TB.  All double sums/means go through the exact
+decimal accumulation in ``parity`` (order-independent, hash-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shared_solar_data_warehouse_spark.parity import davg, dsum, sql_davg, sql_dsum
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import load_table, register_views
+
+
+@op(
+    "agg_global",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           min(l_quantity) AS min_qty,
+           max(l_quantity) AS max_qty,
+           min(l_shipdate) AS first_ship,
+           max(l_shipdate) AS last_ship
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped count/sum/avg/min/max (single-row global aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("sum_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@op(
+    "agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure hash aggregate (TPC-H Q1 shape — the pricing
+    summary report analog of a per-record-type usage rollup)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@op(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (expand + two-phase dedup under the hood)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@op(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct, graded as a bounded check: the hash
+    compares the exact count plus the claim |approx-exact|/exact <= 5%
+    (the oracle asserts literal TRUE).  At 100 TB the approx path is
+    the default — fixed-size sketch vs a full distinct shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+    ).select(
+        "o_orderpriority",
+        "exact_custs",
+        (
+            F.abs(F.col("approx") - F.col("exact_custs"))
+            / F.col("exact_custs").cast("double")
+            <= 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+@op(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(stddev_pop(l_discount), 4) AS sdp_disc,
+           round(var_pop(l_discount), 4) AS varp_disc,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (Welford-style mergeable states both engines).
+    skewness/kurtosis are deliberately excluded: Spark uses population
+    formulas, DuckDB sample-corrected — not hash-matchable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.stddev_pop("l_discount"), 4).alias("sdp_disc"),
+        F.round(F.var_pop("l_discount"), 4).alias("varp_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@op(
+    "agg_percentile",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS p75,
+           round(median(c_acctbal), 4) AS med,
+           TRUE AS approx_within_10pct
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation quantiles (hash-matched) plus the
+    approx sketch graded as a bounded claim vs exact p50."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(c_acctbal, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("med"),
+            F.expr("approx_percentile(c_acctbal, 0.5, 1000)").alias("approx_p50"),
+        )
+        .select(
+            "c_mktsegment",
+            "p25",
+            "p50",
+            "p75",
+            "med",
+            (F.abs(F.col("approx_p50") - F.col("p50")) <= 0.10 * F.abs(F.col("p50"))).alias(
+                "approx_within_10pct"
+            ),
+        )
+    )
+
+
+@op(
+    "agg_collect",
+    oracle="""
+    SELECT o_custkey,
+           list(o_orderpriority ORDER BY o_orderpriority, o_orderkey) AS priorities,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List/set aggregation — always array_sort'ed: collect order is
+    nondeterministic under shuffle (SURVEY.md §5.4)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderpriority")).alias("priorities"),
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+    )
+
+
+@op(
+    "agg_first_last",
+    oracle="""
+    SELECT o_custkey,
+           arg_min(o_totalprice, o_orderkey) AS first_order_price,
+           arg_max(o_totalprice, o_orderkey) AS last_order_price,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order_key
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-safe first/last via min_by/max_by on a UNIQUE ordering key
+    (never first()/last() in aggs — shuffle-order-dependent).
+    biggest_order_key is safe despite double ordering: ties in
+    o_totalprice would be nondeterministic, but orderkey ties broken by
+    the unique key columns used in the other two."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order_key"),
+    )
+
+
+@op(
+    "agg_filtered",
+    oracle=f"""
+    SELECT c_nationkey,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS filled_total,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: sum(when(...)) ≡ FILTER (WHERE ...)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            dsum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))).alias(
+                "filled_total"
+            ),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+                "n_urgent"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@op(
+    "agg_having",
+    oracle=f"""
+    SELECT l_partkey, count(*) AS n_lines, {sql_dsum('l_quantity')} AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 40
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — a filter above the agg node,
+    NOT pushable below it; Catalyst keeps it where it belongs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+        .filter(F.col("n_lines") >= 40)
+    )
+
+
+@op(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotal hierarchy: (flag,status) -> (flag) -> grand total, with
+    grouping() markers disambiguating rolled-up NULL keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n_rows"
+    )
+
+
+@op(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+           {sql_dsum('o_totalprice')} AS total,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations (2^k sets expanded before the agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        dsum("o_totalprice").alias("total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "total", "n_orders"
+    )
+
+
+@op(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           {sql_dsum('c_acctbal')} AS total_bal,
+           count(*) AS n_cust
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL entry point (§3.3) — fixture
+    tables are registered as temp views, same Catalyst plan as the
+    DataFrame API."""
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey,
+               {_spark_dsum('c_acctbal')} AS total_bal,
+               count(*) AS n_cust
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+def _spark_dsum(expr: str, ndigits: int = 4) -> str:
+    """Spark-SQL text twin of parity.dsum for SQL-entry operators."""
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(25,8))) AS DOUBLE), {ndigits})"
+    )
+
+
+@op(
+    "agg_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide table by category — explicit pivot value list (no extra
+    distinct pass, deterministic column set; SURVEY.md §2.4)."""
+    e = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "signup", "purchase", "error"]
+    wide = e.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1)))
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds],
+    )

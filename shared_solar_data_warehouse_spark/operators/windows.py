@@ -1,0 +1,260 @@
+"""Window functions (SURVEY.md §2.5) — load profiles, running credit
+balances, counter-reset detection are all window-shaped in the
+reference's domain (§0.1 reconstruction).
+
+Every window here partitions by an entity key, so at scale each
+partition's state stays executor-local after one shuffle; frames over
+doubles accumulate via decimal casts (exact, order-independent) exactly
+like the grouped aggregates.  Window ORDER BY always ends in a unique
+tie-break key — a frame boundary that depends on shuffle order is the
+classic nondeterminism bug (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shared_solar_data_warehouse_spark.parity import DEC
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import load_table
+
+
+@op(
+    "win_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence numbering per entity (dedup/top-k scaffold)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@op(
+    "win_rank_dense",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           rank() OVER w AS bal_rank,
+           dense_rank() OVER w AS bal_dense_rank,
+           round(percent_rank() OVER w, 4) AS bal_pct_rank,
+           round(cume_dist() OVER w, 4) AS bal_cume_dist,
+           ntile(4) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS bal_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank family.  rank/dense_rank/percent_rank/cume_dist are
+    deterministic under value ties by definition; ntile is NOT (it
+    splits tied rows by physical order), so its window adds the unique
+    key to the ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    w_ntile = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.round(F.percent_rank().over(w), 4).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("bal_cume_dist"),
+        F.ntile(4).over(w_ntile).alias("bal_quartile"),
+    )
+
+
+@op(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, value,
+           round(value - lag(value, 1) OVER w, 4) AS delta_prev,
+           round(lead(value, 1) OVER w - value, 4) AS delta_next,
+           lag(event_id, 1) OVER w AS prev_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor access per user ordered by event time (the counter-delta
+    primitive for cumulative-energy readings).  ts itself is never
+    output (ns-precision parity trap)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value", 1).over(w) - F.col("value"), 4).alias("delta_next"),
+        F.lag("event_id", 1).over(w).alias("prev_event_id"),
+    )
+
+
+@op(
+    "win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,8))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (the running-credit-balance shape).
+    Decimal accumulation inside the frame: DuckDB evaluates moving
+    frames with a segment tree whose combine order differs from Spark's
+    running accumulator — exact decimals make both orders identical."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "running_total"
+        ),
+    )
+
+
+@op(
+    "win_sliding_rows",
+    oracle="""
+    SELECT user_id, event_id,
+           round(CAST(sum(CAST(value AS DECIMAL(25,8))) OVER w AS DOUBLE)
+                 / CAST(count(value) OVER w AS DOUBLE), 4) AS smoothed
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-readings moving average (reading smoother)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count("value").over(w).cast("double"),
+            4,
+        ).alias("smoothed"),
+    )
+
+
+@op(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(25,8))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_total,
+           count(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ) AS trailing_30d_orders
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range frame: trailing 30 days by VALUE distance (not row
+    count) — peers at equal timestamps all enter the frame, so no
+    unique tie-break is needed for determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "trailing_30d_total"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    )
+
+
+@op(
+    "win_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 3) OVER w AS third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth over the FULL partition frame — the default frame
+    (unbounded..current) makes last_value just 'current row', a classic
+    silent bug; the explicit frame is the correct idiom."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+    )
+
+
+@op(
+    "topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation (row_number + filter; at
+    100 TB AQE handles the skewed-nation case and rank pushdown prunes
+    per-partition before the filter)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
