@@ -1,0 +1,502 @@
+"""Scalar function families (SURVEY.md §2.7) — one registry query per
+family, exercising the members the reference's log-parsing/reporting
+layer needs (string/regex/date on log lines, JSON on event payloads,
+array/higher-order on token lists and embeddings).
+
+All of these run inside whole-stage codegen (JVM expressions, zero
+Python) — the fast path.  Each oracle pins the engine-semantics deltas
+found during SURVEY §5.4 burn-down; the exclusions are deliberate and
+documented per op (a member that cannot hash-match is left out rather
+than silently fudged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import load_table
+
+
+@op(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, ':', p_type) AS brand_type,
+           concat_ws('|', p_brand, p_type) AS brand_type_ws,
+           substring(p_name, 1, 8) AS name_head,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           lower(p_type) AS type_lower,
+           upper(p_brand) AS brand_upper,
+           trim(concat('  ', p_name, '  ')) AS name_trim,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           rpad(p_brand, 12, '.') AS brand_rpad,
+           replace(p_type, ' ', '_') AS type_snake,
+           CAST(instr(p_type, 'ECONOMY') AS INTEGER) AS economy_pos,
+           translate(p_brand, '#', '-') AS brand_dashed,
+           repeat('*', 3) AS stars,
+           reverse(p_brand) AS brand_rev,
+           starts_with(p_type, 'PROMO') AS is_promo,
+           contains(p_name, 'green') AS has_green
+    FROM part
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family.  `initcap` is excluded (no DuckDB equivalent);
+    length/instr are INTEGER in Spark vs BIGINT in DuckDB — oracle
+    casts to Spark's type."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type_ws"),
+        F.substring("p_name", 1, 8).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.lower("p_type").alias("type_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trim"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.instr("p_type", "ECONOMY").alias("economy_pos"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.lit("*"), 3).alias("stars"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.startswith("p_type", F.lit("PROMO")).alias("is_promo"),
+        F.contains("p_name", F.lit("green")).alias("has_green"),
+    )
+
+
+@op(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+           regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
+           regexp_matches(p_type, '^(ECONOMY|PROMO)') AS is_cheap_line
+    FROM part
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family.  DuckDB regexp_replace is first-match by default —
+    the 'g' flag pins Spark's replace-all semantics; extraction group
+    indices agree (0=whole, 1=first group)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_devoweled"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_cheap_line"),
+    )
+
+
+@op(
+    "fn_string_dist",
+    oracle="""
+    SELECT a.n_nationkey AS key_a, b.n_nationkey AS key_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS name_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    """,
+)
+def fn_string_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance over all nation-name pairs (fuzzy account/site
+    matching in the reference's ingest, §0.1).  soundex excluded —
+    DuckDB has no soundex."""
+    a = load_table(spark, sf_dir, "nation").alias("a")
+    b = load_table(spark, sf_dir, "nation").alias("b")
+    return a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey")).select(
+        F.col("a.n_nationkey").alias("key_a"),
+        F.col("b.n_nationkey").alias("key_b"),
+        F.levenshtein(F.col("a.n_name"), F.col("b.n_name")).alias("name_dist"),
+    )
+
+
+@op(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2_months,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           strftime(o_orderdate, '%Y-%m') AS year_month,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+           CAST(to_timestamp(CAST(epoch(o_orderdate) AS BIGINT)) AS TIMESTAMP)
+               AS ts_roundtrip,
+           make_date(2024, CAST(month(o_orderdate) AS INTEGER), 1) AS normalized,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+               AS INTEGER) AS days_to_2002
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family.  Pinned deltas: Spark dayofweek is 1=Sunday vs
+    DuckDB 0=Sunday (+1 in oracle); Spark date_format pattern 'yyyy-MM'
+    == strftime '%Y-%m'; DuckDB to_timestamp returns TIMESTAMPTZ (cast
+    back); months_between excluded (no DuckDB twin for Spark's 31-day
+    fraction rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.cast("date").alias("order_date"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.add_months(d.cast("date"), 2).alias("plus_2_months"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.date_format(d, "yyyy-MM").alias("year_month"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.timestamp_seconds(F.unix_timestamp(d)).alias("ts_roundtrip"),
+        F.make_date(F.lit(2024), F.month(d), F.lit(1)).alias("normalized"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+@op(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000.0) AS abs_delta,
+           CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_ceil_k,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_floor_k,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(pow(l_quantity, 2.0), 6) AS qty_sq,
+           round(exp(l_discount), 6) AS disc_exp,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(log10(l_extendedprice), 6) AS price_log10,
+           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS delta_sign,
+           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod7,
+           greatest(l_quantity, CAST(l_linenumber AS DOUBLE) * 10.0) AS g8t,
+           least(l_quantity, CAST(l_linenumber AS DOUBLE) * 10.0) AS l5t,
+           round(sin(l_discount), 6) AS disc_sin,
+           round(cos(l_discount), 6) AS disc_cos
+    FROM lineitem
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family.  Transcendentals (exp/ln/log10/sin/cos/pow) round to
+    6 — libm vs JVM can differ in the last ulp; sqrt/abs are exact
+    IEEE.  Spark ceil/floor return BIGINT (oracle casts); pmod is
+    emulated in the oracle as ((a % b) + b) % b."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 30000.0).alias("abs_delta"),
+        F.ceil(price / 1000.0).alias("price_ceil_k"),
+        F.floor(price / 1000.0).alias("price_floor_k"),
+        F.round(F.sqrt(price), 6).alias("price_sqrt"),
+        F.round(F.pow(F.col("l_quantity"), F.lit(2.0)), 6).alias("qty_sq"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.signum(price - 30000.0).alias("delta_sign"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.greatest(F.col("l_quantity"), F.col("l_linenumber").cast("double") * 10.0).alias("g8t"),
+        F.least(F.col("l_quantity"), F.col("l_linenumber").cast("double") * 10.0).alias("l5t"),
+        F.round(F.sin("l_discount"), 6).alias("disc_sin"),
+        F.round(F.cos("l_discount"), 6).alias("disc_cos"),
+    )
+
+
+@op(
+    "fn_null",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           nullif(c_nationkey, 0) AS nation_or_null,
+           isnan(CASE WHEN c_acctbal < 0 THEN 'nan'::DOUBLE ELSE c_acctbal END)
+               AS bal_is_nan,
+           CASE WHEN isnan(CASE WHEN c_acctbal < 0 THEN 'nan'::DOUBLE
+                                ELSE c_acctbal END)
+                THEN 0.0
+                ELSE CASE WHEN c_acctbal < 0 THEN 'nan'::DOUBLE
+                          ELSE c_acctbal END END AS bal_nanvl
+    FROM customer
+    """,
+)
+def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL/NaN family: coalesce, nullif, isnan, nanvl.  NaN is
+    manufactured portably via CAST('NaN' AS DOUBLE) under a condition
+    (fixtures are null-free and NaN-free)."""
+    c = load_table(spark, sf_dir, "customer")
+    nan_bal = F.when(F.col("c_acctbal") < 0, F.lit("NaN").cast("double")).otherwise(
+        F.col("c_acctbal")
+    )
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nation_or_null"),
+        F.isnan(nan_bal).alias("bal_is_nan"),
+        F.nanvl(nan_bal, F.lit(0.0)).alias("bal_nanvl"),
+    )
+
+
+@op(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           toks[1] AS first_token,
+           list_slice(toks, 1, 3) AS head3,
+           list_contains(toks, 'the') AS has_the,
+           list_sort(list_distinct(toks)) AS vocab,
+           CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos,
+           list_filter(toks, t -> t != 'the') AS no_the,
+           array_to_string(list_slice(toks, 1, 5), '-') AS head_joined,
+           list_sort(list_value(toks[1], toks[len(toks)])) AS ends_sorted,
+           generate_series(1, least(len(toks), 5)) AS tok_idx
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over tokenized documents.  array_distinct is
+    order-sensitive in Spark and unspecified in DuckDB — always sorted
+    before output; array_position missing -> 0 in Spark, NULL in DuckDB
+    (coalesce pins Spark's semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dd = d.select("doc_id", toks.alias("toks"))
+    t = F.col("toks")
+    return dd.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.element_at(t, 1).alias("first_token"),
+        F.slice(t, 1, 3).alias("head3"),
+        F.array_contains(t, "the").alias("has_the"),
+        F.array_sort(F.array_distinct(t)).alias("vocab"),
+        F.array_position(t, "data").alias("data_pos"),
+        F.array_remove(t, "the").alias("no_the"),
+        F.array_join(F.slice(t, 1, 5), "-").alias("head_joined"),
+        F.array_sort(F.array(F.element_at(t, 1), F.element_at(t, -1))).alias(
+            "ends_sorted"
+        ),
+        F.sequence(
+            F.lit(1).cast("long"),
+            F.least(F.size(t), F.lit(5)).cast("long"),
+        ).alias("tok_idx"),
+    )
+
+
+@op(
+    "fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           len(list_filter(embedding, x -> x > 0.5)) > 0 AS any_large,
+           len(list_filter(embedding, x -> NOT (x > -1.0))) = 0 AS all_above_neg1,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(abs(x) AS DOUBLE))), 4) AS l1_norm
+    FROM embeddings
+    """,
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions on embeddings; self-dot via zip_with
+    + aggregate is the cosine-similarity primitive (vectors are
+    unit-norm, so self_dot ≈ 1).  Both engines fold left sequentially
+    with double accumulation — deterministic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(embedding, embedding,"
+                " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+                " 0D, (s, v) -> s + v)"
+            ),
+            4,
+        ).alias("self_dot"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.exists("embedding", lambda x: x > 0.5).alias("any_large"),
+        F.forall("embedding", lambda x: x > -1.0).alias("all_above_neg1"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> CAST(abs(x) AS DOUBLE)),"
+                " 0D, (s, v) -> s + v)"
+            ),
+            4,
+        ).alias("l1_norm"),
+    )
+
+
+@op(
+    "fn_map",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS type_keys,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_count,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family, projected to deterministic shapes: build a per-user
+    event_type->count map (map_from_entries over collected structs),
+    then output sorted keys / a lookup / size — DuckDB's map support
+    is too thin to compare maps directly (SURVEY.md §2.7)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("type_counts")
+    )
+    m = F.col("type_counts")
+    return mapped.select(
+        "user_id",
+        F.array_sort(F.map_keys(m)).alias("type_keys"),
+        F.coalesce(F.element_at(m, "click"), F.lit(0)).alias("click_count"),
+        F.size(m).alias("n_types"),
+    )
+
+
+@op(
+    "fn_struct",
+    oracle="""
+    SELECT c_nationkey,
+           struct_extract(r, 'lo') AS bal_lo,
+           struct_extract(r, 'hi') AS bal_hi,
+           round(struct_extract(r, 'hi') - struct_extract(r, 'lo'), 4) AS bal_spread
+    FROM (
+        SELECT c_nationkey,
+               {'lo': min(c_acctbal), 'hi': max(c_acctbal)} AS r
+        FROM customer GROUP BY c_nationkey
+    )
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access on both engines; the graded
+    output is the ACCESSED scalar fields — a struct-typed output column
+    would hash as Row vs dict across the two engines' python bindings
+    (the struct-typed column itself is covered rows-only in
+    fn_struct_shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    agg = c.groupBy("c_nationkey").agg(
+        F.named_struct(
+            F.lit("lo"), F.min("c_acctbal"), F.lit("hi"), F.max("c_acctbal")
+        ).alias("r")
+    )
+    return agg.select(
+        "c_nationkey",
+        F.col("r.lo").alias("bal_lo"),
+        F.col("r.hi").alias("bal_hi"),
+        F.round(F.col("r.hi") - F.col("r.lo"), 4).alias("bal_spread"),
+    )
+
+
+@op("fn_struct_shape", tags=("rows-only",))
+def fn_struct_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-typed output column + star-expansion round trip (rows-only:
+    engine python bindings disagree on struct cell representation)."""
+    c = load_table(spark, sf_dir, "customer")
+    nested = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("balance"),
+        ).alias("profile"),
+    )
+    return nested.select("c_custkey", "profile", F.col("profile.*"))
+
+
+@op(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_get,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_parsed,
+           json_extract_string(props, '$.missing') AS missing_field
+    FROM events
+    """,
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family on events.props: path extraction (get_json_object)
+    and schema-full parsing (from_json) must agree; a missing path is
+    NULL on both engines.  to_json excluded (whitespace formatting is
+    engine-specific)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_get"),
+        F.from_json("props", "k INT").getField("k").alias("k_parsed"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+@op(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256,
+           md5(concat(lang, ':', source)) AS meta_md5
+    FROM documents
+    """,
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable cryptographic hashes (content fingerprinting for exact
+    dedup).  Spark-specific xxhash64/hash/crc32 live in fn_hash_spark
+    (rows-only) — no DuckDB twins."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("source"))).alias("meta_md5"),
+    )
+
+
+@op("fn_hash_spark", tags=("rows-only",))
+def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native hash family (xxhash64 is the engine's shuffle/
+    bucketing hash — 10× cheaper than md5 for partition-key salting)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.hash("text").alias("text_hash32"),
+        F.crc32("text").alias("text_crc32"),
+    )
+
+
+@op("fn_nondet", tags=("rows-only",))
+def fn_nondet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nondeterministic functions — excluded from oracle by nature; the
+    output asserts their contracts as booleans (unique ids, rand in
+    [0,1)) so the rows-only check still exercises them."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.monotonically_increasing_id().alias("mono_id"),
+        F.expr("uuid()").alias("row_uuid"),
+        F.rand(seed=42).alias("rnd"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.countDistinct("mono_id") == F.count(F.lit(1))).alias("mono_ids_unique"),
+        (F.countDistinct("row_uuid") == F.count(F.lit(1))).alias("uuids_unique"),
+        (F.min("rnd") >= 0.0).alias("rand_lo_ok"),
+        (F.max("rnd") < 1.0).alias("rand_hi_ok"),
+    )

@@ -57,13 +57,14 @@ def canon_value(v: Any) -> Any:
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    # pyspark Row (struct) subclasses tuple — must be checked FIRST so
+    # structs compare as sorted (name, value) entries like DuckDB dicts
+    if hasattr(v, "asDict"):
+        return tuple(sorted((str(k), canon_value(x)) for k, x in v.asDict().items()))
     if isinstance(v, (list, tuple)):
         return tuple(canon_value(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((str(k), canon_value(x)) for k, x in v.items()))
-    # pyspark Row (struct) quacks like a namedtuple with asDict
-    if hasattr(v, "asDict"):
-        return tuple(sorted((str(k), canon_value(x)) for k, x in v.asDict().items()))
     return v
 
 
