@@ -1,0 +1,546 @@
+"""Time-series domain operators (SURVEY.md §2.8) — the reference's own
+analytics surface, reconstructed from the SharedSolar domain (§0.1):
+per-circuit energy rollups, diurnal load profiles, peak demand, outage
+(gap) detection, grid densification with forward-fill, sessionization,
+credit running balances, anomaly flags.  ``events`` is the usage-log
+analog (user_id ≅ circuit, value ≅ reading, purchase ≅ credit top-up).
+
+Timestamp discipline (SURVEY.md §5.4): ``events.ts`` is ns in parquet,
+µs in Spark — no operator outputs raw ts; everything goes out as a
+date, an hour bucket, or floor-seconds epoch (truncation chains agree:
+ns→µs→s floor == ns→s floor for positive epochs).
+
+Scale notes: every op shuffles once on (user_id[, bucket]) and carries
+partial aggregates; at 100 TB the events table is date-partitioned so
+the bucket aggs prune at scan, and user_id skew (heavy circuits) is
+AQE-split (§7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shared_solar_data_warehouse_spark.parity import DEC, davg, dsum, sql_davg, sql_dsum
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import load_table
+
+
+@op(
+    "ts_bucket_agg",
+    oracle=f"""
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           {sql_dsum('value')} AS total_value,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily energy per circuit — THE reference rollup (hourly/daily
+    kWh per household)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        dsum("value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@op(
+    "ts_load_profile",
+    oracle=f"""
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           event_type,
+           {sql_davg('value')} AS avg_value,
+           count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal load curve: average reading by hour-of-day × record type
+    (the site load-profile plot behind SharedSolar's published
+    analyses)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour("ts").alias("hour_of_day"), "event_type"
+    ).agg(
+        davg("value").alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@op(
+    "ts_peak",
+    oracle="""
+    SELECT user_id, day, value AS peak_value, event_id AS peak_event_id
+    FROM (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(date_trunc('day', ts) AS DATE)
+                   ORDER BY value DESC, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def ts_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak demand: the maximum reading (and which record it was) per
+    circuit per day, tie-broken on event_id for determinism."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "day",
+            F.col("value").alias("peak_value"),
+            F.col("event_id").alias("peak_event_id"),
+        )
+    )
+
+
+_DUCK_EPOCH_S = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+
+
+@op(
+    "ts_delta",
+    oracle=f"""
+    SELECT user_id, event_id,
+           {_DUCK_EPOCH_S} - lag({_DUCK_EPOCH_S}) OVER w AS gap_seconds,
+           round(value - lag(value) OVER w, 4) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ts_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-circuit time-gap and value-delta between consecutive readings
+    (the cumulative-energy counter-delta primitive)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_s = F.unix_timestamp("ts")
+    return e.select(
+        "user_id",
+        "event_id",
+        (epoch_s - F.lag(epoch_s).over(w)).alias("gap_seconds"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )
+
+
+@op(
+    "ts_gap_detect",
+    oracle=f"""
+    SELECT user_id, event_id, gap_seconds
+    FROM (
+        SELECT user_id, event_id,
+               {_DUCK_EPOCH_S} - lag({_DUCK_EPOCH_S}) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_seconds
+        FROM events
+    ) WHERE gap_seconds > 7200
+    """,
+)
+def ts_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage detection: flag inter-reading gaps > 2 h (gateway/GSM
+    dropouts in the reference's world)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_s = F.unix_timestamp("ts")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            (epoch_s - F.lag(epoch_s).over(w)).alias("gap_seconds"),
+        )
+        .filter(F.col("gap_seconds") > 7200)
+    )
+
+
+@op(
+    "ts_gap_fill",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               {sql_dsum('value')} AS hour_value
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM hourly GROUP BY user_id
+    )
+    SELECT g.user_id, g.h AS hour,
+           coalesce(hv.hour_value, 0.0) AS hour_value,
+           hv.hour_value IS NULL AS was_gap,
+           last_value(hv.hour_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_value
+    FROM grid g LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify each circuit's readings onto a regular hourly grid and
+    forward-fill the last observation across gaps (SURVEY.md §2.8's
+    custom core #1).
+
+    Construction: per-user [min,max] hour span -> ``sequence`` +
+    ``explode`` generates the grid distributed (no driver loop), left
+    join the real hourly aggregate, then ``last(ignorenulls)`` over an
+    unbounded-preceding window carries values forward.  One shuffle on
+    user_id; grid generation is O(span) per user and stays on the
+    executors — at 100 TB this is the standard regularization step
+    before ML feature extraction.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("hour_value"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    filled = grid.join(hourly, on=["user_id", "h"], how="left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.coalesce(F.col("hour_value"), F.lit(0.0)).alias("hour_value"),
+        F.col("hour_value").isNull().alias("was_gap"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("carried_value"),
+    )
+
+
+@op(
+    "ts_resample",
+    oracle="""
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           arg_min(value, ts) AS open_value,
+           max(value) AS high_value,
+           min(value) AS low_value,
+           arg_max(value, ts) AS close_value,
+           count(*) AS n_readings
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample to daily OHLC-style buckets (open/high/low/close of
+    the reading stream) — interpolation-free resampling."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.min_by("value", "ts").alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max_by("value", "ts").alias("close_value"),
+        F.count(F.lit(1)).alias("n_readings"),
+    )
+
+
+@op(
+    "ts_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, value,
+               {_DUCK_EPOCH_S} AS es,
+               CASE WHEN {_DUCK_EPOCH_S} - lag({_DUCK_EPOCH_S}) OVER w > 1800
+                    OR lag({_DUCK_EPOCH_S}) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, event_id, value, es,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(es) AS session_start_s,
+           max(es) AS session_end_s,
+           max(es) - min(es) AS duration_s,
+           {sql_dsum('value')} AS session_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization, 30-min inactivity gap (custom core #2):
+    lag -> new-session flag -> running sum numbers the sessions, then
+    aggregate per session.  Identical construction in the oracle; the
+    streaming twin (session_window) is parity-checked against this in
+    streaming/streams.py."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_s = F.unix_timestamp("ts")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        epoch_s.alias("es"),
+        F.when(
+            (epoch_s - F.lag(epoch_s).over(w) > 1800)
+            | F.lag(epoch_s).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("is_new").over(w2).cast("long")
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("es").alias("session_start_s"),
+        F.max("es").alias("session_end_s"),
+        (F.max("es") - F.min("es")).alias("duration_s"),
+        dsum("value").alias("session_value"),
+    )
+
+
+@op(
+    "ts_funnel",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, min({_DUCK_EPOCH_S}) AS t_signup
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min({_DUCK_EPOCH_S}) AS t_click
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND {_DUCK_EPOCH_S} >= s.t_signup
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min({_DUCK_EPOCH_S}) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND {_DUCK_EPOCH_S} >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase,
+           c.user_id IS NOT NULL AS reached_click,
+           p.user_id IS NOT NULL AS reached_purchase
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+           LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup→click→purchase per user: each stage's
+    earliest qualifying time must be at-or-after the previous stage's.
+    Three stage aggregates + left joins — no window over the full
+    event stream, so each stage shuffles only its own event subset."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "es", F.unix_timestamp("ts")
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_signup"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("es") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("es") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("t_purchase"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
+
+
+@op(
+    "ts_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS INTEGER)
+               AS week_offset,
+           count(DISTINCT a.user_id) AS n_active_users
+    FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-activity
+    week, counted in each subsequent active week."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("active_week")
+    )
+    firsts = e.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    activity = e.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
+@op(
+    "ts_running_balance",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+                              ELSE -0.1 * value END AS DECIMAL(25,8))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS balance
+    FROM events
+    """,
+)
+def ts_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running credit balance per circuit: purchases top up, every other
+    record draws down 10% of its reading — the prepaid-metering
+    account model (§0.1).  Exact decimal accumulation in the frame."""
+    e = load_table(spark, sf_dir, "events")
+    signed = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(-0.1 * F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(signed.cast(DEC)).over(w).cast("double").alias("balance"),
+    )
+
+
+@op(
+    "ts_topk_users",
+    oracle=f"""
+    SELECT event_type, user_id, total_value
+    FROM (
+        SELECT event_type, user_id,
+               {sql_dsum('value')} AS total_value,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY sum(CAST(value AS DECIMAL(25,8))) DESC, user_id)
+                   AS rn
+        FROM events GROUP BY event_type, user_id
+    ) WHERE rn <= 5
+    """,
+)
+def ts_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 circuits by total reading per record type.  Ranks on the
+    EXACT decimal sum (not the rounded double) so near-tied totals
+    order identically on both engines, tie-broken by user_id."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast(DEC)).alias("dec_total")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("dec_total").desc(), F.col("user_id")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "event_type",
+            "user_id",
+            F.round(F.col("dec_total").cast("double"), 4).alias("total_value"),
+        )
+    )
+
+
+@op(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT user_id, event_id, value,
+               CAST(sum(CAST(value AS DECIMAL(25,8))) OVER w AS DOUBLE) AS s1,
+               CAST(sum(CAST(value * value AS DECIMAL(25,8))) OVER w AS DOUBLE) AS s2,
+               CAST(count(*) OVER w AS DOUBLE) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, value,
+           round((value - s1 / n)
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1) + 1e-9), 4) AS zscore,
+           abs(value - s1 / n)
+               > 3.0 * sqrt((s2 - s1 * s1 / n) / (n - 1) + 1e-9) AS is_anomaly
+    FROM stats WHERE n >= 12
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag readings >3σ from the trailing-24-reading mean.  Mean and
+    variance are derived from EXACT decimal window sums (Σx, Σx²), so
+    the z-score arithmetic is bit-identical on both engines — a raw
+    windowed stddev would be segment-tree-order dependent."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    v = F.col("value")
+    stats = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.sum(v.cast(DEC)).over(w).cast("double").alias("s1"),
+        F.sum((v * v).cast(DEC)).over(w).cast("double").alias("s2"),
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+    ).filter(F.col("n") >= 12)
+    mean = F.col("s1") / F.col("n")
+    std = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+        + 1e-9
+    )
+    return stats.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round((v - mean) / std, 4).alias("zscore"),
+        (F.abs(v - mean) > 3.0 * std).alias("is_anomaly"),
+    )
