@@ -1,0 +1,281 @@
+"""Deduplication operators (SURVEY.md §2.10): exact content-hash dedup,
+exact shingle-Jaccard near-dup pairs (the ground truth), MinHash-LSH
+banding (the 100 TB scale path, graded against the ground truth), and
+connected-component dup clustering via iterative min-label propagation.
+
+Fixture reality (FIXTURES.md): 0 exact duplicates, and token-SET
+similarity saturates (31-token vocabulary) — so near-dup similarity is
+defined over 3-word shingle SETS, which the fixture's generator makes
+discriminative.
+
+Scale design: the exact pair path is O(Σ per-shingle doc-count²) — fine
+as ground truth / verifier, quadratic on hot shingles.  The MinHash path
+is the one that survives 100 TB: fixed-width signatures (one narrow
+shuffle), banded bucketing (only same-bucket candidates meet), then
+exact verification on candidates only — the classic
+two-pass "approximate to find, exact to confirm" pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import load_table
+
+#: Jaccard threshold for "near-duplicate" over 3-word shingle sets.
+NEAR_DUP_TAU = 0.35
+
+#: MinHash signature layout: 12 bands × 2 rows = 24 hash functions.
+#: Candidate-capture probability at Jaccard s is 1-(1-s^2)^12 —
+#: ~0.79 at s=0.35, >0.99 at s=0.6.
+MINHASH_BANDS = 12
+MINHASH_ROWS = 2
+
+_SHINGLE_SQL = """
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+                   AS shingles
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+"""
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array) with DISTINCT 3-word shingles per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("toks", F.split("text", " "))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat(element_at(toks, i), ' ',"
+                    " element_at(toks, i+1), ' ', element_at(toks, i+2)))"
+                )
+            ).alias("shingles"),
+        )
+    )
+
+
+def exact_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """All doc pairs (a<b) with shingle-set Jaccard >= tau — exact."""
+    s = shingle_sets(spark, sf_dir)
+    exploded = s.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jaccard = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return common.select(
+        "doc_a", "doc_b", jaccard.alias("jaccard")
+    ).filter(F.col("jaccard") >= tau)
+
+
+def _pairs_sql(tau: float) -> str:
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    ex AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+               AS jaccard
+    FROM common
+    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+          >= {tau}
+    """
+
+
+@op(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+               AS is_keeper
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-text dedup via content hash with a deterministic keeper
+    (min doc_id per hash).  Fixtures have 0 exact dups, so every row is
+    a keeper — the op still proves the construction."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.withColumn("content_hash", F.md5("text"))
+        .withColumn("is_keeper", F.row_number().over(w) == 1)
+        .select("doc_id", "content_hash", "is_keeper")
+    )
+
+
+@op(
+    "dedup_near_shingle",
+    oracle=f"""
+    {_pairs_sql(NEAR_DUP_TAU)}
+    """,
+)
+def dedup_near_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard near-dup pairs (ground truth).
+    Jaccard is a ratio of integers — identical doubles on both engines,
+    so even the >= tau boundary is hash-stable."""
+    return exact_pairs(spark, sf_dir, NEAR_DUP_TAU)
+
+
+@op("dedup_near_minhash", tags=("rows-only",))
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified (the scale path).
+
+    Signature: 24 seeded xxhash64 min-hashes per doc (computed with one
+    array transform per seed — no Python), banded 12×2; docs sharing a
+    band bucket become candidates; candidates are exact-Jaccard
+    verified against the same threshold as dedup_near_shingle.  Output
+    is (doc_a, doc_b, jaccard, n_shared_bands).  Registered rows-only:
+    LSH recall < 1 by construction; tests/test_similarity.py asserts
+    recall >= 0.7 against the exact pairs at tau, and precision == 1.0
+    (verification step discards false candidates).
+    """
+    s = shingle_sets(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
+    # 24 min-hashes: min over shingles of xxhash64(shingle, seed).
+    sig_cols = [
+        F.array_min(
+            F.expr(f"transform(shingles, x -> xxhash64(x, {seed}))")
+        ).alias(f"mh{seed}")
+        for seed in range(MINHASH_BANDS * MINHASH_ROWS)
+    ]
+    signed = s.select("doc_id", "n_sh", "shingles", *sig_cols)
+    # Band keys: hash of the band's row minhashes.
+    band_cols = [
+        F.xxhash64(
+            F.lit(band),
+            *[F.col(f"mh{band * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
+        ).alias(f"band{band}")
+        for band in range(MINHASH_BANDS)
+    ]
+    banded = signed.select("doc_id", "n_sh", "shingles", *band_cols)
+    buckets = banded.select(
+        "doc_id",
+        "n_sh",
+        "shingles",
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
+        ).alias("bucket"),
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.first(F.col("a.shingles")).alias("sh_a"),
+            F.first(F.col("b.shingles")).alias("sh_b"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jaccard = n_common.cast("double") / (
+        F.col("n_a") + F.col("n_b") - n_common
+    ).cast("double")
+    return (
+        candidates.withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= NEAR_DUP_TAU)
+        .select("doc_a", "doc_b", "jaccard", "n_shared_bands")
+    )
+
+
+@op(
+    "dedup_cluster",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_pairs_sql(NEAR_DUP_TAU)}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs -> canonical doc per
+    cluster (min doc_id), via bounded iterative min-label propagation.
+
+    The only loop-until-fixpoint code in the engine: each round joins
+    labels to the edge list and takes the min neighbor label; converges
+    in <= log2(diameter) rounds with the doubled edge set.  localCheckpoint
+    every round truncates lineage (SURVEY.md §7.4); rounds are capped.
+    Oracle: DuckDB recursive CTE computing min reachable id.
+    """
+    pairs = exact_pairs(spark, sf_dir, NEAR_DUP_TAU)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lab"))
+    for _ in range(20):  # >= log2(component diameter) for any sane corpus
+        neighbor_min = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
+                    "lab"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.lab") != F.col("l.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lab").cast("long").alias("cluster_id"))

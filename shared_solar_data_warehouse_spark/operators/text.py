@@ -1,0 +1,329 @@
+"""Text-analysis operators (SURVEY.md §2.10) — the LLM-data-pipeline
+additions over the ``documents`` table: tokenization, stopwords, term
+frequencies, TF-IDF, n-grams, per-language corpus profiling, heuristic
+language ID, and quality gates.
+
+Everything is built-in array/string expressions (whole-stage codegen,
+no Python) — at 100 TB the tokenizer is a per-row map with zero
+shuffle, and the corpus-level statistics are single hash aggregates.
+The TF-IDF is deliberately the SQL-expressible explode+join formulation
+(not MLlib's HashingTF) so the oracle can verify weights exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shared_solar_data_warehouse_spark.parity import davg, dsum, sql_davg, sql_dsum
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import load_table
+
+#: The two stopwords present in the fixtures' 31-token vocabulary.
+STOPWORDS = ("the", "a")
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", F.split(F.col("text"), " "))
+
+
+@op(
+    "text_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+               AS n_unique_tokens,
+           CAST(length(text) AS INTEGER) AS text_len,
+           length(text) = n_chars AS len_consistent
+    FROM documents
+    """,
+)
+def text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + per-doc token stats (and the
+    n_chars==length(text) fixture consistency check)."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
+        F.length("text").alias("text_len"),
+        (F.length("text").cast("long") == F.col("n_chars")).alias("len_consistent"),
+    )
+
+
+@op(
+    "text_stopwords",
+    oracle="""
+    SELECT doc_id,
+           list_filter(string_split(text, ' '),
+                       t -> t != 'the' AND t != 'a') AS content_tokens,
+           CAST(len(string_split(text, ' '))
+                - len(list_filter(string_split(text, ' '),
+                                  t -> t != 'the' AND t != 'a'))
+                AS INTEGER) AS n_stopwords
+    FROM documents
+    """,
+)
+def text_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword removal preserving multiset order (array_except would
+    also dedup — filter() keeps duplicates and ordering)."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    content = F.filter("toks", lambda t: ~t.isin(*STOPWORDS))
+    return d.select(
+        "doc_id",
+        content.alias("content_tokens"),
+        (F.size("toks") - F.size(content)).alias("n_stopwords"),
+    )
+
+
+@op(
+    "text_wordcount",
+    oracle="""
+    SELECT t.token, count(*) AS freq,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents) t
+    GROUP BY t.token
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies (the classic): explode + count, with
+    map-side partial aggregation doing the heavy lifting."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    return (
+        d.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+@op(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf_counts AS (
+        SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token
+    ), df_counts AS (
+        SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tc.doc_id, tc.token, tc.tf, dc.df,
+           round(tc.tf * (ln((n.n_docs + 1.0) / (dc.df + 1.0)) + 1.0), 4)
+               AS tfidf
+    FROM tf_counts tc JOIN df_counts dc ON tc.token = dc.token
+    CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term), smoothed idf = ln((N+1)/(df+1)) + 1.
+    The df table is tiny (≤ vocabulary size) — broadcast joined, so the
+    whole thing is one explode + two hash aggs at any corpus size."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode("toks").alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar, driver-side by design: one number
+    return (
+        tf.join(F.broadcast(df_counts), "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@op(
+    "text_ngrams",
+    oracle="""
+    SELECT bigram, count(*) AS freq
+    FROM (
+        SELECT unnest(list_transform(
+            generate_series(1, len(toks) - 1),
+            i -> concat(toks[i], ' ', toks[i + 1]))) AS bigram
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 2
+    )
+    GROUP BY bigram
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram frequencies via index-sequence transform (1-based
+    element_at on both engines — Spark's arr[i] bracket indexing is
+    0-based and is avoided)."""
+    d = _tokens(load_table(spark, sf_dir, "documents")).filter(F.size("toks") >= 2)
+    bigrams = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("freq"))
+
+
+@op(
+    "text_lang_stats",
+    oracle=f"""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           {sql_davg('CAST(n_chars AS DOUBLE)')} AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(language, source) corpus profile — the data-card op."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@op(
+    "text_quality_filter",
+    oracle="""
+    SELECT doc_id, n_tokens, dup_ratio, passed
+    FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tokens,
+               round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE), 4) AS dup_ratio,
+               len(toks) BETWEEN 10 AND 200
+                   AND (1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                            / CAST(len(toks) AS DOUBLE)) <= 0.8
+                   AND length(text) = n_chars AS passed
+        FROM (SELECT doc_id, text, n_chars,
+                     string_split(text, ' ') AS toks FROM documents)
+    )
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gates: token-count bounds, duplicate-token
+    ratio, metadata consistency — emits the score columns plus the
+    verdict (the 100 TB pattern: score once, filter many times)."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    n_toks = F.size("toks")
+    dup_ratio = 1.0 - F.size(F.array_distinct("toks")).cast("double") / n_toks.cast(
+        "double"
+    )
+    passed = (
+        n_toks.between(10, 200)
+        & (dup_ratio <= 0.8)
+        & (F.length("text").cast("long") == F.col("n_chars"))
+    )
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(dup_ratio, 4).alias("dup_ratio"),
+        passed.alias("passed"),
+    )
+
+
+@op(
+    "text_lang_id",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), profile AS (
+        SELECT lang, token FROM (
+            SELECT lang, token, count(*) AS freq,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY count(*) DESC, token) AS rn
+            FROM tok GROUP BY lang, token
+        ) WHERE rn <= 5
+    ), doc_tokens AS (
+        SELECT DISTINCT doc_id, token FROM tok
+    ), scores AS (
+        SELECT dt.doc_id, p.lang AS cand_lang, count(*) AS score
+        FROM doc_tokens dt JOIN profile p ON dt.token = p.token
+        GROUP BY dt.doc_id, p.lang
+    ), best AS (
+        SELECT doc_id, cand_lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand_lang) AS rn
+        FROM scores
+    )
+    SELECT d.doc_id, d.lang,
+           b.cand_lang AS predicted_lang,
+           CAST(coalesce(b.score, 0) AS BIGINT) AS profile_hits,
+           b.cand_lang IS NOT DISTINCT FROM d.lang AS is_correct
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score each doc against per-language
+    top-5-token profiles learned from the corpus itself; predict the
+    argmax (integer scores + alphabetical tie-break keep it exactly
+    reproducible — log-prob scoring would put near-ties at the mercy
+    of float rounding)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = _tokens(d).select("doc_id", "lang", F.explode("toks").alias("token"))
+    by_lang = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("token"))
+    profile = (
+        by_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    doc_tokens = tok.select("doc_id", "token").distinct()
+    scores = doc_tokens.join(F.broadcast(profile), "token").groupBy(
+        "doc_id", "cand_lang"
+    ).agg(F.count(F.lit(1)).alias("score"))
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang")
+    )
+    best = scores.withColumn("rn", F.row_number().over(w_best)).filter(
+        F.col("rn") == 1
+    )
+    return d.join(best, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.col("cand_lang").alias("predicted_lang"),
+        F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("profile_hits"),
+        F.col("cand_lang").eqNullSafe(F.col("lang")).alias("is_correct"),
+    )
+
+
+@op(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS sorted_vocab_md5,
+           md5(array_to_string(list_filter(string_split(text, ' '),
+               t -> t != 'the' AND t != 'a'), ' ')) AS content_md5
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: canonical-form digests (sorted unique
+    vocabulary, stopword-stripped content) — the cheap first pass
+    before any pairwise near-dup work."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.array_sort(F.array_distinct("toks")), " ")
+        ).alias("sorted_vocab_md5"),
+        F.md5(
+            F.array_join(F.filter("toks", lambda t: ~t.isin(*STOPWORDS)), " ")
+        ).alias("content_md5"),
+    )
