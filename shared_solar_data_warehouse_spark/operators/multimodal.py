@@ -1,0 +1,119 @@
+"""Multimodal columns (SURVEY.md §2.10 ``mm_column``): image/audio/video
+as opaque ``binary`` payloads with typed metadata, the ``binaryFile``
+reader for file-per-asset layouts, and the decode/feature-extract stage
+as Arrow-batched Python.
+
+No decode libraries ship in this container, so the DECODE step is a
+clearly-marked deterministic stand-in (byte statistics instead of pixel
+statistics) — the Spark-side plumbing that matters at 100 TB (schema,
+binary transport through Arrow, per-partition batching, partition-count
+independence) is real and tested.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import load_table, scratch_dir
+
+
+@op(
+    "mm_column",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def mm_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed multimodal column: struct<bytes binary, mime string,
+    meta map<string,string>> built from document text (the payload
+    stand-in), with metadata extraction back out of the struct.  The
+    graded output is the extracted metadata — binary cells themselves
+    round-trip rows-only (mm_binary_file)."""
+    d = load_table(spark, sf_dir, "documents")
+    asset = F.struct(
+        F.encode("text", "UTF-8").alias("bytes"),
+        F.lit("text/plain").alias("mime"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )
+    nested = d.select("doc_id", "text", asset.alias("asset"))
+    return nested.select(
+        "doc_id",
+        F.col("asset.mime").alias("mime"),
+        F.octet_length(F.col("asset.bytes")).cast("long").alias("byte_len"),
+        F.md5("text").alias("payload_md5"),
+    )
+
+
+@op("mm_binary_file", tags=("rows-only",))
+def mm_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source: file-per-asset ingest (path, modificationTime,
+    length, content) — the layout for small-object multimodal corpora;
+    at scale, assets pack into parquet binary columns instead (one
+    large file per partition, no per-file open cost)."""
+    path = scratch_dir(sf_dir, "mm_binary_file")
+    for i in range(5):
+        with open(os.path.join(path, f"asset_{i}.bin"), "wb") as fh:
+            fh.write(bytes([i]) * (100 + i))
+    files = spark.read.format("binaryFile").load(path)
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.octet_length("content").cast("long").alias("content_len"),
+        F.md5(F.hex("content")).alias("content_md5"),
+    ).orderBy("file_name")
+
+
+@op(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract stage over binary payloads via
+    mapInPandas.
+
+    STUB: a real deployment would decode image/audio here (PIL/ffmpeg
+    are not in this container — see decode_payload below); the stand-in
+    derives deterministic byte-level "features" so the Arrow transport
+    of binary columns and the batch-iterator shape are exercised
+    end-to-end.  n_frames models frame-sampling: one "frame" per 64
+    payload bytes."""
+
+    def decode_payload(payload: bytes) -> dict:
+        # STUB — deterministic fake decode.  Real implementation:
+        #   raise NotImplementedError("image/audio decode libs not
+        #   available in this container")
+        return {"n_bytes": len(payload), "n_frames": len(payload) // 64}
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_payload(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(extract, "doc_id long, n_bytes long, n_frames long")

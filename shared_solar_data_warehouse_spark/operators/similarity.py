@@ -1,0 +1,301 @@
+"""Similarity-search operators (SURVEY.md §2.10) over the
+``embeddings`` table (64-dim unit-normalized float vectors, so cosine
+similarity ≡ dot product — no normalization pass needed, FIXTURES.md).
+
+Two execution tiers, by design:
+  * exact expression tier — zip_with/aggregate dot products inside
+    whole-stage codegen; the oracle-checkable ground truth;
+  * block tier — ``mapInPandas`` numpy GEMM over broadcast query
+    blocks: the 100 TB path (each corpus partition does one
+    (batch × dim) @ (dim × n_queries) matmul instead of per-pair
+    loops), plus LSH bucketing to cut the candidate space.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import load_table
+
+#: How many query vectors the kNN demos use (vec_id < N_QUERIES).
+N_QUERIES = 20
+KNN_K = 5
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (s, v) -> s + v)"
+)
+
+_DUCK_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+
+
+@op(
+    "sim_pairwise_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}, 4)
+               AS cosine
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity for given pairs (consecutive vec_ids): unit
+    vectors make it a pure dot product — zip_with + left-fold aggregate,
+    all JVM-side."""
+    a = load_table(spark, sf_dir, "embeddings").alias("a")
+    b = load_table(spark, sf_dir, "embeddings").alias("b")
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(
+            F.expr(_DOT.format(a="a.embedding", b="b.embedding")), 4
+        ).alias("cosine"),
+    )
+
+
+def _knn_exact(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Exact top-k neighbors for the query subset via cross join +
+    expression dot product + per-query window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("neighbor_label"),
+    )
+    scored = corpus.join(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.expr(_DOT.format(a="q_emb", b="c_emb")).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+_DUCK_KNN = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+               {_DUCK_DOT.format(a='q.q_emb', b='e.embedding')} AS dot,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_DUCK_DOT.format(a='q.q_emb', b='e.embedding')} DESC,
+                            e.vec_id) AS rank
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, neighbor_id, neighbor_label, round(dot, 4) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM scored WHERE rank <= {KNN_K}
+"""
+
+
+@op("sim_knn_bruteforce", oracle=_DUCK_KNN)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 nearest neighbors per query vector (self included at
+    rank 1, cosine 1.0 — the unit-norm sanity anchor).  Ranking uses
+    the UNROUNDED dot (both engines fold the same doubles in the same
+    order); output rounds for display."""
+    return _knn_exact(spark, sf_dir, KNN_K).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(F.col("dot"), 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@op(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH knn AS ({_DUCK_KNN}),
+    votes AS (
+        SELECT knn.query_id, knn.neighbor_label, count(*) AS n_votes
+        FROM knn WHERE knn.neighbor_id != knn.query_id
+        GROUP BY 1, 2
+    ), best AS (
+        SELECT query_id, neighbor_label AS predicted_label, n_votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, neighbor_label) AS rn
+        FROM votes
+    )
+    SELECT b.query_id, e.label AS true_label, b.predicted_label,
+           b.n_votes, b.predicted_label = e.label AS is_correct
+    FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+    WHERE b.rn = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote (self excluded): majority label among the top-5
+    neighbors, smallest-label tie-break."""
+    knn = _knn_exact(spark, sf_dir, KNN_K).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    votes = knn.groupBy("query_id", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    best = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return best.join(emb, "query_id").select(
+        "query_id",
+        "true_label",
+        F.col("neighbor_label").alias("predicted_label"),
+        "n_votes",
+        (F.col("neighbor_label") == F.col("true_label")).alias("is_correct"),
+    )
+
+
+@op("sim_knn_block_matmul", tags=("rows-only",))
+def sim_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-matmul kNN — the 100 TB exact path.
+
+    Queries are collected once (bounded: N_QUERIES × dim floats) and
+    broadcast inside a ``mapInPandas`` closure; each corpus partition
+    stacks its Arrow batch into a (batch × 64) numpy matrix and does
+    ONE GEMM against the (64 × n_queries) query matrix, emitting only
+    each batch's per-query top-k — so the shuffle that follows carries
+    k rows per (partition, query), not the full score matrix.  A final
+    per-query window keeps the global top-k.
+
+    Parity with sim_knn_bruteforce is asserted in tests (same pairs;
+    scores equal to 1e-6 — GEMM reassociates the fp sums, which is why
+    this tier is rows-only rather than oracle-hashed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64).T  # 64×Q
+    k = KNN_K
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scores = c_mat @ q_mat  # (batch × Q) in one GEMM
+            n = min(k, scores.shape[0])
+            # per-query partial top-k within this block
+            idx = np.argpartition(-scores, n - 1, axis=0)[:n]
+            out = {
+                "query_id": np.repeat(q_ids, n),
+                "neighbor_id": pdf["vec_id"].to_numpy()[idx].T.ravel(),
+                "dot": np.take_along_axis(scores, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partials = emb.select("vec_id", "embedding").mapInPandas(
+        block_topk, "query_id long, neighbor_id long, dot double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@op("sim_ann_lsh", tags=("rows-only",))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane (sign) LSH.
+
+    16 deterministic hyperplanes (seeded numpy, broadcast as literals)
+    → each vector hashes to a 16-bit sign signature, split into 4
+    bands of 4 bits; vectors sharing any band bucket with a query are
+    candidates; candidates are exact-dot verified and per-query top-k
+    kept.  Recall vs the exact kNN is asserted >= 0.6 in tests — the
+    scale trade: candidate count grows with corpus density, not
+    corpus size.
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.normal(size=(16, 64))
+    plane_arrays = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in planes[i]])
+            for i in range(planes.shape[0])
+        ]
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = (
+        emb.withColumn("_planes", plane_arrays)
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(
+                "transform(_planes, p -> CASE WHEN aggregate(zip_with(p, embedding,"
+                " (x, y) -> x * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v) >= 0"
+                " THEN 1 ELSE 0 END)"
+            ).alias("bits"),
+        )
+    )
+    band_expr = (
+        "transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',"
+        " concat_ws('', slice(bits, b * 4 + 1, 4))))"
+    )
+    buckets = sig.select(
+        "vec_id", "embedding", F.explode(F.expr(band_expr)).alias("bucket")
+    )
+    queries = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    candidates = (
+        buckets.join(queries, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_DOT.format(a="q_emb", b="embedding")).alias("dot"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
