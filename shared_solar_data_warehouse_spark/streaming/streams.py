@@ -1,0 +1,438 @@
+"""Structured Streaming operators (SURVEY.md §2.9) — the continuous
+twins of the §2.8 batch analytics, exactly the reference's ingest shape
+(continuously-arriving gateway logs with late/out-of-order records).
+
+Oracle strategy: the driver's oracle is batch DuckDB, so every op here
+replays the static ``events`` parquet as a FILE STREAM, drains it with
+``trigger(availableNow=True)`` into a memory sink, and returns the
+final table — deterministic, so most entries are FULLY hash-checked
+against a batch SQL twin rather than merely rows-only (stronger than
+SURVEY §2.9 planned).
+
+The same physical plans run unchanged against a live directory/Kafka
+source with a processing-time trigger — that is the point of the
+unified batch/streaming model.  State at 100 TB: every stateful op
+below keys its state by (user_id | window), bounded by watermarks.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shared_solar_data_warehouse_spark.parity import DEC, sql_dsum
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.session import pin_session
+from shared_solar_data_warehouse_spark.sources.io import scratch_dir, table_path
+
+_COUNTER = itertools.count()
+
+#: events parquet physical schema under nanosAsLong (ts arrives int64 ns).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_DUCK_EPOCH_S = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """File-stream sources want a DIRECTORY; stage the events parquet
+    into a per-sf scratch dir via symlink (no copy)."""
+    d = scratch_dir(sf_dir, "events_stream_src")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream (ns ts rebuilt to µs,
+    same normalization as the batch loader)."""
+    pin_session(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(_stream_dir(sf_dir))
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV CAST(1000 AS BIGINT)"))
+    )
+
+
+def drain(spark: SparkSession, sdf: DataFrame, mode: str = "append") -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the final result as a batch DataFrame."""
+    name = f"sswh_mem_{os.getpid()}_{next(_COUNTER)}"
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@op(
+    "stream_ingest_files",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events WHERE value > 150.0
+    """,
+)
+def stream_ingest_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming ingest + stateless filter/projection
+    (append mode, no state) — the raw log intake stage."""
+    s = events_stream(spark, sf_dir)
+    out = s.filter(F.col("value") > 150.0).select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+    return drain(spark, out, "append")
+
+
+@op(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windowed aggregate by event type (complete mode;
+    the streaming twin of ts_bucket_agg at site granularity)."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias(
+            "total_value"
+        ),
+    )
+    out = agg.select(
+        F.col("window.start").cast("date").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    return drain(spark, out, "complete")
+
+
+@op(
+    "stream_sliding",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) - to_days(CAST(o.off AS INTEGER)) AS DATE)
+               AS window_start_day,
+           count(*) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 2-day length, 1-day slide — every event lands in
+    exactly two windows (the oracle unrolls the two day-offsets)."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "2 days", "1 day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = agg.select(
+        F.col("window.start").cast("date").alias("window_start_day"),
+        "n_events",
+    )
+    return drain(spark, out, "complete")
+
+
+@op(
+    "stream_session",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, value, {_DUCK_EPOCH_S} AS es,
+               CASE WHEN {_DUCK_EPOCH_S} - lag({_DUCK_EPOCH_S}) OVER w > 1800
+                    OR lag({_DUCK_EPOCH_S}) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, value, es,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY es
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           min(es) AS session_start_s,
+           max(es) AS session_last_s,
+           count(*) AS n_events,
+           {sql_dsum('value')} AS session_value
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) — must produce EXACTLY the
+    sessions that the batch lag+cumsum construction (ts_sessionize)
+    produces; the oracle IS that construction."""
+    s = events_stream(spark, sf_dir)
+    agg = s.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias(
+            "session_value"
+        ),
+    )
+    out = agg.select(
+        "user_id",
+        F.unix_timestamp(F.col("session_window.start")).alias("session_start_s"),
+        (F.unix_timestamp(F.col("session_window.end")) - 1800).alias(
+            "session_last_s"
+        ),
+        "n_events",
+        "session_value",
+    )
+    return drain(spark, out, "complete")
+
+
+@op(
+    "stream_watermark",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_events
+    FROM events
+    GROUP BY 1
+    HAVING CAST(date_trunc('day', ts) AS DATE) + 1
+           <= (SELECT date_trunc('second', max(ts)) FROM events)
+              - INTERVAL 1 HOUR
+    """,
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode aggregation: a 1-hour late-data bound
+    means only windows whose end precedes (max event time - 1h) are
+    final and emitted; the trailing open window is withheld — exactly
+    what the oracle's HAVING clause states.  The watermark is also the
+    state-eviction bound at scale: one day-window row per key in
+    flight."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = agg.select(
+        F.col("window.start").cast("date").alias("day"), "n_events"
+    )
+    return drain(spark, out, "append")
+
+
+@op(
+    "stream_dedup",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once repair: the input is the stream UNIONED WITH ITSELF
+    (every record duplicated — the GSM re-upload case), and
+    dropDuplicatesWithinWatermark restores one row per event_id while
+    keeping only a watermark-bounded id window in state."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    doubled = a.unionByName(b).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return drain(spark, deduped, "append")
+
+
+@op(
+    "stream_stateful",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               {_DUCK_EPOCH_S} - lag({_DUCK_EPOCH_S}) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(coalesce(max(gap_s), 0) AS BIGINT) AS max_gap_s
+    FROM gaps GROUP BY user_id
+    """,
+)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    state machine tracking event count and maximum inter-arrival gap
+    (the streaming outage detector).  State = (count, last_ts, max_gap)
+    per user — O(1) per key, the only thing that scales."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track_gaps(key, pdf_iter, state: GroupState):
+        n, last_es, max_gap = (
+            state.get if state.exists else (0, None, 0)
+        )
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("es")
+            for es in pdf["es"]:
+                es = int(es)
+                if last_es is not None and es - last_es > max_gap:
+                    max_gap = es - last_es
+                last_es = es
+                n += 1
+        state.update((n, last_es, max_gap))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_gap_s": [max_gap]}
+        )
+
+    s = events_stream(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    result = s.groupBy("user_id").applyInPandasWithState(
+        track_gaps,
+        outputStructType="user_id long, n_events long, max_gap_s long",
+        stateStructType="n long, last_es long, max_gap long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return drain(spark, result, "update")
+
+
+@op(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the customer
+    dim (broadcast — the dim is fixed per micro-batch), then
+    aggregates; the static side at 100 TB is a broadcast or a bucketed
+    mapside join, never a stream-repartition."""
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    s = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = s.join(F.broadcast(dim), s.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_events"))
+    return drain(spark, agg, "complete")
+
+
+@op(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id
+    FROM (SELECT *, {_DUCK_EPOCH_S} AS es FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT *, {_DUCK_EPOCH_S} AS es FROM events
+          WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.es >= c.es AND p.es <= c.es + 3600
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 1 h after a click
+    by the same user, both sides watermarked (1 h late bound + the
+    interval condition bounds both join states).  Joins on
+    second-truncated event time so the µs-vs-ns source precision can't
+    flip the interval boundary."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.date_trunc("second", "ts").alias("c_tss"),
+        )
+        .withWatermark("c_tss", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.date_trunc("second", "ts").alias("p_tss"),
+        )
+        .withWatermark("p_tss", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_tss") >= F.col("c_tss"))
+        & (F.col("p_tss") <= F.col("c_tss") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", F.col("p_user").alias("user_id"))
+    return drain(spark, joined, "append")
+
+
+@op(
+    "stream_sink_foreachbatch",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events WHERE value > 50.0
+    GROUP BY event_type
+    """,
+)
+def stream_sink_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as parquet keyed by
+    epoch id (idempotent per-epoch overwrite = exactly-once-ish), then
+    the landed data is read back and aggregated in batch — the
+    standard custom-sink escape hatch."""
+    out_dir = scratch_dir(sf_dir, "stream_foreachbatch")
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    s = events_stream(spark, sf_dir).filter(F.col("value") > 50.0).select(
+        "event_id", "event_type"
+    )
+    query = (
+        s.writeStream.foreachBatch(land)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .start()
+    )
+    query.awaitTermination()
+    landed = spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+    return landed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@op("source_rate_stream", tags=("rows-only",))
+def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic stream source (rate-micro-batch: fixed
+    rows per batch) — the load-generator used for soak tests; drained
+    for a bounded number of rows then stopped."""
+    pin_session(spark)
+    name = f"sswh_rate_{os.getpid()}_{next(_COUNTER)}"
+    s = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 128)
+        .option("startTimestamp", 0)
+        .load()
+    )
+    query = (
+        s.select("value")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline and spark.table(name).count() < 128:
+        time.sleep(0.2)
+    query.stop()
+    return spark.table(name).filter(F.col("value") < 128)
