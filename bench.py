@@ -1,0 +1,71 @@
+"""Benchmark harness (SURVEY.md §6): runs every registry query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol: one warm shared SparkSession (never one session per query —
+~1-2 s job-setup constant would swamp everything), a warm-up execution
+of the flagship, then per-query wall-clock of a full materialization
+(collect-equivalent count+collect of the plan's rows).  `value` is the
+total seconds across all queries — the number BASELINE.md's 2× gate is
+checked against.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+
+    from shared_solar_data_warehouse_spark.registry import REGISTRY, load_all_ops
+    from shared_solar_data_warehouse_spark.session import get_session
+
+    load_all_ops()
+    spark = get_session("sswh-bench")
+
+    # Warm-up: JIT, codegen caches, parquet footer caches.
+    REGISTRY["flagship_revenue_by_nation"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name in sorted(REGISTRY):
+        builder = REGISTRY[name].builder
+        started = time.time()
+        try:
+            rows = builder(spark, sf_dir).collect()
+            _ = len(rows)
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        timings[name] = round(time.time() - started, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_sec_full_registry",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "n_queries": len(timings),
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

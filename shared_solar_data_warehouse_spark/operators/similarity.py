@@ -232,9 +232,9 @@ def sim_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane (sign) LSH.
 
-    16 deterministic hyperplanes (seeded numpy, broadcast as literals)
-    → each vector hashes to a 16-bit sign signature, split into 4
-    bands of 4 bits; vectors sharing any band bucket with a query are
+    24 deterministic hyperplanes (seeded numpy, broadcast as literals)
+    → each vector hashes to a 24-bit sign signature, split into 8
+    bands of 3 bits; vectors sharing any band bucket with a query are
     candidates; candidates are exact-dot verified and per-query top-k
     kept.  Recall vs the exact kNN is asserted >= 0.6 in tests — the
     scale trade: candidate count grows with corpus density, not
@@ -243,7 +243,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     rng = np.random.RandomState(42)
-    planes = rng.normal(size=(16, 64))
+    planes = rng.normal(size=(24, 64))
     plane_arrays = F.array(
         *[
             F.array(*[F.lit(float(x)) for x in planes[i]])
@@ -265,8 +265,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     band_expr = (
-        "transform(sequence(0, 3), b -> concat(CAST(b AS STRING), ':',"
-        " concat_ws('', slice(bits, b * 4 + 1, 4))))"
+        "transform(sequence(0, 7), b -> concat(CAST(b AS STRING), ':',"
+        " concat_ws('', slice(bits, b * 3 + 1, 3))))"
     )
     buckets = sig.select(
         "vec_id", "embedding", F.explode(F.expr(band_expr)).alias("bucket")

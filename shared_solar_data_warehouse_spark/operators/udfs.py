@@ -71,18 +71,23 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_pandas_grouped_agg",
     oracle="""
     SELECT user_id,
-           round(avg(value), 4) AS mean_value,
+           floor(CAST(sum(CAST(value AS DECIMAL(25,8))) AS DOUBLE)
+                 / count(*) * 10000.0 + 0.5) / 10000.0 AS mean_value,
            round(max(value) - min(value), 4) AS value_span
     FROM events GROUP BY user_id
     """,
 )
 def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas_udf: custom Python aggregates fed one group
-    at a time as pandas Series."""
+    at a time as pandas Series.  The mean uses math.fsum (correctly-
+    rounded, order-independent — matching the oracle's exact decimal
+    sum) and floor-based rounding (parity.davg's rule for quotients)."""
+    import math
 
     @pandas_udf("double")
     def mean4(v: pd.Series) -> float:
-        return round(float(v.mean()), 4)
+        mean = math.fsum(v) / len(v)
+        return math.floor(mean * 10000.0 + 0.5) / 10000.0
 
     @pandas_udf("double")
     def span4(v: pd.Series) -> float:

@@ -43,11 +43,19 @@ def dsum(col: Column | str, ndigits: int = 4) -> Column:
 
 
 def davg(col: Column | str, ndigits: int = 4) -> Column:
-    """Order-independent double mean: exact decimal sum / count, rounded."""
+    """Order-independent double mean: exact decimal sum / count, rounded.
+
+    The final rounding is floor(x*10^n + 0.5)/10^n — NOT round() —
+    because a mean of short-decimal data often terminates exactly at
+    the .xxxx5 boundary, where Spark's round (BigDecimal on the
+    shortest decimal repr, half-up) and DuckDB's (numeric nearbyint)
+    disagree.  The floor formula is plain IEEE arithmetic on an
+    identical input double, so both engines produce the same bits.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast(DEC)).cast("double") / F.count(c).cast("double"), ndigits
-    )
+    scale = float(10**ndigits)
+    q = F.sum(c.cast(DEC)).cast("double") / F.count(c).cast("double")
+    return F.floor(q * scale + 0.5) / scale
 
 
 def sql_dsum(expr: str, ndigits: int = 4) -> str:
@@ -56,10 +64,12 @@ def sql_dsum(expr: str, ndigits: int = 4) -> str:
 
 
 def sql_davg(expr: str, ndigits: int = 4) -> str:
-    """DuckDB half of :func:`davg`."""
+    """DuckDB half of :func:`davg` (same floor-based rounding — see
+    davg's docstring for why round() is not usable on quotients)."""
+    scale = float(10**ndigits)
     return (
-        f"round(CAST(sum(CAST({expr} AS DECIMAL(25,8))) AS DOUBLE)"
-        f" / CAST(count({expr}) AS DOUBLE), {ndigits})"
+        f"floor(CAST(sum(CAST({expr} AS DECIMAL(25,8))) AS DOUBLE)"
+        f" / CAST(count({expr}) AS DOUBLE) * {scale} + 0.5) / {scale}"
     )
 
 

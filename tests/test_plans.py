@@ -1,0 +1,85 @@
+"""Tier-2: physical-plan assertions (SURVEY.md §5.3.2/§4) — the
+100 TB-readiness checks.  A query can be value-correct and still be the
+wrong plan; these pin the plan properties that matter at scale:
+pushdown, pruning, broadcast vs shuffle, top-k physical operator,
+whole-stage codegen presence.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_of(registry, spark, name: str) -> str:
+    return _plan(registry[name].builder(spark, SF_ORACLE))
+
+
+def test_filter_pushdown_reaches_parquet(spark, registry):
+    plan = plan_of(registry, spark, "scan_parquet_pruned")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity,45" in plan
+
+
+def test_column_pruning_reads_subset(spark, registry):
+    plan = plan_of(registry, spark, "scan_parquet_pruned")
+    # ReadSchema must contain only the needed columns, not all 11.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_shipdate" not in read_schema
+    assert "l_tax" not in read_schema
+
+
+def test_broadcast_join_for_dims(spark, registry):
+    plan = plan_of(registry, spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_broadcasts_small_dims(spark, registry):
+    plan = plan_of(registry, spark, "flagship_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+
+
+def test_shuffle_hash_hint_honored(spark, registry):
+    plan = plan_of(registry, spark, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark, registry):
+    plan = plan_of(registry, spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(spark, registry):
+    assert "LeftSemi" in plan_of(registry, spark, "join_left_semi")
+    assert "LeftAnti" in plan_of(registry, spark, "join_left_anti")
+
+
+def test_partial_aggregation_before_shuffle(spark, registry):
+    plan = plan_of(registry, spark, "agg_groupby")
+    # Two HashAggregate nodes (partial + final) around one Exchange.
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_active(spark, registry):
+    # formatted explain marks fused operators with [codegen id : N]
+    plan = plan_of(registry, spark, "fn_math")
+    assert "codegen id :" in plan
+
+
+def test_range_join_broadcasts_tiny_side(spark, registry):
+    plan = plan_of(registry, spark, "join_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_aqe_enabled(spark, registry):
+    plan = plan_of(registry, spark, "flagship_revenue_by_nation")
+    assert "AdaptiveSparkPlan" in plan

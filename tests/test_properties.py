@@ -1,0 +1,132 @@
+"""Tier-3: property-based tests (SURVEY.md §5.3.3) — algebraic
+invariants that hold for ANY data, checked with hypothesis-generated
+inputs plus the fixtures.  Spark round-trips are expensive, so example
+counts are small and deliberate; the properties, not the volume, carry
+the value.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _events(spark):
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    return load_table(spark, SF_SMALL, "events")
+
+
+def test_filter_composition_commutes(spark):
+    li = __import__(
+        "shared_solar_data_warehouse_spark.sources.io", fromlist=["load_table"]
+    ).load_table(spark, SF_SMALL, "lineitem")
+    a = li.filter(F.col("l_quantity") > 20).filter(F.col("l_discount") < 0.05)
+    b = li.filter(F.col("l_discount") < 0.05).filter(F.col("l_quantity") > 20)
+    assert a.count() == b.count()
+
+
+def test_union_all_count_additive(spark):
+    e = _events(spark)
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view")
+    assert clicks.count() + views.count() == clicks.unionByName(views).count()
+
+
+def test_inner_join_bounded_by_fk(spark):
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    orders = load_table(spark, SF_SMALL, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # l_orderkey ⊆ o_orderkey (FIXTURES.md) and o_orderkey unique:
+    assert joined.count() == li.count()
+
+
+def test_window_unbounded_sum_equals_group_sum(spark):
+    from pyspark.sql import Window
+
+    e = _events(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    via_window = (
+        e.select("user_id", F.sum(F.col("value").cast("decimal(25,8)")).over(w).alias("s"))
+        .groupBy("user_id")
+        .agg(F.max("s").alias("s"))
+    )
+    via_group = e.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(25,8)")).alias("s")
+    )
+    assert via_window.subtract(via_group).count() == 0
+
+
+def test_sessionize_gap_invariants(spark, registry):
+    """No intra-session gap exceeds the threshold; session starts are
+    separated from the previous session's end by more than it."""
+    sessions = registry["ts_sessionize"].builder(spark, SF_SMALL)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_seq")
+    gaps = sessions.select(
+        "user_id",
+        "session_seq",
+        (F.col("session_start_s") - F.lag("session_end_s").over(w)).alias(
+            "inter_gap"
+        ),
+    ).filter(F.col("inter_gap").isNotNull())
+    assert gaps.filter(F.col("inter_gap") <= 1800).count() == 0
+
+
+def test_jaccard_bounds_and_symmetry(spark, registry):
+    pairs = registry["dedup_near_shingle"].builder(spark, SF_SMALL)
+    rows = pairs.collect()
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]  # canonical orientation = symmetry
+
+
+def test_knn_self_is_nearest(spark, registry):
+    knn = registry["sim_knn_bruteforce"].builder(spark, SF_SMALL)
+    rank1 = knn.filter(F.col("rank") == 1).collect()
+    for r in rank1:
+        assert r["neighbor_id"] == r["query_id"]
+        assert abs(r["cosine"] - 1.0) < 1e-3  # unit vectors
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.01, max_value=1000, allow_nan=False), min_size=1, max_size=50
+    )
+)
+def test_decimal_sum_is_order_independent(vals):
+    """The parity core: decimal-cast accumulation gives one answer for
+    every summation order (the property raw double sums lack)."""
+    from decimal import Decimal
+
+    def dec_sum(xs):
+        return sum(Decimal(x).quantize(Decimal("0.00000001")) for x in xs)
+
+    assert dec_sum(vals) == dec_sum(list(reversed(vals)))
+    assert dec_sum(vals) == dec_sum(sorted(vals))
+
+
+@settings(max_examples=10, deadline=None)
+@given(gap=st.integers(min_value=1, max_value=10_000))
+def test_gap_threshold_monotonic(spark, registry, gap):
+    """Raising the outage threshold can only reduce flagged gaps."""
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+    from pyspark.sql import Window
+
+    e = load_table(spark, SF_SMALL, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts")
+    gaps = e.select((es - F.lag(es).over(w)).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    assert gaps.filter(F.col("g") > gap).count() >= gaps.filter(
+        F.col("g") > gap * 2
+    ).count()

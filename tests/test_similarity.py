@@ -1,0 +1,58 @@
+"""Tier-3b: approximate-operator quality gates (SURVEY.md §2.10) —
+the approximate scale paths graded against their exact ground truths.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+
+def _pairs(df, cols=("doc_a", "doc_b")):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_minhash_recall_and_precision(spark, registry):
+    exact = _pairs(registry["dedup_near_shingle"].builder(spark, SF_SMALL))
+    approx = _pairs(registry["dedup_near_minhash"].builder(spark, SF_SMALL))
+    assert approx <= exact or not exact, (
+        "verification step must kill false positives"
+    )
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.7, f"MinHash recall {recall:.2f} below bound"
+
+
+def test_lsh_ann_recall(spark, registry):
+    exact = _pairs(
+        registry["sim_knn_bruteforce"]
+        .builder(spark, SF_SMALL)
+        .filter("neighbor_id != query_id"),
+        ("query_id", "neighbor_id"),
+    )
+    approx = _pairs(
+        registry["sim_ann_lsh"].builder(spark, SF_SMALL),
+        ("query_id", "neighbor_id"),
+    )
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, f"LSH ANN recall {recall:.2f} below bound"
+
+
+def test_block_matmul_matches_bruteforce(spark, registry):
+    """The GEMM tier must find the same neighbor sets (scores may
+    differ in the last ulp from fp reassociation)."""
+    brute = registry["sim_knn_bruteforce"].builder(spark, SF_SMALL).collect()
+    block = registry["sim_knn_block_matmul"].builder(spark, SF_SMALL).collect()
+    b_pairs = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    m_pairs = {(r["query_id"], r["neighbor_id"]) for r in block}
+    overlap = len(b_pairs & m_pairs) / len(b_pairs)
+    assert overlap >= 0.95, f"block-matmul kNN overlap {overlap:.2f}"
+    b_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in brute}
+    for r in block:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in b_scores:
+            assert abs(r["cosine"] - b_scores[key]) < 1e-5
+
+
+def test_approx_count_distinct_bound(spark, registry):
+    rows = registry["agg_approx_distinct"].builder(spark, SF_SMALL).collect()
+    assert rows and all(r["approx_within_5pct"] for r in rows)
