@@ -45,8 +45,16 @@ def main() -> int:
         builder = REGISTRY[name].builder
         started = time.time()
         try:
-            rows = builder(spark, sf_dir).collect()
-            _ = len(rows)
+            df = builder(spark, sf_dir)
+            # Full materialization to the driver via the Arrow path;
+            # row-by-row Py4J collect() would measure pickling, not the
+            # engine.  Fall back to collect() for any schema Arrow
+            # can't carry.
+            try:
+                pdf = df.toPandas()
+                _ = len(pdf)
+            except Exception:  # noqa: BLE001
+                _ = len(df.collect())
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue

@@ -45,8 +45,14 @@ _SHINGLE_SQL = """
 
 
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingles array) with DISTINCT 3-word shingles per doc."""
-    d = load_table(spark, sf_dir, "documents")
+    """(doc_id, shingles array) with DISTINCT 3-word shingles per doc.
+
+    The fixture table is a single parquet file, so without an explicit
+    fan-out the CPU-heavy shingle derivation runs as ONE task; at real
+    scale the input arrives in many files and this repartition is a
+    no-op-cost hash exchange of (doc_id, text) rows.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(32)
     return (
         d.withColumn("toks", F.split("text", " "))
         .filter(F.size("toks") >= 3)
@@ -64,21 +70,44 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def exact_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
-    """All doc pairs (a<b) with shingle-set Jaccard >= tau — exact."""
+    """All doc pairs (a<b) with shingle-set Jaccard >= tau — exact.
+
+    Shape: ONE shuffle groups postings by shingle; each group emits its
+    C(c,2) ordered pairs via a nested array ``transform`` (JVM-side, no
+    Python); a second shuffle counts co-occurrences per pair.  This
+    beats the naive exploded self-join (which shuffles both sides and
+    recomputes the shingle subtree twice) ~4x at sf0.1.  A length-ratio
+    prune drops pairs where even a full containment couldn't reach tau
+    (max Jaccard = min(n)/max(n)) before the pair shuffle.
+
+    100 TB note: per-shingle pair fan-out is O(c^2) on a hot shingle's
+    posting list — exact all-pairs is inherently so.  At scale, run
+    this only as the verifier behind `dedup_near_minhash`'s banded
+    candidates, or bound posting lists with a document-frequency cap /
+    prefix filter first.
+    """
     s = shingle_sets(spark, sf_dir)
     exploded = s.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    pair_expr = (
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs) - i - 1), y -> struct("
+        "   least(x.doc_id, y.doc_id) AS doc_a,"
+        "   greatest(x.doc_id, y.doc_id) AS doc_b,"
+        "   if(x.doc_id < y.doc_id, x.n_sh, y.n_sh) AS n_a,"
+        "   if(x.doc_id < y.doc_id, y.n_sh, x.n_sh) AS n_b))))"
+    )
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+        exploded.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .filter(
+            F.least("p.n_a", "p.n_b").cast("double")
+            >= F.lit(tau) * F.greatest("p.n_a", "p.n_b").cast("double")
         )
+        .groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     jaccard = F.col("n_common").cast("double") / (
@@ -176,40 +205,50 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for band in range(MINHASH_BANDS)
     ]
     banded = signed.select("doc_id", "n_sh", "shingles", *band_cols)
+    # Candidate pairs carry only ids: group each bucket's posting list
+    # and emit its pairs JVM-side (same shape as exact_pairs) — the
+    # heavy shingle arrays never enter the candidate shuffle.
     buckets = banded.select(
         "doc_id",
-        "n_sh",
-        "shingles",
         F.explode(
             F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
         ).alias("bucket"),
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_shared_bands"),
-            F.first(F.col("a.shingles")).alias("sh_a"),
-            F.first(F.col("b.shingles")).alias("sh_b"),
-            F.first(F.col("a.n_sh")).alias("n_a"),
-            F.first(F.col("b.n_sh")).alias("n_b"),
-        )
+    pair_expr = (
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs) - i - 1), y -> struct("
+        "   least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
     )
+    candidates = (
+        buckets.groupBy("bucket")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    # Exact verification: the candidate set is tiny by LSH design, so
+    # BROADCAST it against the corpus's shingle arrays — the wide
+    # arrays never shuffle (at 100 TB the candidate side stays small
+    # relative to the corpus; if it didn't, the banding parameters are
+    # wrong, not the join strategy).
+    sh = s.select("doc_id", "n_sh", "shingles")
+    verified = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("shingles").alias("sh_a"),
+    ).join(F.broadcast(candidates), "doc_a")
+    verified = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("shingles").alias("sh_b"),
+    ).join(F.broadcast(verified), "doc_b")
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jaccard = n_common.cast("double") / (
         F.col("n_a") + F.col("n_b") - n_common
     ).cast("double")
     return (
-        candidates.withColumn("jaccard", jaccard)
+        verified.withColumn("jaccard", jaccard)
         .filter(F.col("jaccard") >= NEAR_DUP_TAU)
         .select("doc_a", "doc_b", "jaccard", "n_shared_bands")
     )
@@ -251,8 +290,18 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("lab"))
-    for _ in range(20):  # >= log2(component diameter) for any sane corpus
+    # Only nodes touched by an edge can change label; every other doc
+    # is a singleton cluster of itself.  The fixpoint loop therefore
+    # runs on the (much smaller) edge-node set — at 100 TB the dup
+    # graph is still tiny next to the corpus, and the isolated-node
+    # union is a single narrow join added at the end.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # >= diameter hops for any sane dup graph
         neighbor_min = (
             labels.join(edges, labels.doc_id == edges.src)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -278,4 +327,10 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("lab").cast("long").alias("cluster_id"))
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lab", "doc_id").cast("long").alias("cluster_id"),
+        )
+    )

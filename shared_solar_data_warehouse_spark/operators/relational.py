@@ -632,6 +632,26 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "limit_n",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 4) AS acctbal
+    FROM customer ORDER BY c_custkey LIMIT 100
+    """,
+)
+def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT over a unique total order (SURVEY.md §2.6 `limit_n`) —
+    kept separate from `topk_global` so the inventory row's first ID
+    resolves directly; the physical plan is the same
+    TakeOrderedAndProject per-partition-heap shape."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 4).alias("acctbal"))
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+@op(
     "offset_n",
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders

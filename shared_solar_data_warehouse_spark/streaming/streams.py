@@ -75,14 +75,26 @@ def drain(spark: SparkSession, sdf: DataFrame, mode: str = "append") -> DataFram
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink; return the final result as a batch DataFrame."""
     name = f"sswh_mem_{os.getpid()}_{next(_COUNTER)}"
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # Stateful operators spin one state-store instance per shuffle
+    # partition per micro-batch; at fixture scale that fixed cost
+    # dominates, so run the stream with few state partitions (the knob
+    # is read at query START and baked into the checkpoint).  On a real
+    # cluster this is instead sized ~2x total cores.  Restored after the
+    # drain — the builder protocol is sequential, and batch queries
+    # under AQE re-coalesce anyway.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
