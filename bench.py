@@ -36,25 +36,34 @@ def main() -> int:
     load_all_ops()
     spark = get_session("sswh-bench")
 
-    # Warm-up: JIT, codegen caches, parquet footer caches.
-    REGISTRY["flagship_revenue_by_nation"].builder(spark, sf_dir).collect()
+    def materialize(name: str) -> None:
+        df = REGISTRY[name].builder(spark, sf_dir)
+        # Full materialization to the driver via the Arrow path;
+        # row-by-row Py4J collect() would measure pickling, not the
+        # engine.  Fall back to collect() for any schema Arrow
+        # can't carry.
+        try:
+            _ = len(df.toPandas())
+        except Exception:  # noqa: BLE001
+            _ = len(df.collect())
 
-    timings: dict[str, float] = {}
+    # Warm pass (un-timed): codegen/JIT compilation, parquet footer
+    # caches, Python-UDF worker pool spawn — the BASELINE.md protocol
+    # measures the warm engine, not JVM compile latency.
     failures: dict[str, str] = {}
     for name in sorted(REGISTRY):
-        builder = REGISTRY[name].builder
+        try:
+            materialize(name)
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        if name in failures:
+            continue
         started = time.time()
         try:
-            df = builder(spark, sf_dir)
-            # Full materialization to the driver via the Arrow path;
-            # row-by-row Py4J collect() would measure pickling, not the
-            # engine.  Fall back to collect() for any schema Arrow
-            # can't carry.
-            try:
-                pdf = df.toPandas()
-                _ = len(pdf)
-            except Exception:  # noqa: BLE001
-                _ = len(df.collect())
+            materialize(name)
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue

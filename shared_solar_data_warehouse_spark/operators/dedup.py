@@ -51,6 +51,14 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out the CPU-heavy shingle derivation runs as ONE task; at real
     scale the input arrives in many files and this repartition is a
     no-op-cost hash exchange of (doc_id, text) rows.
+
+    The result is localCheckpoint-materialized: every consumer fans the
+    shingle column out into MANY downstream expressions (24 minhash
+    signatures, posting-list explode, verification arrays), and
+    Catalyst's projection collapse would otherwise inline the whole
+    tokenize+shingle subtree into each one — a silent 24x recompute.
+    The checkpoint is a hard pipeline barrier; on a real cluster this
+    is the natural "materialize the shingle table once" ETL stage.
     """
     d = load_table(spark, sf_dir, "documents").repartition(32)
     return (
@@ -66,6 +74,7 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("shingles"),
         )
+        .localCheckpoint(eager=True)
     )
 
 
