@@ -343,3 +343,138 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("lab", "doc_id").cast("long").alias("cluster_id"),
         )
     )
+
+
+# --- SimHash near-dup (the third classic dedup family: bit-signature) ---
+
+#: 60-bit simhash (fits signed BIGINT exactly on both engines via a
+#: 15-hex-digit md5 prefix), packed as 4 bands x 15 bits.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+#: Max hamming distance for "near-duplicate".  MUST stay < SIMHASH_BANDS:
+#: by pigeonhole, <= 3 differing bits across 4 bands leaves at least one
+#: band identical, so the banded-candidate path below returns EXACTLY the
+#: naive all-pairs filter — which is what the oracle computes.
+SIMHASH_MAX_HAMMING = 3
+
+_ID_PAIR_EXPR = (
+    "flatten(transform(docs, (x, i) ->"
+    " transform(slice(docs, i + 2, size(docs) - i - 1), y -> struct("
+    "   least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+)
+
+
+def _simhash_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, b0..b3): 60-bit token-weighted simhash packed into four
+    15-bit band integers.
+
+    Classic simhash: each token votes +w/-w (w = term frequency) on
+    every bit of its 60-bit hash; signature bit i is 1 iff the summed
+    vote is positive.  All integer math — bit-identical on both
+    engines.  Checkpointed: consumed by both the banding and the
+    verification join.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(32)
+    tw = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn(
+            "h", F.expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)")
+        )
+    )
+    votes = (
+        tw.select(
+            "doc_id", "w", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("i")
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.sum(F.expr("IF((shiftright(h, i) & 1) = 1, w, -w)")).alias("v"))
+    )
+    band_aggs = [
+        F.sum(
+            F.expr(
+                f"IF(i DIV {SIMHASH_BAND_BITS} = {b} AND v > 0,"
+                f" CAST(pow(2, i % {SIMHASH_BAND_BITS}) AS BIGINT),"
+                " CAST(0 AS BIGINT))"
+            )
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BANDS)
+    ]
+    return votes.groupBy("doc_id").agg(*band_aggs).localCheckpoint(eager=True)
+
+
+@op(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tw AS (
+      SELECT doc_id, tok, count(*) AS w,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM toks GROUP BY 1, 2
+    ), votes AS (
+      SELECT doc_id, g.i,
+             sum(CASE WHEN (h >> g.i) & 1 = 1 THEN w ELSE -w END) AS v
+      FROM tw, generate_series(0, 59) g(i) GROUP BY 1, 2
+    ), packed AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"sum(CASE WHEN i // 15 = {b} AND v > 0"
+                 f" THEN CAST(pow(2, i % 15) AS BIGINT) ELSE 0 END) AS b{b}"
+                 for b in range(4))}
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS INTEGER) AS hamming
+    FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+          <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 over 60-bit signatures).
+
+    Scale path, yet FULL-oracle-checkable: candidates come from exact
+    band-bucket matches (4 bands x 15 bits — only same-bucket docs ever
+    meet, one narrow shuffle of (band, value, doc_id)), then hamming is
+    verified on the packed signatures.  Because max hamming < band
+    count, pigeonhole guarantees every qualifying pair shares a band —
+    the banded result EQUALS the O(n^2) filter the DuckDB oracle runs.
+    """
+    packed = _simhash_packed(spark, sf_dir)
+    buckets = packed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"b{b}").alias("val")
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    )
+    cands = (
+        buckets.groupBy("bk.band", "bk.val")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(F.expr(_ID_PAIR_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a.b{b}").bitwiseXOR(F.col(f"bb.b{b}")))
+        for b in range(SIMHASH_BANDS)
+    )
+    return (
+        cands.join(
+            F.broadcast(packed).alias("a"), cands.doc_a == F.col("a.doc_id")
+        )
+        .join(F.broadcast(packed).alias("bb"), cands.doc_b == F.col("bb.doc_id"))
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )

@@ -299,3 +299,115 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+#: Cosine threshold for embedding near-dup pairs (random unit 64-d
+#: vectors concentrate near 0; >=0.45 marks genuine outlier closeness).
+EMB_NEAR_DUP_TAU = 0.45
+
+#: IVF coarse-quantizer layout.
+IVF_N_CELLS = 16
+IVF_NPROBE = 4
+
+
+@op(
+    "dedup_near_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}, 4)
+               AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}, 4)
+          >= {EMB_NEAR_DUP_TAU}
+    """,
+)
+def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a<b) with cosine >=
+    tau.  Exact expression-tier all-pairs (broadcast nested-loop over
+    the smaller side) — the oracle-checkable ground truth; at 100 TB
+    the same threshold query runs through `sim_ann_lsh`-style bucketing
+    or `sim_knn_block_matmul` GEMM blocks to bound the pair space, with
+    this as the verifier on candidates.  The >= comparison happens on
+    the ROUNDED cosine so the threshold boundary is engine-stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("e_b"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(F.expr(_DOT.format(a="e_a", b="e_b")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_NEAR_DUP_TAU)
+    )
+
+
+@op("sim_ann_ivf", tags=("rows-only",))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate nearest neighbors.
+
+    Coarse quantizer: 16 cells.  Centroids here are a deterministic
+    sample (the 16 lowest vec_ids) so the whole op is seedless and
+    replayable; production IVF trains k-means centroids — the plumbing
+    (assign corpus to nearest centroid -> probe nprobe cells per query
+    -> exact-score only those cells' vectors) is identical.  Corpus
+    assignment is one broadcast of 16 centroids + `max_by`; the probe
+    join touches ~nprobe/n_cells of the corpus per query instead of all
+    of it — the scale lever.  Registered rows-only; recall vs exact kNN
+    asserted in tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            F.expr(_DOT.format(a="embedding", b="cent_emb")).alias("cdot"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cent_id", "cdot").alias("cell"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col("cent_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "q_emb",
+            "cent_id",
+            F.expr(_DOT.format(a="q_emb", b="cent_emb")).alias("cdot"),
+        )
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= IVF_NPROBE)
+        .select("query_id", "q_emb", F.col("cent_id").alias("cell"))
+    )
+    scored = probes.join(assigned, "cell").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(_DOT.format(a="q_emb", b="embedding")).alias("dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("dot", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -327,3 +327,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.filter("toks", lambda t: ~t.isin(*STOPWORDS)), " ")
         ).alias("content_md5"),
     )
+
+
+@op(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_re_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per doc: whitespace split and a BPE-ish
+    regex pass (word runs + individual non-word symbols — the
+    pre-tokenizer shape BPE vocabularies train over), plus distinct
+    token and char counts.  All JVM regex/array built-ins; at 100 TB
+    this is a pure map stage with no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_uniq_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
+        .cast("long")
+        .alias("n_re_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -56,3 +56,26 @@ def test_block_matmul_matches_bruteforce(spark, registry):
 def test_approx_count_distinct_bound(spark, registry):
     rows = registry["agg_approx_distinct"].builder(spark, SF_SMALL).collect()
     assert rows and all(r["approx_within_5pct"] for r in rows)
+
+
+def test_ivf_ann_recall_and_self_hit(spark, registry):
+    """IVF probes 4/16 cells; the query's own cell is always probed
+    (its nearest centroid), so self@rank-1 must survive; overall
+    recall vs exact kNN must clear the nprobe trade-off bound."""
+    rows = registry["sim_ann_ivf"].builder(spark, SF_SMALL).collect()
+    self_hits = {r["query_id"] for r in rows if r["neighbor_id"] == r["query_id"]}
+    assert len(self_hits) == len({r["query_id"] for r in rows})
+    exact = _pairs(
+        registry["sim_knn_bruteforce"].builder(spark, SF_SMALL),
+        ("query_id", "neighbor_id"),
+    )
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below bound"
+
+
+def test_simhash_symmetric_and_bounded(spark, registry):
+    rows = registry["dedup_simhash"].builder(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 3
