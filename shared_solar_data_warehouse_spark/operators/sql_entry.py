@@ -1,0 +1,108 @@
+"""SQL entry point (SURVEY.md §3.3): every fixture table is exposed as
+a temp view and whole queries run through ``spark.sql`` — the second of
+the engine's three entry points (DataFrame chain / SQL string /
+Structured Streaming), hitting the identical Catalyst pipeline from the
+ANTLR parser instead of the Python DSL.
+
+The queries are TPC-H-shaped analytics adapted to the fixture columns
+(the fixtures are TPC-H-ish but trimmed; adaptations noted per query).
+Oracle SQL is near-identical ANSI — the point: one declarative text,
+two engines, hash-equal results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import register_views
+
+# Q1: pricing summary report — full-table agg with computed measures.
+_Q1_BODY = """
+SELECT l_returnflag,
+       l_linestatus,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,8))) AS DOUBLE), 4) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# Q3: unshipped-orders revenue (adapted: fixtures lack o_shippriority;
+# project o_orderpriority instead).
+_Q3_BODY = """
+SELECT l_orderkey,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DOUBLE), 4) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+# Q5: local-supplier volume (adapted: fixtures carry no r_name filter
+# year — keep the classic shape: customer and supplier in the SAME
+# nation, revenue per nation within one region and date year).
+_Q5_BODY = """
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+# Q6: forecasting revenue change — pure scan-filter-agg.
+_Q6_BODY = """
+SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,8))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+_TABLES_NEEDED = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "orders",
+    "lineitem",
+)
+
+
+def _sql_op(body: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, *_TABLES_NEEDED)
+        return spark.sql(body)
+
+    return build
+
+
+for _name, _body in [
+    ("sql_tpch_q1", _Q1_BODY),
+    ("sql_tpch_q3", _Q3_BODY),
+    ("sql_tpch_q5", _Q5_BODY),
+    ("sql_tpch_q6", _Q6_BODY),
+]:
+    _fn = _sql_op(_body)
+    _fn.__name__ = _name
+    _fn.__doc__ = (
+        "TPC-H-shaped query through the spark.sql entry point "
+        "(SURVEY.md §3.3); identical text is the DuckDB oracle."
+    )
+    op(_name, oracle=_body)(_fn)
