@@ -1,0 +1,89 @@
+"""Tier-5 (SURVEY.md §5.3.5): golden-file regression.
+
+Small frozen outputs of deterministic representative ops at sf0.001,
+committed as CSV under tests/golden/.  A cheap, DuckDB-free safety net:
+any refactor that changes RESULTS (not just plans) trips it instantly.
+
+Regenerate deliberately with:
+    python -m tests.test_golden   (writes tests/golden/*.csv)
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Any
+
+from tests.conftest import SF_SMALL
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+#: Deterministic, small-output ops worth freezing (one per major family).
+GOLDEN_OPS = (
+    "flagship_revenue_by_nation",
+    "agg_groupby",
+    "win_rank_dense",
+    "join_asof",
+    "ts_sessionize",
+    "ts_funnel",
+    "dedup_near_shingle",
+    "dedup_simhash",
+    "sim_knn_bruteforce",
+    "text_tfidf",
+    "sql_tpch_q1",
+)
+
+
+def _canon_cell(v: Any) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def _canon_rows(df) -> list[list[str]]:
+    cols = sorted(df.columns)
+    rows = [[_canon_cell(r[c]) for c in cols] for r in df.collect()]
+    return [cols] + sorted(rows)
+
+
+def _golden_path(name: str) -> str:
+    return os.path.join(GOLDEN_DIR, f"{name}.csv")
+
+
+def _write_golden(name: str, rows: list[list[str]]) -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    with open(_golden_path(name), "w", newline="") as fh:
+        csv.writer(fh).writerows(rows)
+
+
+def _read_golden(name: str) -> list[list[str]]:
+    with open(_golden_path(name), newline="") as fh:
+        return [list(row) for row in csv.reader(fh)]
+
+
+def test_golden_outputs(spark, registry):
+    missing = [n for n in GOLDEN_OPS if not os.path.exists(_golden_path(n))]
+    assert not missing, f"golden files missing (run python -m tests.test_golden): {missing}"
+    for name in GOLDEN_OPS:
+        got = _canon_rows(registry[name].builder(spark, SF_SMALL))
+        want = _read_golden(name)
+        assert got == want, f"{name}: output drifted from frozen golden"
+
+
+def main() -> None:
+    from shared_solar_data_warehouse_spark.registry import load_all_ops
+    from shared_solar_data_warehouse_spark.session import get_session
+
+    registry = load_all_ops()
+    spark = get_session("golden-regen")
+    for name in GOLDEN_OPS:
+        _write_golden(name, _canon_rows(registry[name].builder(spark, SF_SMALL)))
+        print(f"wrote {_golden_path(name)}")
+
+
+if __name__ == "__main__":
+    main()
