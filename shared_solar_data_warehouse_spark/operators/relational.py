@@ -792,3 +792,57 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority")
     )
     return left.exceptAll(right)
+
+
+#: Salt fan-out for the skew-join recipe (SURVEY.md §7.4).
+SKEW_SALT_N = 8
+
+
+@op(
+    "join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE), 4)
+               AS total_price,
+           count(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual salting recipe for skew-heavy shuffle joins,
+    provably identical to the plain join (that's the oracle).
+
+    Mechanics: the probe side gets a deterministic salt in [0, N);
+    the build side is replicated N ways with an exploded salt column;
+    the join key becomes (key, salt), splitting any hot key's rows
+    across N reducers.  AQE's skew-join split handles this
+    automatically for sort-merge joins — the manual recipe remains
+    necessary for stateful stream-stream joins and aggregations where
+    AQE can't re-plan.  Cost: build side shuffles N copies — use only
+    on keys measured skewed.
+    """
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_extendedprice",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SKEW_SALT_N)).alias(
+            "salt"
+        ),
+    )
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(SKEW_SALT_N - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    joined = fact.join(
+        dim,
+        (fact.l_orderkey == dim.o_orderkey) & (fact.salt == dim.salt),
+        "inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        dsum("l_extendedprice").alias("total_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -284,7 +284,13 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a per-user
     state machine tracking event count and maximum inter-arrival gap
     (the streaming outage detector).  State = (count, last_ts, max_gap)
-    per user — O(1) per key, the only thing that scales."""
+    per user — O(1) per key, the only thing that scales.
+
+    API choice: Spark 4.x adds ``transformWithStateInPandas`` (typed
+    state handles, timers, TTL) as the forward path; its driver worker
+    requires protobuf, which this container lacks, so the engine ships
+    the stable ``applyInPandasWithState`` twin — same state model, same
+    oracle."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
