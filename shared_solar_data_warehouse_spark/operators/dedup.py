@@ -478,3 +478,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
+
+
+@op(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({{pairs}}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY node
+    )
+    SELECT c.doc_id, c.cluster_id,
+           (c.doc_id = c.cluster_id) AS is_kept,
+           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+    FROM clusters c
+    """.format(pairs=_pairs_sql(NEAR_DUP_TAU)),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: pairs -> connected components ->
+    keep ONE canonical doc per cluster (min doc_id) and drop the rest.
+    The training-corpus shape: `filter(is_kept)` is the deduped
+    dataset; cluster_size is the dup-audit column.  Pure composition of
+    `dedup_cluster` + a window — no new shuffle beyond the cluster
+    map's own."""
+    clusters = dedup_cluster(spark, sf_dir)
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

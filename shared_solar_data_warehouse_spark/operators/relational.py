@@ -837,8 +837,12 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("salt", F.col("salt").cast("long"))
     )
+    # MERGE hint: at fixture scale the x8 build side still fits the
+    # broadcast threshold, which would skip the shuffle the recipe
+    # exists to split; salting is only meaningful on the sort-merge
+    # path (a broadcastable side never skews a shuffle).
     joined = fact.join(
-        dim,
+        dim.hint("merge"),
         (fact.l_orderkey == dim.o_orderkey) & (fact.salt == dim.salt),
         "inner",
     )

@@ -544,3 +544,49 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((v - mean) / std, 4).alias("zscore"),
         (F.abs(v - mean) > 3.0 * std).alias("is_anomaly"),
     )
+
+
+@op(
+    "ts_rollup_two_level",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id,
+               date_trunc('hour', ts) AS hour,
+               {sql_dsum('value')} AS hour_value,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(date_trunc('day', hour) AS DATE) AS day,
+           round(CAST(sum(CAST(hour_value AS DECIMAL(25,8))) AS DOUBLE), 4)
+               AS day_value,
+           sum(n_events) AS n_events,
+           count(*) AS n_hours_active
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def ts_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: daily values
+    derived FROM the hourly aggregate, not from raw events.  At 100 TB
+    this is the warehouse's backbone pattern — the hourly table is the
+    materialized continuous aggregate (incrementally appendable by
+    arrival window), and every coarser rollup reads it instead of the
+    raw fact, cutting input by the bucket fan-in (here ~events/hour).
+    The day re-aggregation reuses the hour shuffle's partitioning on
+    user_id, so only one wide exchange touches raw data."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        dsum("value").alias("hour_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return hourly.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "hour")).alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("hour_value").cast(DEC)).cast("double"), 4
+        ).alias("day_value"),
+        F.sum("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_hours_active"),
+    )

@@ -83,3 +83,35 @@ def test_range_join_broadcasts_tiny_side(spark, registry):
 def test_aqe_enabled(spark, registry):
     plan = plan_of(registry, spark, "flagship_revenue_by_nation")
     assert "AdaptiveSparkPlan" in plan
+
+
+def test_sessionize_single_exchange_for_both_windows(spark, registry):
+    """lag + running-sum windows share one (user_id) partitioning —
+    a second Exchange would mean the sort/partition wasn't reused."""
+    plan = plan_of(registry, spark, "ts_sessionize")
+    body = plan.split("== Initial Plan ==")[0]
+    n_exchanges = body.count("+- Exchange") + body.count(":- Exchange")
+    assert n_exchanges <= 2, f"sessionize plan has {n_exchanges} exchanges"
+    assert body.count("Window") >= 2
+
+
+def test_salted_join_shuffles_on_composite_key(spark, registry):
+    plan = plan_of(registry, spark, "join_skew_salted")
+    # The join must NOT broadcast (that would defeat the demo) and must
+    # key the exchange on both the natural key and the salt.
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "salt" in plan
+
+
+def test_two_level_rollup_reuses_partitioning(spark, registry):
+    """Daily rollup groups a prefix-compatible key (user_id, day) after
+    the hourly (user_id, hour) aggregate; Spark still exchanges for the
+    second agg, but the raw fact must be read ONCE (single scan)."""
+    plan = plan_of(registry, spark, "ts_rollup_two_level")
+    # one scan node -> exactly one file-index location detail
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_knn_broadcasts_queries_not_corpus(spark, registry):
+    plan = plan_of(registry, spark, "sim_knn_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
