@@ -117,3 +117,49 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return d.mapInPandas(extract, "doc_id long, n_bytes long, n_frames long")
+
+
+@op(
+    "mm_frame_sample",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               unnest(generate_series(0, 3)) AS frame_idx
+        FROM documents
+        WHERE octet_length(encode(text)) >= 4
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST((n_bytes - 1) * frame_idx // 3 AS BIGINT) AS byte_offset
+    FROM frames
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-like payloads: pick K=4 evenly-spaced
+    frame positions per asset and emit one row per sampled frame.
+
+    STUB decode (no media libs in this container): a real
+    implementation seeks the container index and decodes the frame at
+    each offset inside the same mapInPandas batch loop
+    (`mm_decode_features` shows that plumbing); here the sampled
+    "frame" is its deterministic byte offset, so the sampling geometry
+    — the part Spark owns: one row per (asset, frame), even spacing,
+    partition-local fan-out with NO shuffle — is fully oracle-checked.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    k = 4
+    assets = d.select(
+        "doc_id", F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes")
+    ).filter(F.col("n_bytes") >= k)
+    return assets.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("frame_idx"),
+        "n_bytes",
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        ((F.col("n_bytes") - 1) * F.col("frame_idx") / (k - 1))
+        .cast("long")
+        .alias("byte_offset"),
+    )

@@ -227,3 +227,39 @@ def source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(0, 1000).select(
         F.col("id"), (F.col("id") * 2).alias("doubled")
     )
+
+
+@op(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           l_linenumber,
+           round(l_extendedprice, 4) AS price
+    FROM lineitem
+    WHERE year(l_shipdate) = 1997 AND l_quantity > 48
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning end-to-end: write the fact partitioned
+    by ship_year (the §7.4 warehouse layout), read back with a
+    ship_year predicate — the scan's PartitionFilters eliminate every
+    other year's directory BEFORE any I/O (asserted in
+    tests/test_plans.py), and the residual quantity predicate pushes
+    into the surviving files' row groups.  This is the mechanism that
+    turns a 100 TB table into a one-partition read for time-ranged
+    queries."""
+    path = scratch_dir(sf_dir, "scan_partition_pruned")
+    li = load_table(spark, sf_dir, "lineitem")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li.withColumn("ship_year", F.year("l_shipdate")).write.partitionBy(
+            "ship_year"
+        ).mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter((F.col("ship_year") == 1997) & (F.col("l_quantity") > 48))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 4).alias("price"),
+        )
+    )

@@ -115,3 +115,13 @@ def test_two_level_rollup_reuses_partitioning(spark, registry):
 def test_knn_broadcasts_queries_not_corpus(spark, registry):
     plan = plan_of(registry, spark, "sim_knn_bruteforce")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, registry):
+    """The ship_year predicate must appear as PartitionFilters on the
+    scan (directory-level pruning), with the quantity predicate pushed
+    separately into the surviving files."""
+    plan = plan_of(registry, spark, "scan_partition_pruned")
+    assert "PartitionFilters:" in plan
+    assert "ship_year" in plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,48" in plan
