@@ -263,3 +263,63 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_extendedprice", 4).alias("price"),
         )
     )
+
+
+@op(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE)
+                 / count(*) * 10000.0 + 0.5) / 10000.0 AS avg_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketed tables — the 100 TB
+    answer to repeated fact⋈fact joins on the same key.
+
+    Both sides are written ONCE as external bucketed tables (8 buckets
+    on the join key, hive layout under scratch), after which every join
+    on that key needs ZERO Exchange on either side: bucket i joins
+    bucket i, per-task sort-merge (tests/test_plans.py pins the
+    no-Exchange plan).  The MERGE hint keeps the demo on the sort-merge
+    path (broadcast would trivially skip shuffles anyway at fixture
+    scale).  On a cluster the same DDL amortizes the one-time shuffle
+    across every downstream join/aggregate on the bucket key.
+    """
+    sf_key = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = "sswh_bucketed"
+    li_tbl = f"{db}.lineitem_b_{sf_key}"
+    o_tbl = f"{db}.orders_b_{sf_key}"
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {db} "
+        "LOCATION '/tmp/sswh_spark_scratch/bucketed_db'"
+    )
+    catalog = spark.catalog
+    if not catalog.tableExists(li_tbl):
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+            "path", os.path.join(scratch_dir(sf_dir, "bucketed"), "lineitem_b")
+        ).mode("overwrite").saveAsTable(li_tbl)
+    if not catalog.tableExists(o_tbl):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+            "path", os.path.join(scratch_dir(sf_dir, "bucketed"), "orders_b")
+        ).mode("overwrite").saveAsTable(o_tbl)
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    joined = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    avg_price = F.floor(
+        F.sum(F.col("l_extendedprice").cast("decimal(25,8)")).cast("double")
+        / F.count(F.lit(1)).cast("double")
+        * 10000.0
+        + 0.5
+    ) / 10000.0
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        avg_price.alias("avg_price"),
+    )

@@ -125,3 +125,18 @@ def test_partition_pruning_on_partitioned_layout(spark, registry):
     assert "PartitionFilters:" in plan
     assert "ship_year" in plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,48" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, registry):
+    """Co-located bucketed join: neither side may shuffle; the only
+    Exchange allowed is the final aggregation's."""
+    plan = plan_of(registry, spark, "join_bucketed")
+    join_part = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else ""
+    assert "SortMergeJoin" in plan
+    # No Exchange below the join: the join inputs are Scans+Sorts only.
+    tree = plan.split("== Initial Plan ==")[0]
+    join_line = next(
+        i for i, l in enumerate(tree.splitlines()) if "SortMergeJoin" in l
+    )
+    below = "\n".join(tree.splitlines()[join_line:])
+    assert "Exchange hashpartitioning" not in below
