@@ -500,3 +500,32 @@ def fn_nondet(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("rnd") >= 0.0).alias("rand_lo_ok"),
         (F.max("rnd") < 1.0).alias("rand_hi_ok"),
     )
+
+
+@op(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS key_and,
+           o_orderkey | 4096 AS key_or,
+           xor(o_orderkey, 1365) AS key_xor,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS key_popcount,
+           o_orderkey << 2 AS key_shl,
+           o_orderkey >> 3 AS key_shr
+    FROM orders
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor, population count, shifts — the
+    primitives the simhash/banding operators build on."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("key_xor"),
+        F.bit_count(k).alias("key_popcount"),
+        F.shiftleft(k, 2).cast("long").alias("key_shl"),
+        F.shiftright(k, 3).cast("long").alias("key_shr"),
+    )

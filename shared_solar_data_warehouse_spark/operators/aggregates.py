@@ -399,3 +399,56 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds],
     )
+
+
+@op(
+    "agg_sketch_mergeable",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(DISTINCT user_id) AS exact_daily
+        FROM events GROUP BY 1
+    ), total AS (
+        SELECT count(DISTINCT user_id) AS exact_total FROM events
+    )
+    SELECT d.day, d.exact_daily, t.exact_total, TRUE AS merged_within_5pct
+    FROM daily d CROSS JOIN total t
+    """,
+)
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregation — the 100 TB distinct-count
+    pattern: build one HLL sketch per day partition (partial,
+    map-side), then UNION the day sketches into the period estimate
+    instead of re-scanning raw data.  Output carries the exact counts
+    (oracle-checkable) plus a deterministic bound flag asserting the
+    merged estimate landed within 5% of exact — the flag, not the
+    estimate, is hash-compared, so the op is fully graded while the
+    sketch math stays Spark-side (DuckDB has no compatible HLL).
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("merged_est")
+    )
+    exact_total = e.agg(
+        F.countDistinct("user_id").alias("exact_total")
+    )
+    return (
+        daily.select("day", "exact_daily")
+        .crossJoin(F.broadcast(exact_total))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            "day",
+            "exact_daily",
+            "exact_total",
+            (
+                F.abs(F.col("merged_est") - F.col("exact_total"))
+                <= 0.05 * F.col("exact_total")
+            ).alias("merged_within_5pct"),
+        )
+    )

@@ -130,3 +130,61 @@ def test_gap_threshold_monotonic(spark, registry, gap):
     assert gaps.filter(F.col("g") > gap).count() >= gaps.filter(
         F.col("g") > gap * 2
     ).count()
+
+
+def test_asof_join_is_backward_and_most_recent(spark, registry):
+    """For each purchase, the joined click must be the same user's
+    latest click at-or-before the purchase time (backward as-of)."""
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["join_asof"].builder(spark, SF_SMALL).collect()
+    assert rows
+    ev = {
+        r["event_id"]: (r["user_id"], r["ts"], r["event_type"])
+        for r in load_table(spark, SF_SMALL, "events").collect()
+    }
+    clicks_by_user = {}
+    for eid, (uid, ts, et) in ev.items():
+        if et == "click":
+            clicks_by_user.setdefault(uid, []).append((ts, eid))
+    matched = [r for r in rows if r["prior_click_id"] is not None]
+    assert matched, "as-of join matched nothing at sf0.001"
+    for r in matched[:300]:
+        uid, p_ts, _ = ev[r["purchase_id"]]
+        c_uid, c_ts, _ = ev[r["prior_click_id"]]
+        assert c_uid == uid and c_ts <= p_ts
+        # most-recent: no other click strictly between c_ts and p_ts
+        assert not any(
+            c_ts < t <= p_ts for t, _ in clicks_by_user.get(uid, ())
+        )
+
+
+def test_funnel_stage_times_are_ordered(spark, registry):
+    """A funnel row only counts a later stage if it happened at or
+    after the earlier stage's first occurrence."""
+    rows = registry["ts_funnel"].builder(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        stages = [r[c] for c in ("t_signup", "t_click", "t_purchase")]
+        present = [s for s in stages if s is not None]
+        assert present == sorted(present)
+        if r["reached_purchase"]:
+            assert r["reached_click"], "funnel stages must be ordered"
+
+
+def test_canonical_keeper_covers_all_docs_once(spark, registry):
+    rows = registry["dedup_keep_canonical"].builder(spark, SF_SMALL).collect()
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs))
+    kept_by_cluster = {}
+    for r in rows:
+        kept_by_cluster.setdefault(r["cluster_id"], 0)
+        kept_by_cluster[r["cluster_id"]] += bool(r["is_kept"])
+    assert all(v == 1 for v in kept_by_cluster.values()), (
+        "each cluster keeps exactly one canonical doc"
+    )
+
+
+def test_sketch_merge_bound_holds(spark, registry):
+    rows = registry["agg_sketch_mergeable"].builder(spark, SF_SMALL).collect()
+    assert rows and all(r["merged_within_5pct"] for r in rows)
