@@ -194,8 +194,17 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family.  Transcendentals (exp/ln/log10/sin/cos/pow) round to
     6 — libm vs JVM can differ in the last ulp; sqrt/abs are exact
     IEEE.  Spark ceil/floor return BIGINT (oracle casts); pmod is
-    emulated in the oracle as ((a % b) + b) % b."""
-    li = load_table(spark, sf_dir, "lineitem")
+    emulated in the oracle as ((a % b) + b) % b.
+
+    Repartitioned after the scan: the fixture is a single-row-group
+    parquet file, so the scan is one task no matter the split config —
+    and Spark's round() goes through BigDecimal per value, making this
+    the most projection-CPU-heavy scalar family.  One narrow exchange
+    of 4 input columns buys 32-way parallel projection; at real scale
+    the input is many files and this repartition is dropped."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_discount"
+    ).repartition(32)
     price = F.col("l_extendedprice")
     return li.select(
         "l_orderkey",

@@ -123,6 +123,14 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    # Explicit hash-repartition by the grouping key: the shuffle bytes
+    # here are tiny, so AQE's coalescing would fuse the grouped-map
+    # stage down to ONE task and serialize all the per-group Python
+    # work.  A user-specified repartition is exempt from AQE coalescing
+    # and already satisfies the grouped-map's ClusteredDistribution, so
+    # groupBy adds no second exchange.  (Python-UDF stages are CPU-
+    # bound, not bytes-bound — partition for cores, not for data size.)
+    e = e.repartition(32, "user_id")
     return e.groupBy("user_id").applyInPandas(normalize, "event_id long, znorm double")
 
 
