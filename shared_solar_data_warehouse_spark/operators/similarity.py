@@ -232,59 +232,93 @@ def sim_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via random-hyperplane (sign) LSH.
 
-    24 deterministic hyperplanes (seeded numpy, broadcast as literals)
-    → each vector hashes to a 24-bit sign signature, split into 8
-    bands of 3 bits; vectors sharing any band bucket with a query are
-    candidates; candidates are exact-dot verified and per-query top-k
-    kept.  Recall vs the exact kNN is asserted >= 0.6 in tests — the
-    scale trade: candidate count grows with corpus density, not
-    corpus size.
+    24 deterministic hyperplanes (seeded numpy, closed over by the
+    signature UDF) → each vector hashes to a 24-bit sign signature,
+    split into 8 bands of 3 bits; vectors sharing any band bucket with
+    a query are candidates; candidates are exact-dot verified and
+    per-query top-k kept.  Recall vs the exact kNN is asserted >= 0.6
+    in tests — the scale trade: candidate count grows with corpus
+    density, not corpus size.
+
+    Shape notes (measured at sf0.1):
+    * signatures come from ONE numpy GEMM per Arrow batch inside
+      ``mapInPandas`` — (batch × 64) @ (64 × 24) — not from 24
+      interpreted Catalyst higher-order-function dot products per row
+      (~2x faster end-to-end, and the idiom every block op here uses);
+    * candidate pairs are deduplicated on ids BEFORE any scoring, so a
+      pair colliding in several bands pays the exact-dot verification
+      once, and the bucket join shuffles ids only, never embeddings —
+      the vectors re-enter via two broadcast joins against the
+      (small) corpus table.
     """
     import numpy as np
+    import pandas as pd
 
     rng = np.random.RandomState(42)
     planes = rng.normal(size=(24, 64))
-    plane_arrays = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in planes[i]])
-            for i in range(planes.shape[0])
-        ]
-    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = (
-        emb.withColumn("_planes", plane_arrays)
-        .select(
-            "vec_id",
-            "embedding",
-            F.expr(
-                "transform(_planes, p -> CASE WHEN aggregate(zip_with(p, embedding,"
-                " (x, y) -> x * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v) >= 0"
-                " THEN 1 ELSE 0 END)"
-            ).alias("bits"),
-        )
-    )
-    band_expr = (
-        "transform(sequence(0, 7), b -> concat(CAST(b AS STRING), ':',"
-        " concat_ws('', slice(bits, b * 3 + 1, 3))))"
-    )
-    buckets = sig.select(
-        "vec_id", "embedding", F.explode(F.expr(band_expr)).alias("bucket")
+
+    def band_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (m @ planes.T >= 0).astype(np.int64)  # (n × 24) signs
+            vec_ids = pdf["vec_id"].to_numpy()
+            # bucket id = band index (3 bits) ++ band value (3 bits):
+            # globally unique per (band, pattern) — same keying as the
+            # string 'b:xyz' bucket, integer-cheap.
+            frames = []
+            for b in range(8):
+                val = bits[:, b * 3] * 4 + bits[:, b * 3 + 1] * 2 + bits[:, b * 3 + 2]
+                frames.append(
+                    pd.DataFrame({"vec_id": vec_ids, "bucket": b * 8 + val})
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    # Materialized: the bucket table is read twice (corpus side AND
+    # query side of the bucket join) — without the barrier the Python
+    # signature pass runs twice (SURVEY.md §5.4 projection-collapse).
+    buckets = (
+        emb.repartition(32)
+        .select("vec_id", "embedding")
+        .mapInPandas(band_buckets, "vec_id long, bucket long")
+        .localCheckpoint(eager=True)
     )
     queries = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "bucket",
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cand_ids = (
+        buckets.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
     )
     candidates = (
-        buckets.join(queries, "bucket")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        cand_ids.join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("n_emb"),
+                )
+            ),
+            "neighbor_id",
+        )
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(_DOT.format(a="q_emb", b="embedding")).alias("dot"),
+            "neighbor_id",
+            F.expr(_DOT.format(a="q_emb", b="n_emb")).alias("dot"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("dot").desc(), F.col("neighbor_id")

@@ -208,7 +208,14 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
     )
-    filled = grid.join(hourly, on=["user_id", "h"], how="left")
+    # Explicit 32-way hash exchange on user_id: it satisfies the
+    # window's required distribution (no second exchange) and, being
+    # user-specified, is exempt from AQE coalescing — the dense grid is
+    # few MB but ~10x the input rows, and letting AQE fuse the sort+
+    # window onto 1-2 tasks serializes the most CPU-heavy stage.
+    filled = grid.join(hourly, on=["user_id", "h"], how="left").repartition(
+        32, "user_id"
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("h")

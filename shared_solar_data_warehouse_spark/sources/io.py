@@ -174,7 +174,15 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "ship_year", F.year("l_shipdate")
     )
-    li.write.partitionBy("ship_year").mode("overwrite").parquet(path)
+    # Cluster rows by the partition column before the write: without
+    # this every task holds rows of every year and the layout degrades
+    # to n_tasks × n_years small files (224 here) — the classic
+    # partitioned-write file-explosion.  One exchange on ship_year
+    # yields one file per directory; at 100 TB you'd hash by
+    # (ship_year, salt) to keep per-file sizes bounded instead.
+    li.repartition("ship_year").write.partitionBy("ship_year").mode(
+        "overwrite"
+    ).parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy(F.col("ship_year").cast("int").alias("ship_year")).agg(
         F.count(F.lit(1)).alias("n_rows")

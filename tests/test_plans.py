@@ -70,8 +70,11 @@ def test_partial_aggregation_before_shuffle(spark, registry):
 
 
 def test_whole_stage_codegen_active(spark, registry):
-    # formatted explain marks fused operators with [codegen id : N]
-    plan = plan_of(registry, spark, "fn_math")
+    # formatted explain marks fused operators with [codegen id : N].
+    # Use an exchange-free scalar family: under AQE a plan with an
+    # Exchange prints its pre-finalization form, which omits the
+    # codegen ids even though the executed stages are fused.
+    plan = plan_of(registry, spark, "fn_string")
     assert "codegen id :" in plan
 
 
