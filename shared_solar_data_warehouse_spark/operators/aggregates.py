@@ -452,3 +452,32 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_within_5pct"),
         )
     )
+
+
+@op(
+    "agg_arg_extrema",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderpriority, o_orderkey) AS latest_priority,
+           arg_min(o_totalprice, o_orderkey) AS first_price,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extrema + boolean aggregates: max_by/min_by (Spark) ≡
+    arg_max/arg_min (DuckDB) and bool_and/bool_or.  The ordering key is
+    o_orderkey — UNIQUE per group, so the arg extrema are deterministic
+    (ties on a non-unique key are engine-defined and would not hash-
+    match, SURVEY.md §5.4).  One hash aggregate, partial+final around a
+    single exchange like any multi-measure groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderpriority", "o_orderkey").alias("latest_priority"),
+        F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -850,3 +850,33 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_extendedprice").alias("total_price"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@op(
+    "project_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS val
+    FROM part
+    """,
+)
+def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt): each part row emits one (metric,
+    value) row per measure column — `DataFrame.unpivot`, the inverse of
+    agg_pivot.  Value columns are cast to a common double type (unpivot
+    requires it).  Narrow op: no shuffle, output rows = rows × measures;
+    the oracle is the equivalent UNION ALL formulation."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double"),
+        F.col("p_retailprice").cast("double"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -155,6 +155,21 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@op("scan_orc", oracle="SELECT * FROM customer")
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip of the customer fixture (the third columnar
+    format Spark reads natively alongside parquet/csv/json).  ORC
+    carries the full schema, so the read-back needs no declared
+    StructType; column order is re-selected to match the oracle view.
+    Like parquet, ORC scans support predicate pushdown and column
+    pruning at 100 TB — this op proves the wiring, not the planner.
+    """
+    nat = load_table(spark, sf_dir, "customer")
+    path = scratch_dir(sf_dir, "scan_orc")
+    nat.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select(*nat.columns)
+
+
 @op(
     "sink_parquet",
     oracle="""

@@ -188,3 +188,69 @@ def test_canonical_keeper_covers_all_docs_once(spark, registry):
 def test_sketch_merge_bound_holds(spark, registry):
     rows = registry["agg_sketch_mergeable"].builder(spark, SF_SMALL).collect()
     assert rows and all(r["merged_within_5pct"] for r in rows)
+
+
+def test_unpivot_row_count_multiplies(spark):
+    """unpivot emits exactly rows x measure-columns rows, never dropping
+    ids (nulls retained by default)."""
+    from shared_solar_data_warehouse_spark.registry import REGISTRY
+
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    n_parts = load_table(spark, SF_SMALL, "part").count()
+    long = REGISTRY["project_unpivot"].builder(spark, SF_SMALL)
+    assert long.count() == 2 * n_parts
+    assert set(r[0] for r in long.select("metric").distinct().collect()) == {
+        "p_size",
+        "p_retailprice",
+    }
+
+
+def test_pii_scrub_idempotent(spark):
+    """Scrubbing already-scrubbed text changes nothing (placeholders
+    contain no scrubbable patterns) — the defining property of a
+    redaction pass."""
+    from shared_solar_data_warehouse_spark.operators.text import (
+        _PII_DENY,
+        _PII_EMAIL,
+        _PII_NUM,
+    )
+    from shared_solar_data_warehouse_spark.registry import REGISTRY
+
+    once = REGISTRY["text_pii_scrub"].builder(spark, SF_SMALL)
+    twice = once.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("scrubbed", _PII_EMAIL, "<EMAIL>"),
+                _PII_NUM,
+                "<NUM>",
+            ),
+            _PII_DENY,
+            "<TERM>",
+        ).alias("rescrubbed"),
+        "scrubbed",
+    )
+    assert twice.filter(F.col("rescrubbed") != F.col("scrubbed")).count() == 0
+
+
+def test_arg_extrema_match_window_formulation(spark):
+    """max_by(x, k) must equal the row_number()-over-(order by k desc)
+    formulation — two plans, one semantics."""
+    from shared_solar_data_warehouse_spark.registry import REGISTRY
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+    from pyspark.sql import Window
+
+    agg = (
+        REGISTRY["agg_arg_extrema"].builder(spark, SF_SMALL)
+        .select("o_orderstatus", "latest_priority")
+    )
+    o = load_table(spark, SF_SMALL, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_orderkey").desc())
+    via_window = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("latest_priority"))
+    )
+    assert agg.exceptAll(via_window).count() == 0
+    assert via_window.exceptAll(agg).count() == 0
