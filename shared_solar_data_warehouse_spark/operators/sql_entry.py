@@ -75,11 +75,95 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
   AND l_quantity < 24
 """
 
+# Q4: order-priority checking (adapted: fixtures lack commit/receipt
+# dates, so the EXISTS probes for any heavy line — the decorrelated
+# semi-join shape is the point).
+_Q4_BODY = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity > 48
+  )
+GROUP BY o_orderpriority
+"""
+
+# Q10: returned-item reporting — who returned goods and what revenue
+# was lost (top customers by lost revenue; full shape minus the
+# fixture-absent address/phone/comment columns).
+_Q10_BODY = """
+SELECT c_custkey, c_name,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS DOUBLE), 4) AS revenue,
+       round(CAST(c_acctbal AS DOUBLE), 4) AS c_acctbal,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+"""
+
+# Q13: customer order-count distribution — LEFT join so zero-order
+# customers appear, then a histogram over the per-customer counts.
+_Q13_BODY = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+# Q14: promotion effect — ratio of promo revenue to total.  The final
+# percentage uses the floor(x*1e4+0.5)/1e4 rounding formula (NOT
+# round()): quotients of short decimals land on .xxxx5 where Spark
+# (BigDecimal half-up) and DuckDB (nearbyint) disagree; floor on the
+# identical IEEE double is bit-stable on both (SURVEY.md §5.4).
+_Q14_BODY = """
+SELECT floor(
+           100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount)
+                    ELSE 0 END AS DECIMAL(25,8))) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(25,8))) AS DOUBLE) * 10000.0 + 0.5
+       ) / 10000.0 AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+# Q18: large-volume customers — HAVING over a grouped fact, joined
+# back to the dimension chain.
+_Q18_BODY = """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       round(CAST(o_totalprice AS DOUBLE), 4) AS o_totalprice,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE), 4) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(25,8))) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+"""
+
 _TABLES_NEEDED = (
     "region",
     "nation",
     "customer",
     "supplier",
+    "part",
     "orders",
     "lineitem",
 )
@@ -96,8 +180,13 @@ def _sql_op(body: str):
 for _name, _body in [
     ("sql_tpch_q1", _Q1_BODY),
     ("sql_tpch_q3", _Q3_BODY),
+    ("sql_tpch_q4", _Q4_BODY),
     ("sql_tpch_q5", _Q5_BODY),
     ("sql_tpch_q6", _Q6_BODY),
+    ("sql_tpch_q10", _Q10_BODY),
+    ("sql_tpch_q13", _Q13_BODY),
+    ("sql_tpch_q14", _Q14_BODY),
+    ("sql_tpch_q18", _Q18_BODY),
 ]:
     _fn = _sql_op(_body)
     _fn.__name__ = _name

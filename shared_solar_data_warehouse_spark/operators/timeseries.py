@@ -597,3 +597,62 @@ def ts_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.count(F.lit(1)).alias("n_hours_active"),
     )
+
+
+@op(
+    "ts_counter_reset",
+    oracle="""
+    SELECT user_id, event_id, is_reset,
+           CAST(sum(CAST(consumed AS DECIMAL(25,8))) OVER w AS DOUBLE)
+               AS cum_consumed,
+           sum(CASE WHEN is_reset THEN 1 ELSE 0 END) OVER w AS n_resets
+    FROM (
+        SELECT user_id, event_id, ts,
+               coalesce(value - lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) < 0, false)
+                   AS is_reset,
+               CASE WHEN lag(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 0.0
+                    WHEN value - lag(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) < 0
+                    THEN value
+                    ELSE value - lag(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) END
+                   AS consumed
+        FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_counter_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meter counter-reset correction (SURVEY.md §2.5 grounding): treat
+    each circuit's readings as a cumulative register; a negative delta
+    marks a reset (meter swap / rollover), where the post-reset reading
+    itself is the consumption since the restart.  Emits per reading:
+    reset flag, monotonic corrected cumulative consumption (exact
+    decimal accumulation), and running reset count.
+
+    Shape: lag + two running sums share ONE (user_id) sort-partition —
+    Catalyst plans a single exchange+sort for all three windows.  The
+    delta is plain double subtraction (identical bits on both engines);
+    only the accumulation is decimal-cast.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    delta = F.col("value") - F.lag("value").over(w_lag)
+    is_reset = F.coalesce(delta < 0, F.lit(False))
+    consumed = (
+        F.when(delta.isNull(), F.lit(0.0))
+        .when(delta < 0, F.col("value"))
+        .otherwise(delta)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        is_reset.alias("is_reset"),
+        F.sum(consumed.cast(DEC)).over(w_run).cast("double").alias("cum_consumed"),
+        F.sum(F.when(is_reset, 1).otherwise(0)).over(w_run).alias("n_resets"),
+    )
