@@ -880,3 +880,24 @@ def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+@op(
+    "project_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           CAST(generate_subscripts(string_split(text, ' '), 1) AS INTEGER)
+               AS pos
+    FROM documents
+    """,
+)
+def project_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode: one row per array element WITH its 1-based
+    ordinal — the UDTF-shaped lateral view every tokenizer/posting-list
+    builder needs (posexplode is 0-based; +1 aligns with DuckDB's
+    generate_subscripts ordinality).  Row-local fan-out: no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", "tok", (F.col("pos0") + 1).cast("int").alias("pos"))

@@ -143,3 +143,25 @@ def test_bucketed_join_has_no_exchange(spark, registry):
     )
     below = "\n".join(tree.splitlines()[join_line:])
     assert "Exchange hashpartitioning" not in below
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, registry):
+    """EXISTS must plan as a semi join (one probe, no row duplication),
+    never as an inner join + dedup."""
+    plan = plan_of(registry, spark, "sql_tpch_q4")
+    assert "LeftSemi" in plan
+
+
+def test_q14_broadcasts_part_dimension(spark, registry):
+    """part (4k rows at sf0.1) is far under the broadcast threshold —
+    the lineitem⋈part join must be broadcast-hash, not sort-merge."""
+    plan = plan_of(registry, spark, "sql_tpch_q14")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_posexplode_is_generate_no_exchange(spark, registry):
+    """Row-local lateral fan-out: a Generate node and no shuffle."""
+    plan = plan_of(registry, spark, "project_posexplode")
+    assert "Generate" in plan
+    assert "Exchange" not in plan
