@@ -140,6 +140,23 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
 """
 
+# Q17: small-quantity-order revenue — CORRELATED scalar subquery
+# (avg per part), the decorrelation stress test: Catalyst rewrites it
+# to an aggregate + join, not a per-row re-execution.  The revenue
+# division by the constant 7 is exact decimal->double; threshold uses
+# 0.2*avg in plain double (identical bits both engines).
+_Q17_BODY = """
+SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE)
+             / 7.0 * 10000.0 + 0.5) / 10000.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+      SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey
+  )
+"""
+
 # Q18: large-volume customers — HAVING over a grouped fact, joined
 # back to the dimension chain.
 _Q18_BODY = """
@@ -186,6 +203,7 @@ for _name, _body in [
     ("sql_tpch_q10", _Q10_BODY),
     ("sql_tpch_q13", _Q13_BODY),
     ("sql_tpch_q14", _Q14_BODY),
+    ("sql_tpch_q17", _Q17_BODY),
     ("sql_tpch_q18", _Q18_BODY),
 ]:
     _fn = _sql_op(_body)

@@ -78,12 +78,13 @@ def drain(spark: SparkSession, sdf: DataFrame, mode: str = "append") -> DataFram
     # Stateful operators spin one state-store instance per shuffle
     # partition per micro-batch; at fixture scale that fixed cost
     # dominates, so run the stream with few state partitions (the knob
-    # is read at query START and baked into the checkpoint).  On a real
-    # cluster this is instead sized ~2x total cores.  Restored after the
-    # drain — the builder protocol is sequential, and batch queries
-    # under AQE re-coalesce anyway.
+    # is read at query START and baked into the checkpoint; measured:
+    # 8 -> 4 saves ~0.7 s on the stream-stream join, 4 -> 2 nothing).
+    # On a real cluster this is instead sized ~2x total cores.
+    # Restored after the drain — the builder protocol is sequential,
+    # and batch queries under AQE re-coalesce anyway.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         query = (
             sdf.writeStream.format("memory")

@@ -165,3 +165,13 @@ def test_posexplode_is_generate_no_exchange(spark, registry):
     plan = plan_of(registry, spark, "project_posexplode")
     assert "Generate" in plan
     assert "Exchange" not in plan
+
+
+def test_q17_scalar_subquery_decorrelates(spark, registry):
+    """The correlated avg-per-part subquery must decorrelate into a
+    grouped aggregate joined back to the outer query — a per-row
+    subquery re-execution would show a Subquery node and be quadratic."""
+    plan = plan_of(registry, spark, "sql_tpch_q17")
+    assert "Subquery" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
