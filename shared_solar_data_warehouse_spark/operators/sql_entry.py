@@ -157,6 +157,148 @@ WHERE p_brand = 'Brand#1'
   )
 """
 
+# Q7: volume shipping between two nations (adapted names: fixtures
+# use NATION_<k>).  The classic shape: supplier-nation x customer-
+# nation revenue by ship year, with the symmetric two-nation OR
+# predicate pushed below the join.
+_Q7_BODY = """
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(CAST(volume AS DECIMAL(25,8))) AS DOUBLE), 4) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+# Q8: national market share within a region (adapted: fixture p_type
+# domain is single words; nation names NATION_<k>).  8-table join with
+# the share ratio under the §5.4 floor-rounding formula.
+_Q8_BODY = """
+SELECT o_year,
+       floor(
+           CAST(sum(CAST(CASE WHEN nation = 'NATION_1'
+                    THEN volume ELSE 0 END AS DECIMAL(25,8))) AS DOUBLE)
+           / CAST(sum(CAST(volume AS DECIMAL(25,8))) AS DOUBLE)
+           * 10000.0 + 0.5
+       ) / 10000.0 AS mkt_share
+FROM (
+    SELECT year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+"""
+
+# Q9: product-type profit by nation and year (adapted: fixtures carry
+# no partsupp/ps_supplycost, so profit is gross discounted revenue —
+# the LIKE-driven part filter and 6-way join shape are the point).
+_Q9_BODY = """
+SELECT nation, o_year,
+       round(CAST(sum(CAST(amount AS DECIMAL(25,8))) AS DOUBLE), 4) AS sum_profit
+FROM (
+    SELECT n_name AS nation,
+           year(o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS amount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+"""
+
+# Q15: top supplier — a quarter's revenue per supplier (CTE reused
+# twice), keeping the supplier(s) at the exact max.  The max compare
+# stays in exact DECIMAL on both engines; double cast only at output.
+_Q15_BODY = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,8))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       round(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+# Q19: discounted revenue across OR'd brand/quantity/size windows
+# (adapted: fixtures lack l_shipmode/l_shipinstruct; the disjunctive
+# join predicate that must still push the part filters is the point).
+_Q19_BODY = """
+SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(25,8))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+# Q22: global sales opportunity (adapted: fixtures carry no c_phone,
+# so the country-code substring becomes c_nationkey membership; every
+# fixture customer has *some* order, so "order-less" becomes "no order
+# since 2001" to keep the anti-join selective but non-empty).  The avg
+# threshold is computed as exact-decimal-sum / count cast to DOUBLE so
+# the single division is bit-identical on both engines (a raw
+# avg(DOUBLE) would be sum-order dependent).
+_Q22_BODY = """
+SELECT cntrycode,
+       count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(25,8))) AS DOUBLE), 4) AS totacctbal
+FROM (
+    SELECT c_nationkey AS cntrycode, c_acctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9)
+      AND c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(25,8))) AS DOUBLE)
+                 / count(*)
+          FROM customer
+          WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9)
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+      )
+) custsale
+GROUP BY cntrycode
+"""
+
 # Q18: large-volume customers — HAVING over a grouped fact, joined
 # back to the dimension chain.
 _Q18_BODY = """
@@ -203,8 +345,14 @@ for _name, _body in [
     ("sql_tpch_q10", _Q10_BODY),
     ("sql_tpch_q13", _Q13_BODY),
     ("sql_tpch_q14", _Q14_BODY),
+    ("sql_tpch_q7", _Q7_BODY),
+    ("sql_tpch_q8", _Q8_BODY),
+    ("sql_tpch_q9", _Q9_BODY),
+    ("sql_tpch_q15", _Q15_BODY),
     ("sql_tpch_q17", _Q17_BODY),
     ("sql_tpch_q18", _Q18_BODY),
+    ("sql_tpch_q19", _Q19_BODY),
+    ("sql_tpch_q22", _Q22_BODY),
 ]:
     _fn = _sql_op(_body)
     _fn.__name__ = _name
