@@ -481,3 +481,69 @@ def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@op(
+    "agg_linreg",
+    oracle="""
+    SELECT l_returnflag, n,
+           floor(slope_raw * 10000.0 + 0.5) / 10000.0 AS slope,
+           floor((sy - slope_raw * sx) / CAST(n AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS intercept
+    FROM (
+        SELECT *,
+               (CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope_raw
+        FROM (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sxy,
+                   CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sxx
+            FROM lineitem GROUP BY l_returnflag
+        ) sums
+    ) fitted
+    """,
+)
+def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of extendedprice on quantity per return flag —
+    the hash-MATCHABLE regression (``agg_stats``'s corr/covar are
+    documented as rows-only because the builtin kernels accumulate
+    floats in engine-specific order).  Here each moment (n, Sx, Sy,
+    Sxy, Sxx) is an exact decimal sum, so slope and intercept reduce to
+    ONE shared double expression over identical inputs on both engines
+    — bit-stable, then floor-rounded.  Distributed cost: a single
+    two-phase hash aggregate (5 partial moments per group); the fit
+    arithmetic is per-group scalar work.  This is how you regress at
+    100 TB: ship sufficient statistics, never rows.
+    """
+    from shared_solar_data_warehouse_spark.parity import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC))
+        .cast("double")
+        .alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    slope_raw = (n_d * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (F.floor(slope_raw * 10000.0 + 0.5) / 10000.0).alias("slope"),
+        (
+            F.floor(
+                (F.col("sy") - slope_raw * F.col("sx")) / n_d * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("intercept"),
+    )

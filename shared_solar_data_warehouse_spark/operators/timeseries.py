@@ -18,6 +18,8 @@ AQE-split (§7.4).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -655,4 +657,159 @@ def ts_counter_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_reset.alias("is_reset"),
         F.sum(consumed.cast(DEC)).over(w_run).cast("double").alias("cum_consumed"),
         F.sum(F.when(is_reset, 1).otherwise(0)).over(w_run).alias("n_resets"),
+    )
+
+
+@op(
+    "ts_ewma",
+    oracle="""
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           floor(list_reduce(vs, (acc, x) -> 0.7 * acc + 0.3 * x)
+                 * 10000.0 + 0.5) / 10000.0 AS ewma_level
+    FROM (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id
+    ) ordered
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted demand level per circuit (alpha=0.3,
+    adjust=False): the classic streaming smoother a meter-head keeps —
+    y_0 = x_0, y_t = 0.7*y_{t-1} + 0.3*x_t over time-ordered readings.
+
+    The recursion is inherently sequential per key, so it runs as a
+    grouped-map applyInPandas (one Arrow batch per circuit); the
+    explicit ``0.7*acc + 0.3*x`` Python loop is the SAME IEEE-double
+    expression the oracle's ``list_reduce`` lambda folds, so the result
+    is bit-identical (pandas ``ewm`` would vectorize via a different
+    update form).  Explicit repartition on user_id satisfies the
+    grouped-map distribution and resists AQE single-task coalescing;
+    at 100 TB circuits spread evenly and each group is one pass.
+    """
+    import math
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        acc = None
+        for x in pdf["value"]:
+            x = float(x)
+            acc = x if acc is None else 0.7 * acc + 0.3 * x
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "ewma_level": [math.floor(acc * 10000.0 + 0.5) / 10000.0],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "ts", "event_id", "value")
+        .repartition(32, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(smooth, "user_id long, n_events long, ewma_level double")
+    )
+
+
+@op(
+    "ts_interp_linear",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               {sql_dsum('value')} AS hour_value
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM hourly GROUP BY user_id
+    ), neighbored AS (
+        SELECT g.user_id, g.h, hv.hour_value,
+               last_value(hv.hour_value IGNORE NULLS) OVER wb AS prev_val,
+               last_value(CASE WHEN hv.hour_value IS NOT NULL THEN g.h END
+                          IGNORE NULLS) OVER wb AS prev_h,
+               first_value(hv.hour_value IGNORE NULLS) OVER wf AS next_val,
+               first_value(CASE WHEN hv.hour_value IS NOT NULL THEN g.h END
+                           IGNORE NULLS) OVER wf AS next_h
+        FROM grid g LEFT JOIN hourly hv ON g.user_id = hv.user_id AND g.h = hv.h
+        WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY g.user_id ORDER BY g.h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h AS hour,
+           hour_value IS NULL AS was_gap,
+           floor(
+               CASE WHEN hour_value IS NOT NULL THEN hour_value
+                    WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+                        prev_val + (next_val - prev_val)
+                        * ((CAST(epoch(h) AS BIGINT) - CAST(epoch(prev_h) AS BIGINT))
+                           / (CAST(epoch(next_h) AS BIGINT) - CAST(epoch(prev_h) AS BIGINT)))
+                    ELSE coalesce(prev_val, next_val)
+               END * 10000.0 + 0.5) / 10000.0 AS value_interp
+    FROM neighbored
+    """,
+)
+def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify to the hourly grid and LINEARLY interpolate gaps — the
+    smoother sibling of ``ts_gap_fill``'s forward-fill (sensor series
+    regularization before feature extraction; fill value is weighted by
+    time-distance between the surrounding real readings).
+
+    Construction: the gap-fill grid (sequence+explode, one shuffle on
+    user_id), then two IGNORE NULLS window passes over the SAME
+    exchange+sort — last non-null looking back, first non-null looking
+    forward — and the interpolation is a single arithmetic expression
+    over exact integer hour-epochs with one double division, so Spark
+    and DuckDB agree bit-for-bit before the floor-rounding.  Endpoints
+    beyond the first/last reading take the nearest real value.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("hour_value"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    filled = grid.join(hourly, on=["user_id", "h"], how="left").repartition(
+        32, "user_id"
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    real_h = F.when(F.col("hour_value").isNotNull(), F.col("h"))
+    prev_val = F.last("hour_value", ignorenulls=True).over(w_back)
+    prev_h = F.last(real_h, ignorenulls=True).over(w_back)
+    next_val = F.first("hour_value", ignorenulls=True).over(w_fwd)
+    next_h = F.first(real_h, ignorenulls=True).over(w_fwd)
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp(prev_h))
+        / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h))
+    )
+    interp = (
+        F.when(F.col("hour_value").isNotNull(), F.col("hour_value"))
+        .when(
+            prev_val.isNotNull() & next_val.isNotNull(),
+            prev_val + (next_val - prev_val) * frac,
+        )
+        .otherwise(F.coalesce(prev_val, next_val))
+    )
+    return filled.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.col("hour_value").isNull().alias("was_gap"),
+        (F.floor(interp * 10000.0 + 0.5) / 10000.0).alias("value_interp"),
     )
