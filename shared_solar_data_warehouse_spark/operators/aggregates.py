@@ -547,3 +547,30 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("intercept"),
     )
+
+
+@op(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+           count(*) AS n_readings,
+           {sql_dsum('value')} AS bin_value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram of the readings (25-unit bins) —
+    the distribution plot behind load-profile QA.  Binning is a pure
+    floor-of-division (identical doubles both engines, no boundary
+    ambiguity), so unlike width_bucket builtins it hash-matches; one
+    two-phase aggregate, bins are the group keys (bounded cardinality
+    regardless of row count — the 100 TB histogram pattern)."""
+    e = load_table(spark, sf_dir, "events")
+    bin_col = F.floor(F.col("value") / 25.0).cast("bigint")
+    return e.groupBy(
+        bin_col.alias("bin"), (bin_col * 25.0).alias("bin_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_readings"),
+        dsum("value").alias("bin_value_sum"),
+    )

@@ -756,12 +756,17 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-distance between the surrounding real readings).
 
     Construction: the gap-fill grid (sequence+explode, one shuffle on
-    user_id), then two IGNORE NULLS window passes over the SAME
-    exchange+sort — last non-null looking back, first non-null looking
-    forward — and the interpolation is a single arithmetic expression
-    over exact integer hour-epochs with one double division, so Spark
-    and DuckDB agree bit-for-bit before the floor-rounding.  Endpoints
-    beyond the first/last reading take the nearest real value.
+    user_id), then two IGNORE NULLS window passes — last non-null
+    looking back, and the forward neighbor via ``last`` over a
+    DESCENDING growing frame rather than ``first`` over
+    [currentRow, unboundedFollowing]: Spark's UnboundedFollowing frame
+    re-evaluates from scratch per row (O(n^2) per partition — measured
+    72 s at sf0.1), while a growing [unboundedPreceding, currentRow]
+    frame updates incrementally (O(n)); the reversed sort shares the
+    user_id exchange.  The interpolation is a single arithmetic
+    expression over exact integer hour-epochs with one double division,
+    so Spark and DuckDB agree bit-for-bit before the floor-rounding.
+    Endpoints beyond the first/last reading take the nearest real value.
     """
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
@@ -785,16 +790,16 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_fwd = (
+    w_fwd_rev = (
         Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("h").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     real_h = F.when(F.col("hour_value").isNotNull(), F.col("h"))
     prev_val = F.last("hour_value", ignorenulls=True).over(w_back)
     prev_h = F.last(real_h, ignorenulls=True).over(w_back)
-    next_val = F.first("hour_value", ignorenulls=True).over(w_fwd)
-    next_h = F.first(real_h, ignorenulls=True).over(w_fwd)
+    next_val = F.last("hour_value", ignorenulls=True).over(w_fwd_rev)
+    next_h = F.last(real_h, ignorenulls=True).over(w_fwd_rev)
     frac = (
         (F.unix_timestamp("h") - F.unix_timestamp(prev_h))
         / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h))

@@ -39,6 +39,7 @@ _OP_MODULES = (
     "shared_solar_data_warehouse_spark.operators.timeseries",
     "shared_solar_data_warehouse_spark.operators.text",
     "shared_solar_data_warehouse_spark.operators.dedup",
+    "shared_solar_data_warehouse_spark.operators.graph",
     "shared_solar_data_warehouse_spark.operators.similarity",
     "shared_solar_data_warehouse_spark.operators.udfs",
     "shared_solar_data_warehouse_spark.operators.multimodal",

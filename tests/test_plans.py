@@ -175,3 +175,12 @@ def test_q17_scalar_subquery_decorrelates(spark, registry):
     assert "Subquery" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pagerank_rounds_broadcast_node_sides(spark, registry):
+    """Every per-round join in the unrolled PageRank must broadcast the
+    node-cardinality side (deg/ranks); the only shuffles should be the
+    aggregations, not SortMergeJoins over the edge list."""
+    plan = plan_of(registry, spark, "graph_pagerank")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6  # deg + ranks per round
