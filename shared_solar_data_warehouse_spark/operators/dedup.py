@@ -599,3 +599,75 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+CONTAIN_TAU = 0.9
+
+
+@op(
+    "dedup_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    ex AS (
+        SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh
+    ),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_common
+        FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+               AS containment,
+           n_a <= n_b AS smaller_is_a
+    FROM common
+    WHERE CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE)
+          >= {CONTAIN_TAU}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: |A∩B| / |smaller set| —
+    catches subset/superstring duplication (a doc embedded inside a
+    longer one) that symmetric Jaccard misses, the complement of
+    `dedup_near_shingle` in an LLM-corpus pipeline.
+
+    Same one-shuffle posting-list pair generation as `exact_pairs`, but
+    WITHOUT its length-ratio prune — containment is size-ratio-blind by
+    definition (a tiny doc fully inside a huge one scores 1.0).  The
+    ratio is ints-over-int (identical doubles both engines, hash-stable
+    boundary).  100 TB note: bound hot posting lists with a document-
+    frequency cap before the pair fan-out; the prefix-filter trick does
+    NOT apply to containment.
+    """
+    s = shingle_sets(spark, sf_dir)
+    exploded = s.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("sh"),
+    )
+    pair_expr = (
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs) - i - 1), y -> struct("
+        "   least(x.doc_id, y.doc_id) AS doc_a,"
+        "   greatest(x.doc_id, y.doc_id) AS doc_b,"
+        "   if(x.doc_id < y.doc_id, x.n_sh, y.n_sh) AS n_a,"
+        "   if(x.doc_id < y.doc_id, y.n_sh, x.n_sh) AS n_b))))"
+    )
+    common = (
+        exploded.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.least(
+        "n_a", "n_b"
+    ).cast("double")
+    return common.select(
+        "doc_a",
+        "doc_b",
+        containment.alias("containment"),
+        (F.col("n_a") <= F.col("n_b")).alias("smaller_is_a"),
+    ).filter(F.col("containment") >= CONTAIN_TAU)

@@ -901,3 +901,55 @@ def project_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", "tok", (F.col("pos0") + 1).cast("int").alias("pos"))
+
+
+@op(
+    "join_asof_forward",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS next_purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each click, the EARLIEST purchase of the
+    same user at-or-after its timestamp (time-to-conversion primitive —
+    the mirror of `join_asof`'s backward direction).
+
+    Same union-tag construction, scanned in REVERSE: order the merged
+    stream by ts DESC with purchases sorting first at equal ts (<= is
+    inclusive) and purchase_id DESC so the smallest qualifying id wins,
+    then ``last(purchase_id, ignorenulls)`` over the growing frame is
+    the next purchase.  One shuffle on user_id, O(n) per partition —
+    no [currentRow, unboundedFollowing] frame (that variant re-scans
+    per row, O(n^2); see ts_interp_linear).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(0).alias("side"),  # purchases sort first at equal ts (<= inclusive)
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.col("event_id").alias("click_id"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "side", F.col("purchase_id").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        purchases.unionByName(clicks)
+        .withColumn(
+            "next_purchase_id", F.last("purchase_id", ignorenulls=True).over(w)
+        )
+        .filter(F.col("click_id").isNotNull())
+        .select("user_id", "click_id", "next_purchase_id")
+    )

@@ -818,3 +818,50 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hour_value").isNull().alias("was_gap"),
         (F.floor(interp * 10000.0 + 0.5) / 10000.0).alias("value_interp"),
     )
+
+
+@op(
+    "ts_downtime",
+    oracle=f"""
+    WITH deltas AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               {_DUCK_EPOCH_S} - lag({_DUCK_EPOCH_S}) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        FROM events
+    )
+    SELECT user_id, day,
+           count(CASE WHEN gap_s > 1800 THEN 1 END) AS n_outages,
+           coalesce(sum(CASE WHEN gap_s > 1800 THEN gap_s - 1800 END), 0)
+               AS downtime_excess_s
+    FROM deltas GROUP BY 1, 2
+    """,
+)
+def ts_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage accounting per circuit per day — the SharedSolar GSM/
+    gateway availability report: a gap over 30 min between consecutive
+    readings is an outage, and the excess beyond the nominal interval
+    is billed as downtime, attributed to the day the feed came back.
+
+    Shape: one lag window and one grouped agg share the user_id
+    exchange; all arithmetic is integer epoch-seconds (exact on both
+    engines, no float anywhere).  Zero-outage user-days stay in the
+    output (count of an empty CASE set is 0) so availability ratios can
+    be computed downstream without a re-join against the calendar.
+    """
+    e = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp(F.date_trunc("second", "ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = epoch_s - F.lag(epoch_s).over(w)
+    deltas = e.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        gap_s.alias("gap_s"),
+    )
+    return deltas.groupBy("user_id", "day").agg(
+        F.count(F.when(F.col("gap_s") > 1800, 1)).alias("n_outages"),
+        F.coalesce(
+            F.sum(F.when(F.col("gap_s") > 1800, F.col("gap_s") - 1800)),
+            F.lit(0),
+        ).alias("downtime_excess_s"),
+    )

@@ -346,3 +346,58 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         avg_price.alias("avg_price"),
     )
+
+
+@op(
+    "scan_csv_permissive",
+    oracle="""
+    SELECT count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS n_good,
+           count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_corrupt,
+           sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS good_chars
+    FROM documents
+    """,
+)
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record ingest under PERMISSIVE mode — the reference's
+    world is messy gateway log files, and this is Spark's idiom for
+    surviving them: corrupt fields go null, the raw line lands in
+    ``_corrupt_record``, and the load NEVER aborts (contrast FAILFAST).
+
+    The fixture round-trip plants a deterministic fault (every 7th
+    doc_id gets a non-numeric n_chars field), reads back with a
+    declared schema + corrupt-record column, and reports the quality
+    split — the counts the oracle derives from the clean table.  At
+    100 TB the same scan quarantines bad lines to a reject sink instead
+    of killing a multi-hour load.
+    """
+    path = scratch_dir(sf_dir, "scan_csv_permissive")
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("<unparseable>")).otherwise(
+                F.col("n_chars").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("n_chars"))).alias("good_chars"),
+    )
