@@ -254,3 +254,112 @@ def test_arg_extrema_match_window_formulation(spark):
     )
     assert agg.exceptAll(via_window).count() == 0
     assert via_window.exceptAll(agg).count() == 0
+
+
+def test_asof_forward_is_earliest_future(spark, registry):
+    """For each click, the joined purchase must be the same user's
+    EARLIEST purchase at-or-after the click time (forward as-of)."""
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["join_asof_forward"].builder(spark, SF_SMALL).collect()
+    assert rows
+    ev = {
+        r["event_id"]: (r["user_id"], r["ts"], r["event_type"])
+        for r in load_table(spark, SF_SMALL, "events").collect()
+    }
+    purchases_by_user = {}
+    for eid, (uid, ts, et) in ev.items():
+        if et == "purchase":
+            purchases_by_user.setdefault(uid, []).append((ts, eid))
+    matched = [r for r in rows if r["next_purchase_id"] is not None]
+    assert matched, "forward as-of matched nothing at sf0.001"
+    for r in matched[:300]:
+        uid, c_ts, _ = ev[r["click_id"]]
+        p_uid, p_ts, _ = ev[r["next_purchase_id"]]
+        assert p_uid == uid and p_ts >= c_ts
+        # earliest: no other purchase strictly between c_ts and p_ts
+        assert not any(
+            c_ts <= t < p_ts for t, _ in purchases_by_user.get(uid, ())
+        )
+
+
+def test_interp_linear_bounded_by_real_neighbors(spark, registry):
+    """Every interpolated (gap) point must lie within the closed
+    interval spanned by the surrounding REAL hourly values — linear
+    interpolation never overshoots."""
+    rows = registry["ts_interp_linear"].builder(spark, SF_SMALL).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    checked = 0
+    for series in by_user.values():
+        series.sort(key=lambda r: r["hour"])
+        real_idx = [i for i, r in enumerate(series) if not r["was_gap"]]
+        for i, r in enumerate(series):
+            if not r["was_gap"]:
+                continue
+            prev = max((j for j in real_idx if j < i), default=None)
+            nxt = min((j for j in real_idx if j > i), default=None)
+            bounds = [
+                series[j]["value_interp"] for j in (prev, nxt) if j is not None
+            ]
+            assert bounds
+            lo, hi = min(bounds), max(bounds)
+            assert lo - 1e-4 <= r["value_interp"] <= hi + 1e-4
+            checked += 1
+    assert checked > 0
+
+
+def test_pagerank_mass_conserved_and_positive(spark, registry):
+    """PageRank is a probability distribution: every rank positive and
+    the total within quantization error of 1.0 (undirected graph has no
+    dangling mass to leak)."""
+    rows = registry["graph_pagerank"].builder(spark, SF_SMALL).collect()
+    assert rows
+    total = sum(r["pagerank"] for r in rows)
+    assert all(r["pagerank"] > 0 for r in rows)
+    assert abs(total - 1.0) < 1e-4
+
+
+def test_ewma_level_within_value_range(spark, registry):
+    """A convex-combination smoother can never leave the observed value
+    range of its own series."""
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    levels = {
+        r["user_id"]: r["ewma_level"]
+        for r in registry["ts_ewma"].builder(spark, SF_SMALL).collect()
+    }
+    assert levels
+    span = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    )
+    for r in span:
+        lvl = levels[r["user_id"]]
+        assert r["lo"] - 1e-4 <= lvl <= r["hi"] + 1e-4
+
+
+def test_containment_bounds_and_ordering(spark, registry):
+    """Containment is a ratio into the smaller set: threshold <= c <= 1,
+    pairs canonically ordered."""
+    rows = registry["dedup_containment"].builder(spark, SF_SMALL).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.9 <= r["containment"] <= 1.0 + 1e-12
+
+
+def test_downtime_agrees_with_delta_gaps(spark, registry):
+    """Cross-operator consistency: total outage count in ts_downtime
+    equals the number of >30-min gaps ts_delta reports."""
+    deltas = registry["ts_delta"].builder(spark, SF_SMALL).collect()
+    n_gaps = sum(
+        1 for r in deltas if r["gap_seconds"] is not None and r["gap_seconds"] > 1800
+    )
+    downtime = registry["ts_downtime"].builder(spark, SF_SMALL).collect()
+    assert sum(r["n_outages"] for r in downtime) == n_gaps
+    for r in downtime:
+        assert r["downtime_excess_s"] >= 0
+        assert (r["n_outages"] == 0) == (r["downtime_excess_s"] == 0)
