@@ -57,17 +57,23 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Two timed passes, per-query MIN: this host is shared and shows
+    # ~±20% run-to-run noise (GC pauses, co-tenant CPU); the min of two
+    # warm runs estimates the engine's actual cost, not the noise.
     timings: dict[str, float] = {}
-    for name in sorted(REGISTRY):
-        if name in failures:
-            continue
-        started = time.time()
-        try:
-            materialize(name)
-        except Exception as exc:  # noqa: BLE001
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        timings[name] = round(time.time() - started, 3)
+    for _ in range(2):
+        for name in sorted(REGISTRY):
+            if name in failures:
+                continue
+            started = time.time()
+            try:
+                materialize(name)
+            except Exception as exc:  # noqa: BLE001
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                continue
+            elapsed = round(time.time() - started, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     out = {

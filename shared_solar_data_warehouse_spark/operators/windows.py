@@ -258,3 +258,51 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("c_nationkey", "c_custkey", "c_acctbal")
     )
+
+
+@op(
+    "win_count_distinct",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(CASE WHEN first_seen THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_so_far
+    FROM (
+        SELECT user_id, event_id, ts,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) = 1 AS first_seen
+        FROM events
+    ) flagged
+    """,
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per entity — how many distinct record
+    types has this circuit emitted up to each reading.  Window
+    functions cannot take DISTINCT aggregates, so this is the standard
+    two-window composition: flag each (user, type)'s first occurrence
+    with row_number()==1, then running-sum the flags per user.  Two
+    exchanges (the partition keys differ) — unavoidable for this
+    semantics — both integer-exact, no float parity surface."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.row_number().over(w_first) == 1).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum(F.when(F.col("first_seen"), 1).otherwise(0))
+        .over(w_run)
+        .cast("bigint")
+        .alias("n_types_so_far"),
+    )
