@@ -7,17 +7,13 @@ whole-stage codegen presence.
 
 from __future__ import annotations
 
+from shared_solar_data_warehouse_spark.plans import explain_formatted
+
 from tests.conftest import SF_ORACLE
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
 def plan_of(registry, spark, name: str) -> str:
-    return _plan(registry[name].builder(spark, SF_ORACLE))
+    return explain_formatted(registry[name].builder(spark, SF_ORACLE))
 
 
 def test_filter_pushdown_reaches_parquet(spark, registry):
