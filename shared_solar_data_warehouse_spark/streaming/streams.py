@@ -455,3 +455,66 @@ def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         time.sleep(0.2)
     query.stop()
     return spark.table(name).filter(F.col("value") < 128)
+
+
+@op(
+    "stream_ewma",
+    oracle="""
+    SELECT user_id,
+           CAST(len(vs) AS BIGINT) AS n_events,
+           floor(list_reduce(vs, (acc, x) -> 0.7 * acc + 0.3 * x)
+                 * 10000.0 + 0.5) / 10000.0 AS ewma_level
+    FROM (
+        SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY user_id
+    ) ordered
+    """,
+)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``ts_ewma``: the per-circuit EWMA level kept
+    as O(1) state (level, count) per key and folded forward on every
+    micro-batch — the smoother a live meter-head would actually run.
+    Same explicit ``0.7*acc + 0.3*x`` IEEE-double fold as the batch op
+    and the oracle's ``list_reduce``, so all three agree bit-for-bit.
+
+    Within a micro-batch the group's rows are concatenated and sorted
+    by (event-time µs, event_id) before folding — state carries the
+    fold across batches, so ordering only needs to hold per batch
+    (late/out-of-order data across batches would need the watermarked
+    sort-buffer pattern instead)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold_level(key, pdf_iter, state: GroupState):
+        n, acc = state.get if state.exists else (0, None)
+        pdf = pd.concat(list(pdf_iter))
+        pdf = pdf.sort_values(["us", "event_id"])
+        for x in pdf["value"]:
+            x = float(x)
+            acc = x if acc is None else 0.7 * acc + 0.3 * x
+            n += 1
+        state.update((n, acc))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_level": [math.floor(acc * 10000.0 + 0.5) / 10000.0],
+            }
+        )
+
+    s = events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    result = s.groupBy("user_id").applyInPandasWithState(
+        fold_level,
+        outputStructType="user_id long, n_events long, ewma_level double",
+        stateStructType="n long, acc double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return drain(spark, result, "update")

@@ -63,3 +63,12 @@ def test_foreachbatch_sink_idempotent(spark, registry):
     first = _canon(registry["stream_sink_foreachbatch"].builder(spark, SF_SMALL))
     second = _canon(registry["stream_sink_foreachbatch"].builder(spark, SF_SMALL))
     assert first == second
+
+
+def test_stream_ewma_matches_batch_twin(spark, registry):
+    """The stateful streaming EWMA and the batch applyInPandas EWMA
+    fold the same expression over the same ordering — results must be
+    identical, including the float bits under the shared rounding."""
+    stream = registry["stream_ewma"].builder(spark, SF_SMALL)
+    batch = registry["ts_ewma"].builder(spark, SF_SMALL)
+    assert _canon(stream) == _canon(batch)
