@@ -574,3 +574,38 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_readings"),
         dsum("value").alias("bin_value_sum"),
     )
+
+
+@op(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           floor(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(25,8))) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE)
+                 * 10000.0 + 0.5) / 10000.0 AS wavg_price,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per return flag (the tariff shape:
+    energy-weighted rates).  Spark has no weighted-avg builtin, so it's
+    the two-sufficient-statistics construction — both sums exact
+    decimal (order-independent partials), one double division under the
+    §5.4 floor-rounding.  Still a single two-phase hash aggregate."""
+    from shared_solar_data_warehouse_spark.parity import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.floor(
+                F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC))
+                .cast("double")
+                / F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                * 10000.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("wavg_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -401,3 +401,38 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(bad, 1)).alias("n_corrupt"),
         F.sum(F.when(~bad, F.col("n_chars"))).alias("good_chars"),
     )
+
+
+@op(
+    "scan_parquet_schema_evolution",
+    oracle="""
+    SELECT c_custkey,
+           c_acctbal,
+           CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment END AS c_mktsegment
+    FROM customer
+    """,
+)
+def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet snapshots written months
+    apart — the newer one grew a column — unioned by one scan with
+    ``mergeSchema``; rows from the old snapshot surface NULL for the
+    added column.  This is the append-only warehouse reality at 100 TB
+    (log formats gain fields; you never rewrite history), and the
+    merged-footer read is Spark's idiom for it.  mergeSchema costs a
+    footer read per file at planning — on a large lake, pin the merged
+    schema in a table catalog instead and leave the option off.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    path_old = scratch_dir(sf_dir, "scan_evolution_v1")
+    path_new = scratch_dir(sf_dir, "scan_evolution_v2")
+    c.filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_acctbal").write.mode(
+        "overwrite"
+    ).parquet(path_old)
+    c.filter(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    ).write.mode("overwrite").parquet(path_new)
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(path_old, path_new)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+    )
