@@ -317,6 +317,118 @@ WHERE o_orderkey IN (
 GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
 """
 
+# Q2: minimum-cost supplier (adapted: fixtures carry no partsupp /
+# ps_supplycost, so "supply cost" becomes the supplier's account
+# balance and the part-supplier relationship is derived from lineitem
+# shipments).  The point is the CORRELATED scalar subquery over a
+# multi-table join — Catalyst decorrelates it into a min-aggregate
+# joined back on p_partkey, not a per-row re-execution.
+_Q2_BODY = """
+SELECT round(CAST(s_acctbal AS DOUBLE), 4) AS s_acctbal,
+       s_name, n_name, p_partkey, p_type
+FROM part, supplier, lineitem, nation, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND p_size < 10 AND r_name = 'EUROPE'
+  AND s_acctbal = (
+      SELECT min(s2.s_acctbal)
+      FROM supplier s2, lineitem l2, nation n2, region r2
+      WHERE p_partkey = l2.l_partkey AND s2.s_suppkey = l2.l_suppkey
+        AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        AND r2.r_name = 'EUROPE')
+GROUP BY s_acctbal, s_name, n_name, p_partkey, p_type
+"""
+
+# Q11: important stock identification (adapted: inventory value is the
+# shipped value sum from lineitem instead of ps_supplycost*ps_availqty).
+# HAVING compares an exact-decimal group sum against an uncorrelated
+# scalar subquery — both engines compare exact decimals, no float drift.
+_Q11_BODY = """
+SELECT l_partkey,
+       round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(25,8))) AS DOUBLE), 4) AS value
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_regionkey = 2
+GROUP BY l_partkey
+HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(25,8))) > (
+    SELECT sum(CAST(l_extendedprice * l_quantity AS DECIMAL(25,8))) * 0.001
+    FROM lineitem, supplier, nation
+    WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_regionkey = 2)
+"""
+
+# Q12: shipping-mode priority counts (adapted: fixtures carry no
+# l_shipmode/commitdate/receiptdate — the returnflag plays the mode
+# dimension; the conditional-count pivot shape is the point).
+_Q12_BODY = """
+SELECT l_returnflag AS shipmode,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('R', 'A')
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+# Q16: supplier-count by part attributes (adapted: the part-supplier
+# relation comes from lineitem; the "complaints" NOT-IN exclusion keys
+# on negative account balance).  count(DISTINCT) + NOT IN anti-join.
+_Q16_BODY = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+# Q20: potential part promotion (adapted: "excess availability" is
+# shipping more than 1.5x the average per-supplier quantity of
+# LIKE-matched parts).  Nested IN-subqueries with a HAVING threshold;
+# the avg compare is multiplied through (2*cnt*sum_s > 3*total) so it
+# stays in exact BIGINT arithmetic — quantities are whole numbers, so
+# no float/decimal division can drift between engines.  Scale-free:
+# the threshold is relative, so the result is non-empty at every sf.
+_Q20_BODY = """
+SELECT s_name, s_suppkey
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING sum(CAST(l_quantity AS BIGINT)) * 2 * (
+        SELECT count(DISTINCT l_suppkey)
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    ) > (
+        SELECT sum(CAST(l_quantity AS BIGINT)) * 3
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+  AND s_nationkey = n_nationkey AND n_regionkey = 0
+"""
+
+# Q21: suppliers who kept orders waiting (adapted: "late" is the
+# returnflag; the supplier is the sole R-flagged line on a
+# multi-supplier finished order).  EXISTS + NOT EXISTS against the
+# same fact — two decorrelated semi/anti joins on l_orderkey.
+_Q21_BODY = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+  AND s_nationkey = n_nationkey
+GROUP BY s_name
+"""
+
 _TABLES_NEEDED = (
     "region",
     "nation",
@@ -353,6 +465,12 @@ for _name, _body in [
     ("sql_tpch_q18", _Q18_BODY),
     ("sql_tpch_q19", _Q19_BODY),
     ("sql_tpch_q22", _Q22_BODY),
+    ("sql_tpch_q2", _Q2_BODY),
+    ("sql_tpch_q11", _Q11_BODY),
+    ("sql_tpch_q12", _Q12_BODY),
+    ("sql_tpch_q16", _Q16_BODY),
+    ("sql_tpch_q20", _Q20_BODY),
+    ("sql_tpch_q21", _Q21_BODY),
 ]:
     _fn = _sql_op(_body)
     _fn.__name__ = _name

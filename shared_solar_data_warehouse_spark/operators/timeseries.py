@@ -865,3 +865,42 @@ def ts_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("downtime_excess_s"),
     )
+
+
+@op(
+    "ts_mom_growth",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           floor((revenue / lag(revenue) OVER (ORDER BY month) - 1.0)
+                 * 10000.0 + 0.5) / 10000.0 AS mom_growth
+    FROM monthly
+    """,
+)
+def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the reference's billing trend
+    report.  Two-phase hash aggregate first (shuffle carries one
+    partial per month per map task), then a single UNPARTITIONED lag
+    window: safe exactly because the window input is the aggregate's
+    output — cardinality is months-on-calendar (bounded), never raw
+    rows; the growth ratio divides two already-rounded doubles
+    (identical bits both engines) under §5.4 floor-rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        (
+            F.floor(
+                (F.col("revenue") / F.lag("revenue").over(w) - 1.0) * 10000.0 + 0.5
+            )
+            / 10000.0
+        ).alias("mom_growth"),
+    )
