@@ -609,3 +609,113 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@op(
+    "agg_mode",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS modal_priority, cnt AS n_orders
+    FROM (
+        SELECT c_mktsegment, o_orderpriority, count(*) AS cnt,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY count(*) DESC, o_orderpriority) AS rn
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, smallest-value
+    tiebreak) — per market segment, the modal order priority.  Spark's
+    builtin ``mode()`` is tie-nondeterministic, so the engine uses the
+    canonical count + row_number construction: one two-phase hash
+    aggregate on (segment, priority) — tiny output cardinality — then
+    a window over those few rows.  At 100 TB the aggregate output is
+    |segments|x|priorities| rows regardless of input size, so the
+    window never sees big data."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("cnt").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").alias("n_orders"),
+        )
+    )
+
+
+@op(
+    "agg_corr_exact",
+    oracle="""
+    SELECT l_returnflag,
+           floor(
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt(
+                   (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 10000.0 + 0.5) / 10000.0 AS corr_qty_price,
+           n AS n_rows
+    FROM (
+        SELECT l_returnflag,
+               count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sx,
+               sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS sy,
+               sum(CAST(l_quantity * l_extendedprice AS DECIMAL(25,8))) AS sxy,
+               sum(CAST(l_quantity * l_quantity AS BIGINT)) AS sxx,
+               sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,8))) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with hash-stable parity.  Spark's builtin
+    ``corr()`` accumulates doubles in partition order — the result
+    drifts run-to-run and engine-to-engine — so the engine computes the
+    six sufficient statistics as EXACT sums (BIGINT for whole-number
+    quantity, DECIMAL for money) in one two-phase hash aggregate, then
+    evaluates the closed form once per group in double: identical exact
+    inputs -> identical IEEE ops -> identical bits on both engines
+    (SURVEY.md §5.4).  The statistics pattern is also the 100 TB shape:
+    six partial sums merge associatively; nothing re-scans."""
+    from shared_solar_data_warehouse_spark.parity import DEC
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC)).alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("bigint")).alias("sxx"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(DEC)
+        ).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    return stats.select(
+        "l_returnflag",
+        (F.floor(cov / F.sqrt(vx * vy) * 10000.0 + 0.5) / 10000.0).alias(
+            "corr_qty_price"
+        ),
+        F.col("n").alias("n_rows"),
+    )

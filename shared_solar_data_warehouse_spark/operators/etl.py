@@ -1,0 +1,138 @@
+"""Warehouse maintenance operators (SURVEY.md §2.8 extension) — the
+merge/upsert and slowly-changing-dimension shapes every dimensional
+pipeline runs between query workloads.  The reference's analog is the
+nightly site-registry refresh: new meters appear (inserts), re-surveyed
+meters change attributes (updates), and history must stay queryable
+(SCD2 validity intervals).
+
+Both ops are pure DataFrame compositions — MERGE INTO needs a
+transactional table format (Delta/Iceberg, not in this container), but
+its *semantics* are a full-outer join + conditional projection, which
+is exactly what a 100 TB MERGE compiles to under the hood anyway.  At
+scale the win is bucketing base and changes on the merge key so the
+outer join is exchange-free; AQE handles the (typically tiny) changes
+side via broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shared_solar_data_warehouse_spark.parity import davg, sql_davg
+from shared_solar_data_warehouse_spark.registry import op
+from shared_solar_data_warehouse_spark.sources.io import load_table
+
+#: Offset applied to event user_ids to form merge keys: the fixture's
+#: user domain is a low prefix of the customer key domain, so shifting
+#: it to straddle the top of the key range yields BOTH updates
+#: (overlapping keys) and inserts (beyond-range keys) — every MERGE
+#: branch is exercised.
+_KEY_SHIFT = 1450
+
+
+@op(
+    "etl_upsert",
+    oracle=f"""
+    WITH changes AS (
+        SELECT user_id + {_KEY_SHIFT} AS key,
+               {sql_davg('value')} AS new_bal
+        FROM events GROUP BY user_id
+    )
+    SELECT coalesce(key, c_custkey) AS c_custkey,
+           coalesce(new_bal, round(CAST(c_acctbal AS DOUBLE), 4)) AS acctbal,
+           CASE WHEN key IS NULL THEN 'keep'
+                WHEN c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM customer FULL OUTER JOIN changes ON c_custkey = key
+    """,
+)
+def etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics without a table format: apply a change set
+    (per-user mean event value, keys shifted to straddle the dimension
+    key range) onto the customer dimension — matched keys take the new
+    balance (update), unmatched change keys append (insert), untouched
+    base rows pass through (keep).  One full-outer join + conditional
+    projection; the changes side is an aggregate output (|users| rows)
+    so AQE broadcasts it, and at 100 TB base+changes bucketed on the
+    key make the merge exchange-free — the same physical plan Delta's
+    MERGE INTO generates."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changes = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(davg("value").alias("new_bal"))
+        .select(
+            (F.col("user_id") + F.lit(_KEY_SHIFT)).alias("key"), "new_bal"
+        )
+    )
+    merged = c.join(changes, c.c_custkey == changes.key, "full_outer")
+    return merged.select(
+        F.coalesce("key", "c_custkey").alias("c_custkey"),
+        F.coalesce("new_bal", F.round(F.col("c_acctbal").cast("double"), 4)).alias(
+            "acctbal"
+        ),
+        F.when(F.col("key").isNull(), F.lit("keep"))
+        .when(F.col("c_custkey").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+@op(
+    "etl_scd2_intervals",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, event_type,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+               event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts), event_id) AS prev_type
+        FROM events
+    ),
+    starts AS (
+        SELECT user_id, event_type, es, event_id
+        FROM marked
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           es AS valid_from,
+           lead(es) OVER w AS valid_to,
+           CASE WHEN lead(es) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM starts
+    WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    """,
+)
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: compress each user's event-type stream
+    into validity intervals [valid_from, valid_to) that change exactly
+    when the attribute changes — the dimension-history shape every
+    warehouse derives from a mutation log.  Two window passes over the
+    SAME (user_id, time) ordering — lag to mark change points, lead
+    over the filtered change rows to close intervals — so Spark plans
+    one sort per pass but only ONE hash-partition exchange; timestamps
+    are floored to epoch seconds (ns-vs-µs safe, SURVEY.md §5.4) and
+    ordering ties break on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w_mark = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+        F.lag("event_type").over(w_mark).alias("prev_type"),
+    )
+    starts = marked.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.col("es").alias("valid_from"),
+        F.lead("es").over(w).alias("valid_to"),
+        F.when(F.lead("es").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
+    )

@@ -172,3 +172,112 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         (F.floor(F.col("pr") * 100000000.0 + 0.5) / 100000000.0).alias("pagerank"),
     )
+
+
+@op(
+    "graph_triangle_count",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT count(DISTINCT u_all.s) AS n_nodes,
+           (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT count(*)
+            FROM pairs e1
+            JOIN pairs e2 ON e2.u = e1.v
+            JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    FROM (SELECT u AS s FROM pairs UNION SELECT v FROM pairs) u_all
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the supplier co-occurrence graph (suppliers
+    sharing an order are adjacent) — the clustering-structure probe the
+    reference runs on its site-interaction web.
+
+    The co-occurrence graph is DENSE (every supplier pair eventually
+    shares an order), so the textbook wedge join (e1⋈e2 closed by an
+    e3 probe — what the DuckDB oracle runs at the small gate scale)
+    materializes Σ deg² ≈ hundreds of millions of wedge rows at sf0.1
+    and gets worse quadratically with density.  Two regimes instead,
+    the same split `dedup_cluster` uses:
+
+    * **Small dense graph** (≤ DRIVER_CC_MAX_EDGES after the distinct
+      — a 2M-edge list is ~32 MB): collect the oriented edge list,
+      pack each node's out-neighbor set into a bitmap row of an
+      |V|×|V|/8 uint8 matrix, and popcount ``row[u] & row[v]`` over
+      all edges with numpy — each triangle {u<v<w} is counted exactly
+      once at its smallest-id edge.  Milliseconds, zero shuffles
+      beyond the edge distinct.
+    * **Large graph**: per-edge neighborhood intersection, fully
+      distributed — build each node's sorted out-neighbor array,
+      broadcast it to both endpoints, sum
+      ``size(array_intersect(N⁺(u), N⁺(v)))``.  O(E·d̄) vectorized
+      JVM array ops with NO wedge shuffle.  At 100 TB you'd
+      additionally orient by degree so hub neighborhoods stay short,
+      and bucket the edge list on u."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+
+    def build_pairs() -> DataFrame:
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+            )
+            .select(
+                F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+            )
+            .distinct()
+        )
+
+    pairs = memo_checkpoint(spark, ("co_supplier_pairs", sf_dir), build_pairs)
+
+    from shared_solar_data_warehouse_spark.operators.dedup import (
+        DRIVER_CC_MAX_EDGES,
+    )
+
+    n_edges = pairs.count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        import numpy as np
+
+        import pandas as pd
+
+        edges_pd = pairs.toPandas()
+        node_ids = np.unique(
+            np.concatenate([edges_pd["u"].to_numpy(), edges_pd["v"].to_numpy()])
+        )
+        idx = pd.Series(np.arange(len(node_ids)), index=node_ids)
+        n = len(node_ids)
+        ui = idx[edges_pd["u"].to_numpy()].to_numpy()
+        vi = idx[edges_pd["v"].to_numpy()].to_numpy()
+        adj_bits = np.zeros((n, n), dtype=bool)
+        adj_bits[ui, vi] = True  # oriented u -> v (u < v)
+        packed = np.packbits(adj_bits, axis=1)
+        pop = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+        n_tri = int(pop[packed[ui] & packed[vi]].sum())
+        return spark.createDataFrame(
+            [(int(n), int(n_edges), n_tri)], "n_nodes long, n_edges long, n_triangles long"
+        )
+
+    adj = pairs.groupBy("u").agg(F.sort_array(F.collect_set("v")).alias("nbrs"))
+    au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nbrs_v"))
+    per_edge = (
+        pairs.join(F.broadcast(au), F.col("u") == F.col("au"))
+        .join(F.broadcast(av), F.col("v") == F.col("av"))
+        .select(
+            F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("tri_at_edge")
+        )
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("s"))
+        .union(pairs.select(F.col("v").alias("s")))
+        .agg(F.countDistinct("s").alias("n_nodes"))
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    tris = per_edge.agg(F.sum("tri_at_edge").alias("n_triangles"))
+    return nodes.crossJoin(edges).crossJoin(tris)

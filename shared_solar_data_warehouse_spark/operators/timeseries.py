@@ -904,3 +904,62 @@ def ts_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("mom_growth"),
     )
+
+
+@op(
+    "ts_ohlc",
+    oracle=f"""
+    SELECT event_type, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_ticks,
+           {sql_dsum('value')} AS volume
+    FROM (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, value,
+               row_number() OVER (
+                   PARTITION BY event_type, CAST(date_trunc('day', ts) AS DATE)
+                   ORDER BY date_trunc('microseconds', ts), event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type, CAST(date_trunc('day', ts) AS DATE)
+                   ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    GROUP BY event_type, day
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars (open/high/low/close/volume) per event type —
+    the reference's per-day meter summary, the financial-bar shape.
+    One window pass ranks first/last tick per (type, day) — ordered by
+    (ts, event_id); the oracle truncates its ns timestamps to Spark's
+    µs so tie-order agrees — then one hash aggregate folds the CASE
+    picks with min/max/count.  Open/close are PICKED doubles (no
+    accumulation -> bit-exact); only volume sums, through exact
+    decimal.  At 100 TB both the window and the aggregate partition by
+    the same (event_type, day) key, so AQE plans one exchange."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    base = ev.select("event_type", day.alias("day"), "value", "ts", "event_id")
+    wa = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = base.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        dsum("value").alias("volume"),
+    )

@@ -44,6 +44,7 @@ _OP_MODULES = (
     "shared_solar_data_warehouse_spark.operators.udfs",
     "shared_solar_data_warehouse_spark.operators.multimodal",
     "shared_solar_data_warehouse_spark.operators.sql_entry",
+    "shared_solar_data_warehouse_spark.operators.etl",
     "shared_solar_data_warehouse_spark.streaming.streams",
 )
 
