@@ -671,3 +671,56 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         containment.alias("containment"),
         (F.col("n_a") <= F.col("n_b")).alias("smaller_is_a"),
     ).filter(F.col("containment") >= CONTAIN_TAU)
+
+
+#: Affine permutation constants (a, b) for the portable minhash
+#: signature op — a,b < _MH_P so a*(h%p)+b stays under 2^62 (no
+#: overflow on either engine's BIGINT).
+_MH_P = 2147483647  # 2^31 - 1, Mersenne prime
+_MH_PERMS = ((1299709, 104729), (15485863, 32452843), (49979687, 86028121), (67867967, 122949823))
+
+_PORTABLE_H = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT) % 2147483647"
+
+
+@op(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH sh AS ({_SHINGLE_SQL})
+    SELECT doc_id,
+           {", ".join(
+               f"list_min(list_transform(shingles, s -> "
+               f"({a} * ({_PORTABLE_H.format(s='s')}) + {b}) % {_MH_P})) AS mh{i}"
+               for i, (a, b) in enumerate(_MH_PERMS)
+           )}
+    FROM sh
+    """,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with CROSS-ENGINE hash parity — the fully
+    oracle-checked twin of the xxhash64-based LSH pipeline
+    (`dedup_near_minhash`, rows-only because Spark's native hash has no
+    DuckDB equivalent).  Here the shingle hash is the 60-bit md5 prefix
+    (portable integer, verified bit-equal on both engines) pushed
+    through 4 affine permutations mod the Mersenne prime 2^31-1; each
+    signature lane is ``array_min(transform(...))`` over the doc's
+    shingle array — per-row vectorized JVM work, zero shuffles beyond
+    the memoized shingle build.  At 100 TB you'd swap md5 for xxhash64
+    (~5x cheaper) and keep the identical algebra; this op pins the
+    algebra itself against an independent engine."""
+    sh = shingle_sets(spark, sf_dir)
+    hashed = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % F.lit(_MH_P),
+    )
+    out = sh.withColumn("hashed", hashed)
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("hashed"),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P),
+            )
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_PERMS)
+    ]
+    return out.select("doc_id", *cols)

@@ -953,3 +953,158 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("click_id").isNotNull())
         .select("user_id", "click_id", "next_purchase_id")
     )
+
+
+@op(
+    "sample_split_train_test",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 100 AS bucket,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-free
+    key hash — the reproducible-split primitive every training pipeline
+    needs: membership depends only on doc_id, so re-runs, backfills,
+    and cross-engine replays agree row-for-row (unlike
+    ``df.sample()``/``randomSplit``, which are seed- and
+    partitioning-dependent).  The 60-bit hash is the md5 prefix —
+    portable integer arithmetic on both engines (verified bit-equal) —
+    and the op is a pure narrow projection: no shuffle, scales
+    embarrassingly.  At 100 TB you'd persist the split column or
+    partition the corpus by it so downstream epochs prune at the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        h.alias("bucket"),
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@op(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    b AS (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS pes,
+               c.event_id AS bid,
+               CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS bes
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    f AS (
+        SELECT p.event_id AS purchase_id,
+               c.event_id AS fid,
+               CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS fes
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT b.user_id, b.purchase_id,
+           CASE WHEN bid IS NULL AND fid IS NULL THEN NULL
+                WHEN fid IS NULL THEN bid
+                WHEN bid IS NULL THEN fid
+                WHEN pes - bes <= fes - pes THEN bid ELSE fid END
+               AS nearest_click_id,
+           CASE WHEN bid IS NULL AND fid IS NULL THEN NULL
+                WHEN fid IS NULL THEN 'backward'
+                WHEN bid IS NULL THEN 'forward'
+                WHEN pes - bes <= fes - pes THEN 'backward' ELSE 'forward' END
+               AS direction
+    FROM b JOIN f ON b.purchase_id = f.purchase_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join, the third mode beside backward
+    (`join_asof`) and forward (`join_asof_forward`): each purchase pairs
+    with its temporally closest click in EITHER direction, preferring
+    the backward candidate on exact second-distance ties (determinism,
+    SURVEY.md §5.4).  Same union-tag construction — both directional
+    candidates come from two window passes over ONE user_id partition
+    exchange (backward: running last click at-or-before; forward:
+    first click at-or-after over the mirrored frame) — then a plain
+    projection picks the winner; no range join, no candidate blowup,
+    linear in events per user.  The oracle runs DuckDB's native ASOF
+    twice and re-derives the same tie rule."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("side_b"),  # clicks first at equal ts: >= inclusive
+        F.lit(1).alias("side_f"),  # clicks after at equal ts: <= inclusive
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side_b"),
+        F.lit(0).alias("side_f"),
+    )
+    both = clicks.unionByName(purchases).withColumn(
+        "es", F.unix_timestamp("ts")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side_b", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side_f", "purchase_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    cand = (
+        both.withColumn("bid", F.last("click_id", ignorenulls=True).over(wb))
+        .withColumn(
+            "bes",
+            F.last(
+                F.when(F.col("click_id").isNotNull(), F.col("es")),
+                ignorenulls=True,
+            ).over(wb),
+        )
+        .withColumn("fid", F.first("click_id", ignorenulls=True).over(wf))
+        .withColumn(
+            "fes",
+            F.first(
+                F.when(F.col("click_id").isNotNull(), F.col("es")),
+                ignorenulls=True,
+            ).over(wf),
+        )
+        .filter(F.col("purchase_id").isNotNull())
+    )
+    backward_wins = (F.col("es") - F.col("bes")) <= (F.col("fes") - F.col("es"))
+    return cand.select(
+        "user_id",
+        "purchase_id",
+        F.when(F.col("bid").isNull() & F.col("fid").isNull(), F.lit(None))
+        .when(F.col("fid").isNull(), F.col("bid"))
+        .when(F.col("bid").isNull(), F.col("fid"))
+        .when(backward_wins, F.col("bid"))
+        .otherwise(F.col("fid"))
+        .alias("nearest_click_id"),
+        F.when(F.col("bid").isNull() & F.col("fid").isNull(), F.lit(None))
+        .when(F.col("fid").isNull(), F.lit("backward"))
+        .when(F.col("bid").isNull(), F.lit("forward"))
+        .when(backward_wins, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )

@@ -180,3 +180,30 @@ def test_pagerank_rounds_broadcast_node_sides(spark, registry):
     plan = plan_of(registry, spark, "graph_pagerank")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 6  # deg + ranks per round
+
+
+def test_q2_scalar_subquery_decorrelates(spark, registry):
+    """q2's per-part min-acctbal subquery must become an aggregate
+    joined back on p_partkey, computed once — not re-run per outer row."""
+    plan = plan_of(registry, spark, "sql_tpch_q2")
+    assert "Subquery" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_asof_nearest_single_partition_exchange(spark, registry):
+    """Both directional candidates must come from window passes over
+    the SAME user_id hash partitioning — one exchange, re-sorted per
+    frame, never a range join or candidate-pair blowup."""
+    plan = plan_of(registry, spark, "join_asof_nearest")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    ex = plan.count("Exchange")
+    assert ex <= 3, f"expected <=3 exchanges (union + window hash), saw {ex}"
+
+
+def test_upsert_changes_side_broadcasts(spark, registry):
+    """The merge's changes side is an aggregate of the (tiny) event log;
+    the full-outer join itself must not move the base via more than the
+    unavoidable exchanges."""
+    plan = plan_of(registry, spark, "etl_upsert")
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
