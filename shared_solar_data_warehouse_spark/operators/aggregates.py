@@ -719,3 +719,138 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n").alias("n_rows"),
     )
+
+
+@op(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_totalprice > 400000.0) AS any_over_400k,
+           count_if(o_totalprice > 200000.0) AS n_over_200k,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (ALL / ANY / conditional count) — the
+    data-quality assertion shape ("every order priced", "any outlier
+    present").  bool_and/bool_or/count_if all have exact map-side
+    partial states (AND/OR/sum are associative+commutative), so the
+    shuffle carries one boolean or one long per group regardless of
+    input size — the cheapest aggregate family there is at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+        F.count_if(F.col("o_totalprice") > 200000.0).alias("n_over_200k"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@op(
+    "agg_string_agg",
+    oracle="""
+    SELECT s_nationkey,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           count(*) AS n_suppliers
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string concatenation per group (LISTAGG / string_agg).
+    Spark's collect_list order is shuffle-dependent, so determinism
+    comes from array_sort before the join — same contract as DuckDB's
+    ORDER BY inside string_agg.  Safe here because group fan-in is
+    bounded (suppliers per nation); at 100 TB an unbounded LISTAGG is
+    an anti-pattern — cap with slice() or switch to top-k semantics."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+
+
+@op(
+    "agg_skew_kurt",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(l_quantity) AS BIGINT) AS s1,
+               CAST(sum(l_quantity * l_quantity) AS BIGINT) AS s2,
+               CAST(sum(l_quantity * l_quantity * l_quantity) AS BIGINT) AS s3,
+               CAST(sum(l_quantity * l_quantity * l_quantity * l_quantity)
+                    AS BIGINT) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(
+             (CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+             / sqrt(
+                 (CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               * (CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               * (CAST(s2 AS DOUBLE) / n
+                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
+             4) AS qty_skewness,
+           round(
+             (CAST(s4 AS DOUBLE) / n
+              - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+              + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / ((CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              * (CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+             - 3.0,
+             4) AS qty_excess_kurtosis
+    FROM m
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness / excess kurtosis via exact raw moments.
+    Spark's skewness()/kurtosis() and DuckDB's use different streaming
+    update formulas (and DuckDB bias-corrects), so cross-engine parity
+    comes from computing s1..s4 as EXACT integer sums (l_quantity is a
+    whole 1..50, so s4 stays far under 2^53) and then evaluating the
+    identical central-moment expression in double on both sides — same
+    operands, same operation order, sqrt/divide are correctly-rounded
+    IEEE, hence bit-equal.  One two-phase hash aggregate; the moment
+    trick is also the right 100 TB shape (one pass, mergeable state)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2r = F.col("s2").cast("double") / n
+    m3r = F.col("s3").cast("double") / n
+    m4r = F.col("s4").cast("double") / n
+    var = m2r - m1 * m1
+    m3c = m3r - F.lit(3.0) * m1 * m2r + F.lit(2.0) * m1 * m1 * m1
+    m4c = (
+        m4r
+        - F.lit(4.0) * m1 * m3r
+        + F.lit(6.0) * m1 * m1 * m2r
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(m3c / F.sqrt(var * var * var), 4).alias("qty_skewness"),
+        F.round(m4c / (var * var) - F.lit(3.0), 4).alias("qty_excess_kurtosis"),
+    )

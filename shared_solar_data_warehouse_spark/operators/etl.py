@@ -136,3 +136,73 @@ def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_current"),
     )
+
+
+#: Snapshot instant for the as-of query: 2024-01-15 12:00:00 UTC, the
+#: midpoint of the events fixture's Jan-2024 span.
+_SNAP_ES = 1705320000
+
+
+@op(
+    "etl_scd2_snapshot",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_type,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+               event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts), event_id) AS prev_type
+        FROM events
+    ),
+    starts AS (
+        SELECT user_id, event_type, es, event_id
+        FROM marked
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    hist AS (
+        SELECT user_id, event_type,
+               es AS valid_from,
+               lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id)
+                   AS valid_to
+        FROM starts
+    )
+    SELECT user_id, event_type AS state_at_snapshot, valid_from
+    FROM hist
+    WHERE valid_from <= {_SNAP_ES}
+      AND (valid_to IS NULL OR valid_to > {_SNAP_ES})
+    """,
+)
+def etl_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) query over the SCD2 history: the one
+    row per user whose validity interval [valid_from, valid_to) covers
+    the snapshot instant — how a warehouse answers "what was every
+    user's state on Jan 15?".  Built on the same two-window-pass
+    interval derivation as `etl_scd2_intervals`; the snapshot predicate
+    is a plain filter, so at 100 TB it pushes below the second window
+    ONLY via the valid_from half — the real scale play is persisting
+    the history partitioned by valid_from month so snapshots prune to
+    a handful of partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    w_mark = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+        F.lag("event_type").over(w_mark).alias("prev_type"),
+    )
+    starts = marked.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    hist = starts.select(
+        "user_id",
+        "event_type",
+        F.col("es").alias("valid_from"),
+        F.lead("es").over(w).alias("valid_to"),
+    )
+    return hist.filter(
+        (F.col("valid_from") <= _SNAP_ES)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > _SNAP_ES))
+    ).select("user_id", F.col("event_type").alias("state_at_snapshot"), "valid_from")

@@ -281,3 +281,74 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     tris = per_edge.agg(F.sum("tri_at_edge").alias("n_triangles"))
     return nodes.crossJoin(edges).crossJoin(tris)
+
+
+_CC_ROUNDS = 3
+
+
+def _cc_round_sql(prev: str, out: str) -> str:
+    """One unrolled label-propagation round: each node takes the min of
+    its own label and all neighbors' labels (one aggregate per round)."""
+    return f"""
+    {out} AS (
+        SELECT node, min(lab) AS lab FROM (
+            SELECT e.dst AS node, r.lab FROM edges e JOIN {prev} r ON e.src = r.node
+            UNION ALL
+            SELECT node, lab FROM {prev}
+        ) GROUP BY node
+    )
+    """
+
+
+@op(
+    "graph_connected_components",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    lab0 AS (
+        SELECT DISTINCT src AS node,
+               CASE WHEN src LIKE 'c%'
+                    THEN CAST(substr(src, 2) AS BIGINT)
+                    ELSE 100000000 + CAST(substr(src, 2) AS BIGINT) END AS lab
+        FROM edges
+    ),
+    {", ".join(_cc_round_sql(f"lab{k}", f"lab{k + 1}") for k in range(_CC_ROUNDS))}
+    SELECT lab AS component, count(*) AS n_nodes
+    FROM lab{_CC_ROUNDS} GROUP BY lab
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by K=3 unrolled rounds of
+    min-label propagation over the trade graph (the classic
+    hash-to-min step, exact on any graph whose components have
+    diameter <= K; the bipartite trade graph collapses in 2-3 hops).
+    Per round: edges join the node-sized label table — broadcast, so
+    the big edge relation never re-shuffles — then one hash aggregate
+    takes the min over {{self}} ∪ {{neighbors}}.  Labels are numeric
+    (custkey / 10^8 + suppkey), making min() integer-exact on both
+    engines; the oracle unrolls the identical rounds as chained CTEs
+    (same fixed-K trick as graph_pagerank)."""
+    edges = _edges(spark, sf_dir)
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.when(
+            F.col("src").startswith("c"),
+            F.substring(F.col("src"), 2, 20).cast("bigint"),
+        )
+        .otherwise(
+            F.lit(100000000) + F.substring(F.col("src"), 2, 20).cast("bigint")
+        )
+        .alias("lab"),
+    )
+    for _ in range(_CC_ROUNDS):
+        contrib = (
+            edges.join(F.broadcast(labels), edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lab")
+        )
+        labels = (
+            contrib.unionByName(labels.select("node", "lab"))
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+    return labels.groupBy(F.col("lab").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

@@ -963,3 +963,55 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ticks"),
         dsum("value").alias("volume"),
     )
+
+
+@op(
+    "ts_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ),
+    num AS (
+        SELECT user_id,
+               datediff('day', DATE '1970-01-01', d) AS dn,
+               row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM days
+    ),
+    isl AS (
+        SELECT user_id, dn - rn AS island, count(*) AS streak_len
+        FROM num GROUP BY user_id, dn - rn
+    )
+    SELECT user_id,
+           max(streak_len) AS longest_streak,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks
+    FROM isl GROUP BY user_id
+    """,
+)
+def ts_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands pattern in its integer form: distinct active days,
+    a per-user row_number, and the invariant that (day_number - rn) is
+    constant exactly along a consecutive run.  All arithmetic is
+    integer (epoch-day minus rank), so parity is exact by construction.
+    One hash exchange on user_id serves the distinct, the window, and
+    both aggregates; islands never leave their partition — at 100 TB
+    this is a single shuffle of (user, day) pairs, already deduped
+    map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    num = days.select(
+        "user_id",
+        F.datediff(F.col("d"), F.to_date(F.lit("1970-01-01"))).alias("dn"),
+        F.row_number().over(w).alias("rn"),
+    )
+    isl = num.groupBy("user_id", (F.col("dn") - F.col("rn")).alias("island")).agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return isl.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )

@@ -207,3 +207,19 @@ def test_upsert_changes_side_broadcasts(spark, registry):
     unavoidable exchanges."""
     plan = plan_of(registry, spark, "etl_upsert")
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_connected_components_broadcasts_labels(spark, registry):
+    """Each propagation round joins the big edge relation to the
+    node-sized label table — must broadcast, never sort-merge."""
+    plan = plan_of(registry, spark, "graph_connected_components")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_streak_islands_stay_partition_local(spark, registry):
+    """Gaps-and-islands is window + two aggregates over user-keyed
+    hash partitionings — no join of any kind should appear."""
+    plan = plan_of(registry, spark, "ts_streak")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 4
