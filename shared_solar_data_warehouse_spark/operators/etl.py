@@ -206,3 +206,79 @@ def etl_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("valid_from") <= _SNAP_ES)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > _SNAP_ES))
     ).select("user_id", F.col("event_type").alias("state_at_snapshot"), "valid_from")
+
+
+@op(
+    "etl_dq_report",
+    oracle="""
+    WITH j AS (
+        SELECT l.l_quantity, l.l_extendedprice, l.l_discount, l.l_shipdate,
+               o.o_orderkey, o.o_orderdate
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), a AS (
+        SELECT count(*) AS n_checked,
+               count_if(l_quantity IS NULL) AS qty_null,
+               count_if(l_quantity IS NOT NULL
+                        AND (l_quantity < 1 OR l_quantity > 50)) AS qty_out_of_range,
+               count_if(l_extendedprice <= 0) AS price_nonpositive,
+               count_if(l_discount < 0 OR l_discount > 1) AS discount_out_of_range,
+               count_if(o_orderkey IS NULL) AS orphan_lineitem,
+               count_if(l_shipdate < o_orderdate) AS ship_before_order
+        FROM j
+    )
+    SELECT rule_name, n_violations, n_checked FROM (
+        SELECT 'qty_null' AS rule_name, qty_null AS n_violations, n_checked FROM a
+        UNION ALL SELECT 'qty_out_of_range', qty_out_of_range, n_checked FROM a
+        UNION ALL SELECT 'price_nonpositive', price_nonpositive, n_checked FROM a
+        UNION ALL SELECT 'discount_out_of_range', discount_out_of_range, n_checked FROM a
+        UNION ALL SELECT 'orphan_lineitem', orphan_lineitem, n_checked FROM a
+        UNION ALL SELECT 'ship_before_order', ship_before_order, n_checked FROM a
+    )
+    """,
+)
+def etl_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule report — the warehouse-ingest gate the
+    reference's pipeline needs for gateway logs (duplicate/corrupt
+    records, counter anomalies; SURVEY.md §0.1): every rule evaluated
+    in ONE pass as conditional aggregates (count_if), then the 1-row
+    result unpivoted with stack() into (rule_name, n_violations,
+    n_checked).
+
+    Plan: one lineitem<-left-orders shuffle join (referential-orphan
+    rule needs it) feeding a single global aggregate whose partial
+    states are seven counters — map-side combine reduces each partition
+    to one row, so the final exchange moves ~n_partitions rows no
+    matter the table size.  At 100 TB this is the cheapest possible
+    full-table audit: one join + one all-reduce; rules that need no
+    join would split into a join-free branch to skip the shuffle
+    entirely.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "left")
+    a = j.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.expr("count_if(l_quantity IS NULL)").alias("qty_null"),
+        F.expr(
+            "count_if(l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50))"
+        ).alias("qty_out_of_range"),
+        F.expr("count_if(l_extendedprice <= 0)").alias("price_nonpositive"),
+        F.expr("count_if(l_discount < 0 OR l_discount > 1)").alias(
+            "discount_out_of_range"
+        ),
+        F.expr("count_if(o_orderkey IS NULL)").alias("orphan_lineitem"),
+        F.expr("count_if(l_shipdate < o_orderdate)").alias("ship_before_order"),
+    )
+    return a.select(
+        F.expr(
+            """stack(6,
+                 'qty_null', qty_null,
+                 'qty_out_of_range', qty_out_of_range,
+                 'price_nonpositive', price_nonpositive,
+                 'discount_out_of_range', discount_out_of_range,
+                 'orphan_lineitem', orphan_lineitem,
+                 'ship_before_order', ship_before_order)
+               AS (rule_name, n_violations)"""
+        ),
+        "n_checked",
+    )

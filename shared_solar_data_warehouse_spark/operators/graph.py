@@ -352,3 +352,88 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("lab").alias("component")).agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+@op(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_suppkey AS suppkey
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+    ), deg AS (
+        SELECT suppkey, count(*) AS deg FROM e GROUP BY suppkey
+    ), pairs AS (
+        SELECT a.suppkey AS s1, b.suppkey AS s2, count(*) AS common_cnt
+        FROM e a JOIN e b ON a.custkey = b.custkey AND a.suppkey < b.suppkey
+        GROUP BY a.suppkey, b.suppkey
+    )
+    SELECT s1, s2, common_cnt,
+           d1.deg + d2.deg - common_cnt AS union_cnt,
+           (common_cnt * 1000000) // (d1.deg + d2.deg - common_cnt)
+               AS jaccard_ppm
+    FROM pairs
+    JOIN deg d1 ON d1.suppkey = s1
+    JOIN deg d2 ON d2.suppkey = s2
+    ORDER BY jaccard_ppm DESC, s1, s2
+    LIMIT 100
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity between suppliers (link
+    prediction / entity-resolution primitive): two suppliers are
+    similar when they serve mostly the same customers.
+
+    |N(a) n N(b)| comes from the wedge join (self-join of the bipartite
+    edge list on the shared customer), |N(a) u N(b)| from the degree
+    identity da+db-common — so the union is never materialized.  All
+    counters are BIGINTs and the score is truncated-integer ppm
+    ((common*1e6) DIV union, both engines truncate toward zero —
+    verified) so the top-100 is hash-exact with a unique (s1,s2)
+    tie-break.  The edge list is restricted to one mktsegment to bound
+    the wedge fan-out (per-customer pairs are quadratic in its supplier
+    count).  At 100 TB the exact wedge join is the bottleneck — the
+    scale path is dedup_near_minhash's banded-minhash over neighbor
+    sets (same semantics, near-linear), with the degree table broadcast
+    at the final join (suppliers << edges).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    deg = e.groupBy("suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    a = e.select(F.col("custkey"), F.col("suppkey").alias("s1"))
+    b = e.select(F.col("custkey"), F.col("suppkey").alias("s2"))
+    pairs = (
+        a.join(b, ["custkey"])
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("common_cnt"))
+    )
+    d1 = deg.select(F.col("suppkey").alias("s1"), F.col("deg").alias("d1"))
+    d2 = deg.select(F.col("suppkey").alias("s2"), F.col("deg").alias("d2"))
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "common_cnt",
+            (F.col("d1") + F.col("d2") - F.col("common_cnt")).alias("union_cnt"),
+            F.expr("CAST((common_cnt * 1000000) DIV (d1 + d2 - common_cnt) AS BIGINT)")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy(F.col("jaccard_ppm").desc(), "s1", "s2")
+        .limit(100)
+    )

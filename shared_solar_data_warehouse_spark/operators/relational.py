@@ -1108,3 +1108,44 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+@op(
+    "sample_stratified",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+                AS BIGINT) % 100 AS bucket
+    FROM customer
+    WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100
+          < CASE c_mktsegment WHEN 'BUILDING' THEN 20
+                              WHEN 'AUTOMOBILE' THEN 10
+                              ELSE 5 END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates (20% of
+    BUILDING, 10% of AUTOMOBILE, 5% elsewhere) via the same portable
+    md5-prefix key hash as ``sample_split_train_test`` — membership is
+    a pure function of the key, so backfills and cross-engine replays
+    agree row-for-row, unlike ``df.sampleBy`` (seed+partitioning
+    dependent).  Narrow projection+filter, zero shuffles; at 100 TB the
+    predicate pushes to the scan and the op is embarrassingly parallel.
+    Oversampling rare strata this way is the standard class-rebalance
+    move in training-data pipelines.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    h = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 20)
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", 10)
+        .otherwise(5)
+    )
+    return c.select("c_custkey", "c_mktsegment", h.alias("bucket")).filter(
+        F.col("bucket") < rate
+    )

@@ -413,3 +413,64 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_deny.cast("int").alias("n_redacted"),
         (n_deny > 0).alias("was_scrubbed"),
     )
+
+
+@op(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, length(text) AS n,
+               unnest(string_split(text, '')) AS ch
+        FROM documents
+        WHERE length(text) > 0
+    ), counts AS (
+        SELECT doc_id, n, ch, count(*) AS k
+        FROM chars GROUP BY doc_id, n, ch
+    )
+    SELECT doc_id,
+           round(CAST(-CAST(sum(CAST(floor((k / n) * log2(k / n) * 1e12 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12,
+                 6) AS entropy_bits
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate detector in pretraining quality pipelines
+    (low entropy = repeated chars/padding, high = random noise).
+
+    Parity: each term p*log2(p) is quantized to integer 1e-12 units
+    BEFORE the per-doc sum (floor(x*1e12+0.5) as BIGINT), making the
+    float sum order-independent and immune to JVM-vs-DuckDB libm ulp
+    drift in log2 (verified bit-equal on both engines for the md5-style
+    probe set).  Both engines' `/` on BIGINTs is float division, and
+    split('')/string_split('') agree on multibyte chars (verified).
+
+    Plan: explode chars -> two-level groupBy (doc,char) then (doc) —
+    both shuffles key on doc_id so AQE coalesces them; map-side partial
+    aggregation absorbs the 1-row-per-char blowup before the exchange.
+    At 100 TB you'd replace the explode with a per-document Pandas UDF
+    computing the histogram in one pass (numpy bincount over codepoints)
+    to avoid materializing n_chars rows — the explode form is the
+    oracle-checkable reference semantics.
+    """
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.length("text").alias("n"),
+            F.explode(F.split("text", "")).alias("ch"),
+        )
+    )
+    counts = d.groupBy("doc_id", "n", "ch").agg(F.count(F.lit(1)).alias("k"))
+    q = F.expr("CAST(floor((k / n) * log2(k / n) * 1e12 + 0.5) AS BIGINT)")
+    return (
+        counts.select("doc_id", q.alias("q"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum("q").cast("double") / F.lit(1e12), 6).alias(
+                "entropy_bits"
+            )
+        )
+    )

@@ -1015,3 +1015,264 @@ def ts_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("streak_len").alias("n_active_days"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+@op(
+    "ts_energy_integrate",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               value,
+               lag(value) OVER w AS prev_value,
+               {_DUCK_EPOCH_S} - lag({_DUCK_EPOCH_S}) OVER w AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, day,
+           CAST(sum(CAST(floor((value + prev_value) * gap_s * 1e6 + 0.5)
+                         AS BIGINT)) AS BIGINT) // 7200 AS energy_uwh,
+           count(*) AS n_intervals
+    FROM r WHERE prev_value IS NOT NULL
+    GROUP BY user_id, day
+    """,
+)
+def ts_energy_integrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal power→energy integration — THE SharedSolar
+    transform (§0.1): instantaneous W readings become Wh per circuit
+    per day via sum((v_i + v_{i-1})/2 * dt_s)/3600, each interval
+    attributed to its later reading's day.
+
+    Parity: each trapezoid term (double add + double mul, identical
+    IEEE ops both engines) is quantized to 1e-6 units BEFORE the sum,
+    so the per-day accumulation is exact BIGINT — order-independent —
+    and the result is emitted as integer micro-Wh via truncated
+    integer division (sum DIV 7200) — a final round() on the double
+    quotient straddled a 6th-decimal boundary between the engines'
+    rounding implementations, so no float leaves the op at all.  One window exchange on user_id
+    feeds the groupBy on (user_id, day) — same key prefix, so AQE
+    reuses the partitioning and the agg is map-side-combinable.  At
+    100 TB, date-partitioned storage makes the day boundary a scan
+    prune; per-circuit streams are contiguous after the one exchange.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts")
+    r = e.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (es - F.lag(es).over(w)).alias("gap_s"),
+    ).filter(F.col("prev_value").isNotNull())
+    q = F.expr("CAST(floor((value + prev_value) * gap_s * 1e6 + 0.5) AS BIGINT)")
+    return r.groupBy("user_id", "day").agg(
+        F.sum(q).alias("_sq"), F.count(F.lit(1)).alias("n_intervals")
+    ).select(
+        "user_id",
+        "day",
+        F.expr("CAST(_sq DIV 7200 AS BIGINT)").alias("energy_uwh"),
+        "n_intervals",
+    )
+
+
+@op(
+    "ts_coincidence_factor",
+    oracle="""
+    WITH r AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(hour(ts) AS INTEGER) AS hr,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), hourly_user AS (
+        SELECT day, hr, user_id, CAST(sum(v) AS BIGINT) AS uv
+        FROM r GROUP BY day, hr, user_id
+    ), hourly_sys AS (
+        SELECT day, hr, CAST(sum(uv) AS BIGINT) AS sv
+        FROM hourly_user GROUP BY day, hr
+    ), sys_peak AS (
+        SELECT day, max(sv) AS peak_system_micro FROM hourly_sys GROUP BY day
+    ), user_peak AS (
+        SELECT day, user_id, max(uv) AS up FROM hourly_user GROUP BY day, user_id
+    ), sum_peaks AS (
+        SELECT day, CAST(sum(up) AS BIGINT) AS sum_user_peaks_micro
+        FROM user_peak GROUP BY day
+    )
+    SELECT s.day, peak_system_micro, sum_user_peaks_micro,
+           (peak_system_micro * 1000000) // sum_user_peaks_micro
+               AS coincidence_ppm
+    FROM sys_peak s JOIN sum_peaks p ON s.day = p.day
+    """,
+)
+def ts_coincidence_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak-coincidence factor — system peak hourly load divided
+    by the sum of individual circuit peaks (≤ 1; the micro-grid sizing
+    statistic from the SharedSolar analyses, §0.1).
+
+    Readings are quantized to exact BIGINT micro-units at the scan, so
+    every aggregate downstream (hourly sums, maxes, the ppm ratio via
+    truncated integer DIV) is integer-exact — zero float parity risk.
+    The plan reuses partials: hourly_user shuffles once on (day, hr,
+    user); hourly_sys and user_peak both reduce it with key-prefix
+    aggregations, and the final join is day-keyed on ~365 rows/year —
+    broadcast-sized at any scale.  100 TB: date partitioning prunes,
+    and no stage ever re-reads events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    r = e.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.hour("ts").alias("hr"),
+        F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)").alias("v"),
+    )
+    hourly_user = r.groupBy("day", "hr", "user_id").agg(F.sum("v").alias("uv"))
+    hourly_sys = hourly_user.groupBy("day", "hr").agg(F.sum("uv").alias("sv"))
+    sys_peak = hourly_sys.groupBy("day").agg(
+        F.max("sv").alias("peak_system_micro")
+    )
+    user_peak = hourly_user.groupBy("day", "user_id").agg(F.max("uv").alias("up"))
+    sum_peaks = user_peak.groupBy("day").agg(
+        F.sum("up").alias("sum_user_peaks_micro")
+    )
+    return sys_peak.join(sum_peaks, "day").select(
+        "day",
+        "peak_system_micro",
+        "sum_user_peaks_micro",
+        F.expr(
+            "CAST((peak_system_micro * 1000000) DIV sum_user_peaks_micro AS BIGINT)"
+        ).alias("coincidence_ppm"),
+    )
+
+
+@op(
+    "ts_credit_reconciliation",
+    oracle=f"""
+    WITH b AS (
+        SELECT user_id, event_id, {_DUCK_EPOCH_S} AS es,
+               CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+                                  ELSE -0.1 * value END AS DECIMAL(25,8))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(25,8)) AS bal
+        FROM events
+    )
+    SELECT user_id,
+           round(CAST(min(bal) AS DOUBLE), 4) AS min_balance,
+           CAST(min(CASE WHEN bal < 0 THEN es * 100000000 + event_id END)
+                % 100000000 AS BIGINT) AS first_neg_event_id,
+           count_if(bal < 0) AS n_negative_readings
+    FROM b GROUP BY user_id
+    """,
+)
+def ts_credit_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prepaid-credit reconciliation audit (§0.1's accounting model):
+    per circuit, the lifetime-minimum running balance, the FIRST reading
+    where the balance went negative (service should have cut off), and
+    how many readings were spent in arrears.
+
+    The running balance reuses ts_running_balance's exact DECIMAL(25,8)
+    frame; "first" is time-first, encoded order-safely as the BIGINT
+    composite es*1e8+event_id (epoch ~1.7e9 × 1e8 < 2^63; event_id <
+    1e8 holds to ~sf1000, asserted in the docstring rather than data)
+    so a plain integer min() finds it without struct-ordering parity
+    risk.  One exchange on user_id serves both the window and the final
+    groupBy — at 100 TB the audit is a single pass per circuit stream.
+    """
+    e = load_table(spark, sf_dir, "events")
+    signed = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(-0.1 * F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.sum(signed.cast(DEC)).over(w).cast(DEC).alias("bal"),
+    )
+    return b.groupBy("user_id").agg(
+        F.round(F.min("bal").cast("double"), 4).alias("min_balance"),
+        (
+            F.min(
+                F.when(
+                    F.col("bal") < 0,
+                    F.col("es") * F.lit(100000000).cast("bigint")
+                    + F.col("event_id"),
+                )
+            )
+            % 100000000
+        )
+        .cast("bigint")
+        .alias("first_neg_event_id"),
+        F.expr("count_if(bal < 0)").alias("n_negative_readings"),
+    )
+
+
+@op(
+    "ts_tariff_billing",
+    oracle="""
+    WITH tariff(band, rate) AS (
+        VALUES ('peak', 0.25), ('shoulder', 0.15), ('off', 0.05)
+    ), usage AS (
+        SELECT user_id,
+               CASE WHEN hour(ts) BETWEEN 18 AND 22 THEN 'peak'
+                    WHEN hour(ts) BETWEEN 6 AND 17 THEN 'shoulder'
+                    ELSE 'off' END AS band,
+               value
+        FROM events
+        WHERE event_type <> 'purchase'
+    )
+    SELECT u.user_id, u.band,
+           round(CAST(CAST(sum(CAST(floor(u.value * t.rate * 1e6 + 0.5)
+                                    AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6,
+                 6) AS billed_amount,
+           count(*) AS n_billed_readings
+    FROM usage u JOIN tariff t ON u.band = t.band
+    GROUP BY u.user_id, u.band
+    """,
+)
+def ts_tariff_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-use tariff billing: consumption readings are banded by
+    hour (peak 18–22 / shoulder 6–17 / off otherwise), joined to an
+    in-memory tariff dimension, and charged value×rate — the
+    reference's credit-drawdown pricing generalized to banded rates.
+
+    The tariff dim is a literal 3-row DataFrame broadcast into the
+    fact scan (the canonical small-dim star join — zero shuffle added;
+    at 100 TB the same broadcast holds for any real tariff table).
+    Each charge is quantized to BIGINT micro-currency before summing:
+    value*rate is one double multiply, bit-identical both engines, so
+    the aggregate is order-independent-exact.  One shuffle total, on
+    the (user_id, band) group key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    tariff = spark.createDataFrame(
+        [("peak", 0.25), ("shoulder", 0.15), ("off", 0.05)],
+        "band string, rate double",
+    )
+    usage = e.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.when(F.hour("ts").between(18, 22), "peak")
+        .when(F.hour("ts").between(6, 17), "shoulder")
+        .otherwise("off")
+        .alias("band"),
+        "value",
+    )
+    return (
+        usage.join(F.broadcast(tariff), "band")
+        .groupBy("user_id", "band")
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr("CAST(floor(value * rate * 1e6 + 0.5) AS BIGINT)")
+                ).cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("billed_amount"),
+            F.count(F.lit(1)).alias("n_billed_readings"),
+        )
+    )

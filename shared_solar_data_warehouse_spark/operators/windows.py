@@ -306,3 +306,61 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_types_so_far"),
     )
+
+
+@op(
+    "win_moving_median",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           median(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS qty_moving_median
+    FROM lineitem
+    """,
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sliding-window median (robust smoother — the outlier-proof
+    twin of ``win_sliding_rows``'s moving average).
+
+    Spark's ``median`` aggregate rejects window frames
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC, verified on 4.1.2), so
+    the frame's rows are collected with ``collect_list`` over the same
+    ROWS frame, ``array_sort``-ed, and the middle element(s) picked —
+    all JVM-side expressions, no Python.  The frame is O(1) rows (7),
+    so the per-row array cost is constant and the whole op stays one
+    window exchange on the partition key; the ORDER BY ends in the
+    unique (l_orderkey, l_linenumber) so frame contents are
+    deterministic under shuffle (SURVEY.md §5.4).  l_quantity is a
+    whole BIGINT 1..50, so the even-count midpoint average (x.5) is
+    exact in double — hash-parity safe.  At 100 TB this scales like any
+    keyed window: one exchange on l_suppkey, per-key state streams
+    through the sort; a wide frame (say 10k rows) would instead want
+    the two-heap running-median over applyInPandas.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, 3)
+    )
+    arr = F.array_sort(F.collect_list("l_quantity").over(w))
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        arr.alias("_arr"),
+    ).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.expr(
+            """CASE WHEN size(_arr) % 2 = 1
+                    THEN CAST(element_at(_arr, CAST(size(_arr) DIV 2 + 1 AS INT)) AS DOUBLE)
+                    ELSE (CAST(element_at(_arr, CAST(size(_arr) DIV 2 AS INT)) AS DOUBLE)
+                          + CAST(element_at(_arr, CAST(size(_arr) DIV 2 + 1 AS INT)) AS DOUBLE)) / 2.0
+               END"""
+        ).alias("qty_moving_median"),
+    )
