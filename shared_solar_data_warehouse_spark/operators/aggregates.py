@@ -854,3 +854,34 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3c / F.sqrt(var * var * var), 4).alias("qty_skewness"),
         F.round(m4c / (var * var) - F.lit(3.0), 4).alias("qty_excess_kurtosis"),
     )
+
+
+@op(
+    "agg_geomean_log",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(floor(ln(l_quantity) * 1e12 + 0.5) AS BIGINT))
+                AS BIGINT) // count(*) AS mean_ln_q12,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_geomean_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean in log space — the right average for multiplicative
+    quantities (growth rates, per-token perplexities).  geomean =
+    exp(mean_ln_q12 / 1e12); the op emits the log-space mean as an
+    integer in 1e-12 units so NO float crosses the engine boundary:
+    each ln() term is quantized pre-sum (libm-ulp-proof, same pattern
+    as text_char_entropy) and the mean is truncated integer division.
+    One map-side-combinable groupBy; at 100 TB this is as cheap as
+    sum/count."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "CAST(sum(CAST(floor(ln(l_quantity) * 1e12 + 0.5) AS BIGINT))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("mean_ln_q12"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1149,3 +1149,60 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", "c_mktsegment", h.alias("bucket")).filter(
         F.col("bucket") < rate
     )
+
+
+@op(
+    "join_null_safe",
+    oracle="""
+    WITH k AS (
+        SELECT n_nationkey, n_name,
+               CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS rk
+        FROM nation
+    )
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           coalesce(a.rk, -1) AS joined_region
+    FROM k a JOIN k b
+      ON a.rk IS NOT DISTINCT FROM b.rk
+     AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join: Spark's ``<=>`` (NULL matches NULL,
+    one hash bucket) == DuckDB's IS NOT DISTINCT FROM.  The nullable
+    key is derived (one region masked to NULL) so the NULL-group
+    cross-match is actually exercised, with a key inequality bounding
+    the pair blowup.  At scale the NULL bucket is the classic skew key:
+    ``<=>`` keeps it joinable where a plain ``=`` would silently drop
+    those rows — the data-engineering failure mode this op documents;
+    a giant NULL population would instead want join_skew_salted's
+    fan-out treatment.
+    """
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("n_regionkey") == 2, F.lit(None).cast("int"))
+        .otherwise(F.col("n_regionkey"))
+        .alias("rk"),
+    )
+    a = n.select(
+        F.col("n_nationkey").alias("key_a"),
+        F.col("n_name").alias("name_a"),
+        F.col("rk").alias("rk_a"),
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("key_b"),
+        F.col("n_name").alias("name_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    return (
+        a.join(
+            b,
+            F.col("rk_a").eqNullSafe(F.col("rk_b"))
+            & (F.col("key_a") < F.col("key_b")),
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.coalesce(F.col("rk_a"), F.lit(-1)).alias("joined_region"),
+        )
+    )

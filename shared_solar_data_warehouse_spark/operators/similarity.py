@@ -484,3 +484,45 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+@op(
+    "sim_embedding_norm",
+    oracle="""
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           CAST(floor(list_aggregate(
+                    list_transform(embedding,
+                                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    'sum') * 1e9 + 0.5) AS BIGINT) AS sumsq_q9,
+           abs(CAST(floor(list_aggregate(
+                    list_transform(embedding,
+                                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                    'sum') * 1e9 + 0.5) AS BIGINT) - 1000000000) <= 1000000
+               AS is_unit_norm
+    FROM embeddings
+    """,
+)
+def sim_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm audit — the vector-hygiene check before any
+    cosine/ANN stage (a non-normalized vector silently reweights every
+    similarity).  The squared norm is a sequential left fold
+    (F.aggregate == DuckDB list_aggregate'sum', both strict
+    element-order folds over float->double promotions — verified
+    bit-equal), quantized to 1e-9 units, with a ±1e-3 unit-norm flag as
+    pure integer compare.  Narrow, shuffle-free, whole-stage-codegen'd;
+    at 100 TB it pipelines inside the scan like any projection.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    sumsq_q = F.expr(
+        "CAST(floor(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+        " * 1e9 + 0.5) AS BIGINT)"
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        sumsq_q.alias("sumsq_q9"),
+        (F.abs(sumsq_q - F.lit(1000000000)) <= 1000000).alias("is_unit_norm"),
+    )
