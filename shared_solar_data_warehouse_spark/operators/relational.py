@@ -1206,3 +1206,63 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("rk_a"), F.lit(-1)).alias("joined_region"),
         )
     )
+
+
+@op(
+    "join_range_bucketed",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS lo,
+               max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS hi
+        FROM events WHERE event_type = 'click'
+        GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.event_id AS purchase_id, iv.day,
+           iv.hi - iv.lo AS interval_span_s
+    FROM (SELECT user_id, event_id, ts,
+                 CAST(date_trunc('day', ts) AS DATE) AS day,
+                 CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+          FROM events WHERE event_type = 'purchase') p
+    JOIN iv ON p.user_id = iv.user_id AND p.day = iv.day
+           AND p.es BETWEEN iv.lo AND iv.hi
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join done the scalable way: bucket the range
+    key (calendar day) into an EQUI-join key, hash-join on (user_id,
+    day), then refine with the residual range predicate — the standard
+    rewrite that turns an O(n·m) interval join (BroadcastNestedLoop,
+    cf. join_range) into a shuffle hash join whose per-bucket work is
+    tiny.  Intervals here are each circuit's daily click span;
+    purchases landing inside the span join to it.  At 100 TB this is
+    THE pattern for time-interval joins: both sides partition by
+    (entity, day), so the join never leaves the bucket — intervals
+    crossing midnight would be exploded into one row per touched day
+    first (same join, duplicated build rows).  All epoch arithmetic is
+    BIGINT floor-seconds (§5.4) — hash-exact.
+    """
+    e = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    day = F.to_date(F.date_trunc("day", "ts"))
+    iv = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", day.alias("day"), es.alias("es"))
+        .groupBy("user_id", "day")
+        .agg(F.min("es").alias("lo"), F.max("es").alias("hi"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        day.alias("day"), es.alias("es"),
+    )
+    return (
+        p.join(iv, ["user_id", "day"])
+        .filter(F.col("es").between(F.col("lo"), F.col("hi")))
+        .select(
+            "user_id",
+            "purchase_id",
+            "day",
+            (F.col("hi") - F.col("lo")).alias("interval_span_s"),
+        )
+    )

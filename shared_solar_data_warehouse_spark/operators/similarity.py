@@ -526,3 +526,48 @@ def sim_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         sumsq_q.alias("sumsq_q9"),
         (F.abs(sumsq_q - F.lit(1000000000)) <= 1000000).alias("is_unit_norm"),
     )
+
+
+@op(
+    "sim_label_centroids",
+    oracle="""
+    WITH x AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS i,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT label, CAST(i - 1 AS INTEGER) AS pos,
+           CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5)
+                         AS BIGINT)) AS BIGINT) // count(*) AS centroid_q6,
+           count(*) AS n_vectors
+    FROM x GROUP BY label, i
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the k-means/IVF training
+    primitive (and the class-prototype builder for nearest-centroid
+    classification).  Emitted long-form (label, dimension position,
+    mean) so no array reassembly crosses the engine boundary; each
+    component is quantized to 1e-6 units pre-sum and the mean is
+    truncated integer division — fully exact.
+
+    Plan: posexplode -> groupBy (label, pos) is ONE shuffle whose
+    map-side partial aggregation collapses the 64× row blowup to
+    (n_labels × dim) partials per task before the exchange — the same
+    shape Spark ML's KMeans update step uses.  At 100 TB the
+    aggregate state is n_labels×dim counters per task: broadcastable
+    back for the next IVF assignment round (see sim_ann_ivf).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.expr("CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").alias("q"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.expr("CAST(sum(q) DIV count(*) AS BIGINT)").alias("centroid_q6"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -364,3 +364,50 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                END"""
         ).alias("qty_moving_median"),
     )
+
+
+@op(
+    "win_share_of_total",
+    oracle="""
+    WITH m AS (
+        SELECT user_id, event_type,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS v_micro
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, v_micro,
+           (v_micro * 1000000) //
+               CAST(sum(v_micro) OVER (PARTITION BY user_id) AS BIGINT)
+               AS share_ppm
+    FROM m
+    """,
+)
+def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-group-total (the BI "percent of total" / share-of-wallet
+    measure): each circuit's per-event-type usage as ppm of the
+    circuit's total.  Readings quantize to BIGINT micro-units at the
+    scan, so the group sums, the window total, and the ppm ratio
+    (truncated DIV) are all integer-exact.  Plan: one groupBy shuffle
+    on (user_id, event_type), then the window re-uses the user_id
+    prefix — AQE coalesces to a single exchange; at 100 TB the window
+    state per key is one counter.
+    """
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)")).alias("v_micro")
+    )
+    w = Window.partitionBy("user_id")
+    return m.select(
+        "user_id",
+        "event_type",
+        "v_micro",
+        F.expr(
+            "CAST(v_micro * 1000000 AS BIGINT)"
+        ).alias("_num"),
+        F.sum("v_micro").over(w).alias("_den"),
+    ).select(
+        "user_id",
+        "event_type",
+        "v_micro",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("share_ppm"),
+    )

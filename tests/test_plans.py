@@ -223,3 +223,38 @@ def test_streak_islands_stay_partition_local(spark, registry):
     plan = plan_of(registry, spark, "ts_streak")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 4
+
+
+def test_tariff_billing_broadcasts_dim(spark, registry):
+    plan = plan_of(registry, spark, "ts_tariff_billing")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_jaccard_degree_joins_broadcast(spark, registry):
+    plan = plan_of(registry, spark, "graph_jaccard_neighbors")
+    # degree table (suppliers << edges) must broadcast into the pair join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_narrow(spark, registry):
+    # pure projection+filter: no shuffle anywhere in the plan
+    plan = plan_of(registry, spark, "sample_stratified")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_range_bucketed_join_is_hash_not_nl(spark, registry):
+    # the bucketing rewrite must make this an equi hash/merge join,
+    # never a nested-loop interval join
+    plan = plan_of(registry, spark, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_centroids_partial_agg_before_exchange(spark, registry):
+    # posexplode blowup must collapse map-side: partial HashAggregate
+    # below the exchange, final above
+    plan = plan_of(registry, spark, "sim_label_centroids")
+    assert "Generate" in plan
+    assert plan.count("HashAggregate") >= 2
