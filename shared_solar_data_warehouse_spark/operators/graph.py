@@ -437,3 +437,65 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_ppm").desc(), "s1", "s2")
         .limit(100)
     )
+
+
+_KCORE_K = 35
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(src_e: str, idx: int) -> str:
+    return f"""
+    d{idx} AS (SELECT src, count(*) AS deg FROM {src_e} GROUP BY src),
+    k{idx} AS (SELECT src FROM d{idx} WHERE deg >= {_KCORE_K}),
+    e{idx + 1} AS (
+        SELECT e.src, e.dst FROM {src_e} e
+        JOIN k{idx} a ON e.src = a.src
+        JOIN k{idx} b ON e.dst = b.src
+    )"""
+
+
+@op(
+    "graph_kcore",
+    oracle=f"""
+    WITH {_EDGES_SQL.strip().rstrip()}, e0 AS (SELECT src, dst FROM edges),
+    {", ".join(_kcore_round_sql(f"e{k}", k) for k in range(_KCORE_ROUNDS))}
+    SELECT substr(src, 1, 1) AS side,
+           CAST(substr(src, 2) AS BIGINT) AS node_id,
+           count(*) AS core_degree
+    FROM e{_KCORE_ROUNDS}
+    GROUP BY src
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (K={K}) of the bipartite trade graph by
+    {R} unrolled peeling rounds: drop every node with degree < K,
+    recompute degrees on the surviving subgraph, repeat — the dense-
+    community extractor (spam rings, power users) that iterates to a
+    fixpoint; this graph converges in one round at any sf because
+    supplier degrees sit far above K and customer degrees (distinct
+    suppliers per customer) are sf-stable, so fixed K stays in the
+    active band (the scale-sensitive-threshold trap, SURVEY.md §5.4).
+
+    Per round the surviving-node set (<= node count, always tiny next
+    to edges) broadcasts into the edge filter twice (src + dst side),
+    so the edge list never re-shuffles; edges materialize once via the
+    shared memo_checkpoint.  The oracle unrolls the identical rounds as
+    chained CTEs — everything is integer counts, hash-exact."""
+    e = _edges(spark, sf_dir)
+    for _ in range(_KCORE_ROUNDS):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("src")
+        e = (
+            e.join(F.broadcast(keep.withColumnRenamed("src", "ka")), F.col("src") == F.col("ka"))
+            .drop("ka")
+            .join(F.broadcast(keep.withColumnRenamed("src", "kb")), F.col("dst") == F.col("kb"))
+            .drop("kb")
+        )
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree")).select(
+        F.substring("src", 1, 1).alias("side"),
+        F.substring("src", 2, 20).cast("bigint").alias("node_id"),
+        "core_degree",
+    )
+
+
+graph_kcore.__doc__ = graph_kcore.__doc__.format(K=_KCORE_K, R=_KCORE_ROUNDS)

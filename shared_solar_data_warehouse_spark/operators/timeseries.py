@@ -1276,3 +1276,57 @@ def ts_tariff_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_billed_readings"),
         )
     )
+
+
+@op(
+    "ts_seasonality_index",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+        FROM events
+    ), h AS (
+        SELECT hour_of_day, CAST(sum(v) AS BIGINT) AS hour_sum,
+               count(*) AS hour_n
+        FROM r GROUP BY hour_of_day
+    ), g AS (
+        SELECT CAST(sum(hour_sum) AS BIGINT) AS total_sum,
+               CAST(sum(hour_n) AS BIGINT) AS total_n
+        FROM h
+    )
+    SELECT hour_of_day, hour_n,
+           CAST(floor((hour_sum / total_sum) * (total_n / hour_n) * 1e6 + 0.5)
+                AS BIGINT) AS seasonality_ppm
+    FROM h, g
+    """,
+)
+def ts_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal seasonality index: each hour-of-day's average reading as
+    ppm of the overall average (the normalized load-shape curve behind
+    tariff design).  index = (hour_sum/total_sum)·(total_n/hour_n) — a
+    pure rational of exact BIGINTs, evaluated with the identical IEEE
+    divide/multiply sequence on both engines and quantized with
+    floor(x·1e6+0.5), so it is deterministic WITHOUT decimal casts (no
+    libm, no round()-boundary exposure).  Plan: one groupBy on the
+    24-value hour key (map-side partials), a 1-row global reduce of the
+    24 partials, then a broadcast-NL cross join of 24×1 rows — nothing
+    fact-sized moves twice.  At 100 TB: same two tiny exchanges."""
+    e = load_table(spark, sf_dir, "events")
+    r = e.select(
+        F.hour("ts").alias("hour_of_day"),
+        F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)").alias("v"),
+    )
+    h = r.groupBy("hour_of_day").agg(
+        F.sum("v").alias("hour_sum"), F.count(F.lit(1)).alias("hour_n")
+    )
+    g = h.agg(
+        F.sum("hour_sum").alias("total_sum"), F.sum("hour_n").alias("total_n")
+    )
+    return h.crossJoin(F.broadcast(g)).select(
+        "hour_of_day",
+        "hour_n",
+        F.expr(
+            "CAST(floor((hour_sum / total_sum) * (total_n / hour_n) * 1e6 + 0.5)"
+            " AS BIGINT)"
+        ).alias("seasonality_ppm"),
+    )
