@@ -474,3 +474,110 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@op(
+    "text_dedup_normalized",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        FROM documents
+    )
+    SELECT norm_hash, count(*) AS n_copies, min(doc_id) AS canonical_doc_id
+    FROM n GROUP BY norm_hash
+    """,
+)
+def text_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup after text normalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) — the C4/RefinedWeb-style
+    step that catches documents differing only in casing/punctuation/
+    spacing, which exact-hash dedup (dedup_exact) misses.  Cluster key
+    is md5 of the canonical form; clusters of size > 1 are emitted with
+    their keep-the-smallest-id canonical.  Normalization + hash are
+    narrow codegen'd expressions; the single shuffle is the hash
+    groupBy.  At 100 TB: identical shape — this is cheaper than
+    minhash and always runs first in the dedup cascade.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+@op(
+    "text_length_histogram",
+    oracle="""
+    SELECT length(printf('%b', n_chars)) - 1 AS log2_bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY 1
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram — the corpus shape
+    diagnostic every pretraining pipeline plots first (truncation
+    tails, boilerplate spikes).  The bucket is the integer msb
+    position, computed as length(bin(n))-1: a pure integer/string
+    construction identical on both engines, deliberately NOT
+    floor(log2(n)) — libm log2 at exact powers of two is a last-ulp
+    boundary each engine may round differently.  Single map-side-
+    combinable groupBy over ~30 buckets; scales like any count."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return d.groupBy(
+        (F.length(F.bin("n_chars")) - 1).alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@op(
+    "text_source_quality",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT lang) AS n_langs,
+           (count_if(n_chars < 100) * 1000000) // count(*) AS short_doc_ppm,
+           CAST(sum(n_chars) AS BIGINT) // count(*) AS mean_chars_floor
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-provenance corpus QC: document count, language spread,
+    short-document rate (ppm), and mean length — the by-source triage
+    table used to drop or downweight low-quality feeds before training.
+    All-integer outputs (truncated DIV ppm/mean), one groupBy with a
+    distinct-aggregate (Spark expands to a two-phase plan: partial
+    (source, lang) dedup, then final count — still a single logical
+    pass).  At 100 TB, source cardinality is small: partials collapse
+    map-side and the exchange is tiny."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.expr(
+            "CAST(count_if(n_chars < 100) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("short_doc_ppm"),
+        F.expr("CAST(sum(n_chars) DIV count(*) AS BIGINT)").alias(
+            "mean_chars_floor"
+        ),
+    )
