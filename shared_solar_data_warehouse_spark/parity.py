@@ -15,8 +15,9 @@ decimal->double cast is the deterministic nearest-double.  The helpers
 below keep the two sides textually adjacent in every operator.
 
 Other pinned rules (enforced by convention in each operator module):
-- never output raw ``events.ts`` (ns in parquet; Spark truncates to µs,
-  DuckDB keeps ns) — always ``date_trunc`` / ``to_date`` both sides;
+- prefer ``date_trunc`` / ``to_date`` on ``events.ts`` output (µs in
+  parquet, identical in both engines — truncation is for stability of
+  bucketing semantics, not unit mismatch);
 - unique trailing tie-break key on every ORDER BY ... LIMIT;
 - ``array_sort`` every collected list; ``min_by``/``max_by`` not
   ``first``/``last`` in aggregations;

@@ -25,11 +25,6 @@ _RUNTIME_CONFS = {
     # Arrow for every pandas interop path (pandas_udf, applyInPandas,
     # toPandas) — columnar batch transfer instead of pickled rows.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.ts is TIMESTAMP(NANOS) parquet, which Spark's µs timestamp
-    # cannot represent and by default refuses to read.  Read nanos as
-    # raw int64 instead; sources.io.load_table converts to a µs
-    # TimestampType column (floor division — see its docstring).
-    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

@@ -42,20 +42,13 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; also pins parity confs on the session.
 
-    ``events.ts`` is ns-precision in Parquet.  Spark timestamps are µs,
-    so the session reads nanos as int64 (``nanosAsLong`` conf) and this
-    loader rebuilds ``ts`` as a µs TimestampType via floor division —
-    the value DuckDB sees truncated to µs.  Operators must still never
-    OUTPUT raw ``ts`` (oracle keeps ns); bucket/truncate both sides
-    (SURVEY.md §5.4).
+    ``events.ts`` is TIMESTAMP(MICROS) in the fixture parquet — Spark's
+    native µs TimestampType — so it loads directly with no unit
+    conversion; DuckDB sees the identical µs instants.  Operators
+    bucket/truncate ``ts`` on both sides anyway (SURVEY.md §5.4).
     """
     pin_session(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV CAST(1000 AS BIGINT)"))
-        )
-    return df
+    return spark.read.parquet(table_path(sf_dir, name))
 
 
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -353,7 +346,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(CASE WHEN doc_id % 7 <> 0 THEN 1 END) AS n_good,
            count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS n_corrupt,
-           sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS good_chars
+           CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars END) AS BIGINT) AS good_chars
     FROM documents
     """,
 )

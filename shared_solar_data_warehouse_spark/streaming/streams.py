@@ -32,11 +32,13 @@ from shared_solar_data_warehouse_spark.sources.io import scratch_dir, table_path
 
 _COUNTER = itertools.count()
 
-#: events parquet physical schema under nanosAsLong (ts arrives int64 ns).
+#: events parquet physical schema — fixtures store ts as TIMESTAMP(MICROS)
+#: (verified via pyarrow.parquet.read_schema on every sf), which maps
+#: directly onto Spark's µs TimestampType; no unit conversion is needed.
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -58,16 +60,13 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a file-source stream (ns ts rebuilt to µs,
-    same normalization as the batch loader)."""
+    """The events table as a file-source stream (µs TimestampType,
+    identical to what the batch loader reads)."""
     pin_session(spark)
-    raw = (
+    return (
         spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         .format("parquet")
         .load(_stream_dir(sf_dir))
-    )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV CAST(1000 AS BIGINT)"))
     )
 
 
