@@ -32,6 +32,11 @@ from shared_solar_data_warehouse_spark.sources.io import load_table
 
 _DAMP = 0.85
 _UNIT = 1_000_000_000_000_000.0  # 1e15 quantization grid for contributions
+
+#: Node cap for graph_triangle_count's driver bitmap regime: the packed
+#: adjacency is n^2/8 bytes (32768 -> 134 MB).  An edge cap alone is NOT
+#: sufficient — a sparse 2M-edge graph can span millions of nodes.
+DENSE_MAX_NODES = 32_768
 _ROUNDS = 3
 
 
@@ -204,12 +209,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same split `dedup_cluster` uses:
 
     * **Small dense graph** (≤ DRIVER_CC_MAX_EDGES after the distinct
-      — a 2M-edge list is ~32 MB): collect the oriented edge list,
-      pack each node's out-neighbor set into a bitmap row of an
-      |V|×|V|/8 uint8 matrix, and popcount ``row[u] & row[v]`` over
-      all edges with numpy — each triangle {u<v<w} is counted exactly
-      once at its smallest-id edge.  Milliseconds, zero shuffles
-      beyond the edge distinct.
+      — a 2M-edge list is ~32 MB — AND ≤ DENSE_MAX_NODES distinct
+      nodes, because the bitmap is |V|²/8 bytes: a sparse 2M-edge
+      graph can have 4M nodes, which would be a 2 TB matrix — the
+      round-1 bug, gate was edges-only): collect the oriented edge
+      list, pack each node's out-neighbor set directly into a packed
+      |V|×⌈|V|/8⌉ uint8 bitmap (``np.bitwise_or.at`` — no |V|² bool
+      intermediate), and popcount ``row[u] & row[v]`` over edges in
+      bounded chunks (the edge-indexed gather is chunk×⌈|V|/8⌉, never
+      E×⌈|V|/8⌉) — each triangle {u<v<w} is counted exactly once at
+      its smallest-id edge.  Milliseconds, zero shuffles beyond the
+      edge distinct.
     * **Large graph**: per-edge neighborhood intersection, fully
       distributed — build each node's sorted out-neighbor array,
       broadcast it to both endpoints, sum
@@ -250,18 +260,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         node_ids = np.unique(
             np.concatenate([edges_pd["u"].to_numpy(), edges_pd["v"].to_numpy()])
         )
-        idx = pd.Series(np.arange(len(node_ids)), index=node_ids)
         n = len(node_ids)
-        ui = idx[edges_pd["u"].to_numpy()].to_numpy()
-        vi = idx[edges_pd["v"].to_numpy()].to_numpy()
-        adj_bits = np.zeros((n, n), dtype=bool)
-        adj_bits[ui, vi] = True  # oriented u -> v (u < v)
-        packed = np.packbits(adj_bits, axis=1)
-        pop = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
-        n_tri = int(pop[packed[ui] & packed[vi]].sum())
-        return spark.createDataFrame(
-            [(int(n), int(n_edges), n_tri)], "n_nodes long, n_edges long, n_triangles long"
-        )
+        if n <= DENSE_MAX_NODES:  # bitmap is n^2/8 bytes — gate on NODES
+            idx = pd.Series(np.arange(n), index=node_ids)
+            ui = idx[edges_pd["u"].to_numpy()].to_numpy()
+            vi = idx[edges_pd["v"].to_numpy()].to_numpy()
+            nbytes = (n + 7) // 8
+            packed = np.zeros((n, nbytes), dtype=np.uint8)
+            np.bitwise_or.at(
+                packed,
+                (ui, vi >> 3),
+                np.left_shift(np.uint8(1), (7 - (vi & 7)).astype(np.uint8)),
+            )
+            pop = np.unpackbits(
+                np.arange(256, dtype=np.uint8)[:, None], axis=1
+            ).sum(1).astype(np.int64)
+            n_tri = 0
+            chunk = max(1, (64 << 20) // max(1, nbytes))  # ≤64 MB gather
+            for lo in range(0, len(ui), chunk):
+                sl = slice(lo, lo + chunk)
+                n_tri += int(pop[packed[ui[sl]] & packed[vi[sl]]].sum())
+            return spark.createDataFrame(
+                [(int(n), int(n_edges), n_tri)],
+                "n_nodes long, n_edges long, n_triangles long",
+            )
 
     adj = pairs.groupBy("u").agg(F.sort_array(F.collect_set("v")).alias("nbrs"))
     au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nbrs_u"))

@@ -581,3 +581,152 @@ def text_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_chars_floor"
         ),
     )
+
+
+@op(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), b AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2
+                    THEN list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+                    ELSE [] END AS bg
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(bg) AS INTEGER) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS INTEGER) AS n_distinct_bigrams,
+           CASE WHEN len(bg) > 0
+                THEN floor((1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                                  / len(bg)) * 1e4 + 0.5) / 1e4
+                ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN len(bg) > 0
+                THEN floor((1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)
+                                  / len(bg)) * 1e4 + 0.5) / 1e4
+                ELSE 0.0 END > 0.2 AS is_repetitive
+    FROM b
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score — the Gopher-style "fraction of
+    duplicate n-grams" quality rule every LLM pretraining pipeline runs
+    (Rae et al. 2021 §A1.1: drop docs whose duplicate-2-gram fraction
+    is high; boilerplate and SEO spam light up on it).
+
+    Per doc: bigram multiset (order-preserving adjacent pairs), distinct
+    count, and 1 - distinct/total rounded at 1e-4 via the floor formula
+    (parity.davg rationale — round() half-up vs banker's straddles).
+    Pure array expressions in whole-stage codegen, zero shuffles: at
+    100 TB this pipelines inside the document scan like any projection.
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2),"
+            " i -> concat(toks[i], ' ', toks[i + 1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", bigrams.alias("bg")).select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).alias("n_distinct_bigrams"),
+    )
+    frac = F.when(
+        F.col("n_bigrams") > 0,
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+            )
+            * 1e4
+            + 0.5
+        )
+        / 1e4,
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        frac.alias("dup_bigram_frac"),
+        (frac > 0.2).alias("is_repetitive"),
+    )
+
+
+#: Eval-set membership for decontamination: ~1% of docs (prime modulus).
+DECON_EVAL_MOD = 97
+
+#: Shingle width for contamination detection (3-token windows — small
+#: because the fixture vocabulary is 31 tokens; production uses 8-13).
+DECON_NGRAM = 3
+
+
+@op(
+    "text_decontaminate",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(toks) >= {DECON_NGRAM}
+                               THEN list_transform(
+                                   range(1, len(toks) - {DECON_NGRAM - 2}),
+                                   i -> toks[i] || ' ' || toks[i + 1]
+                                        || ' ' || toks[i + 2])
+                               ELSE [] END) AS shingle
+            FROM t)
+    ), ev AS (
+        SELECT doc_id AS eval_doc, shingle FROM sh
+        WHERE doc_id % {DECON_EVAL_MOD} = 0
+    ), co AS (
+        SELECT doc_id, shingle FROM sh WHERE doc_id % {DECON_EVAL_MOD} <> 0
+    )
+    SELECT co.doc_id,
+           count(DISTINCT ev.eval_doc) AS n_eval_docs_hit,
+           count(DISTINCT co.shingle) AS n_shared_shingles
+    FROM co JOIN ev ON ev.shingle = co.shingle
+    GROUP BY co.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents sharing any
+    3-token shingle with a held-out eval set (here: doc_id % 97 == 0,
+    standing in for the benchmark suite).  The op every serious
+    pretraining pipeline runs before training (n-gram overlap
+    decontamination, GPT-3 appendix C / PaLM §6.1 style).
+
+    Plan shape: one distinct (doc, shingle) projection feeds both
+    sides; the eval side (~1% of docs) is BROADCAST into the shingle
+    join, so the corpus side never shuffles — exactly the production
+    asymmetry, where the eval suite is a fixed small artifact against a
+    100 TB corpus.  Output: per contaminated doc, how many eval docs it
+    collides with and on how many distinct shingles.
+    """
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    shingles = F.when(
+        F.size("toks") >= DECON_NGRAM,
+        F.expr(
+            f"transform(sequence(0, size(toks) - {DECON_NGRAM}),"
+            " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        d.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+    ev = sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    co = sh.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return (
+        co.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_doc").alias("n_eval_docs_hit"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+    )

@@ -258,3 +258,30 @@ def test_centroids_partial_agg_before_exchange(spark, registry):
     plan = plan_of(registry, spark, "sim_label_centroids")
     assert "Generate" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_triangle_count_distributed_branch_when_nodes_exceed_gate(
+    spark, registry, monkeypatch
+):
+    """VERDICT r01 item 6: the driver bitmap is n^2/8 bytes, so the
+    dense regime must gate on NODE count, not just edges.  Force the
+    gate shut and assert the distributed wedge-free path produces the
+    identical census."""
+    from shared_solar_data_warehouse_spark.operators import graph
+
+    dense = registry["graph_triangle_count"].builder(spark, SF_ORACLE).collect()
+    monkeypatch.setattr(graph, "DENSE_MAX_NODES", 0)
+    dist = registry["graph_triangle_count"].builder(spark, SF_ORACLE).collect()
+    assert [tuple(r) for r in dense] == [tuple(r) for r in dist]
+    plan = explain_formatted(
+        registry["graph_triangle_count"].builder(spark, SF_ORACLE)
+    )
+    assert "array_intersect" in plan  # distributed per-edge intersection
+
+
+def test_decontaminate_broadcasts_eval_side(spark, registry):
+    """The eval split (~1%) must broadcast into the shingle join — the
+    100 TB asymmetry: corpus side stays un-shuffled by the join."""
+    plan = plan_of(registry, spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

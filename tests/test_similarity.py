@@ -79,3 +79,16 @@ def test_simhash_symmetric_and_bounded(spark, registry):
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
         assert 0 <= r["hamming"] <= 3
+
+
+def test_near_embedding_is_distributed_no_driver_collect(spark, registry):
+    """Scale guard (VERDICT r01 item 5): the exact near-dup pass must
+    not collect the corpus to the driver — candidates come from a
+    grouped block-pair GEMM (FlatMapGroupsInPandas in the plan)."""
+    import inspect
+
+    src = inspect.getsource(registry["dedup_near_embedding"].builder)
+    assert ".collect()" not in src, "corpus collect reintroduced"
+    df = registry["dedup_near_embedding"].builder(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
