@@ -538,3 +538,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).cast("long").alias("key_shl"),
         F.shiftright(k, 3).cast("long").alias("key_shr"),
     )
+
+
+@op(
+    "fn_encode",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(lang)) AS lang_b64,
+           hex(lang) AS lang_hex,
+           CAST(octet_length(encode(text)) AS INTEGER) AS text_octets,
+           base64(encode(source)) AS src_b64,
+           source AS src_roundtrip
+    FROM documents
+    """,
+)
+def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec family: base64/hex encodings and a
+    base64->unbase64 round-trip (the wire formats multimodal payloads
+    and checksum manifests travel in).  Verified char-identical between
+    engines: Spark base64(binary) == DuckDB base64(encode(..)), both
+    emit RFC-4648 with padding; hex uppercase in both."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+        F.hex(F.col("lang")).alias("lang_hex"),
+        F.octet_length("text").alias("text_octets"),
+        F.base64(F.col("source").cast("binary")).alias("src_b64"),
+        F.decode(
+            F.unbase64(F.base64(F.col("source").cast("binary"))), "UTF-8"
+        ).alias("src_roundtrip"),
+    )

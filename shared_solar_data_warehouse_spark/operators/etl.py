@@ -282,3 +282,63 @@ def etl_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_checked",
     )
+
+
+@op(
+    "etl_cdc_diff",
+    oracle="""
+    WITH old AS (
+        SELECT c_custkey, c_acctbal AS old_bal FROM customer
+        WHERE c_custkey % 10 <> 0
+    ), new AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS new_bal
+        FROM customer WHERE c_custkey % 7 <> 0
+    )
+    SELECT coalesce(old.c_custkey, new.c_custkey) AS c_custkey,
+           CASE WHEN old.c_custkey IS NULL THEN 'insert'
+                WHEN new.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           old.old_bal, new.new_bal
+    FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
+    WHERE old.c_custkey IS NULL OR new.c_custkey IS NULL
+          OR old.old_bal <> new.new_bal
+    """,
+)
+def etl_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture snapshot diff: classify every key across two
+    table snapshots as insert / delete / update (unchanged rows drop
+    out) — the incremental-load primitive feeding etl_upsert/SCD2.
+    Two deterministic snapshot views are derived from the customer
+    fixture (old drops custkey%10, new drops %7 and bumps %3 balances).
+
+    Plan: ONE full-outer sort-merge join on the key — at 100 TB both
+    snapshots are bucketed on the key and the join is co-located,
+    shuffle-free; the value comparison is a narrow projection.  Floats
+    compare raw (identical parquet doubles both sides, no arithmetic).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 10 != 0).select(
+        "c_custkey", F.col("c_acctbal").alias("old_bal")
+    )
+    new = c.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("new_bal"),
+    )
+    j = old.join(new, "c_custkey", "full_outer")
+    return j.select(
+        "c_custkey",
+        F.when(F.col("old_bal").isNull(), F.lit("insert"))
+        .when(F.col("new_bal").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        "old_bal",
+        "new_bal",
+    ).filter(
+        F.col("old_bal").isNull()
+        | F.col("new_bal").isNull()
+        | (F.col("old_bal") != F.col("new_bal"))
+    )

@@ -1330,3 +1330,52 @@ def ts_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("seasonality_ppm"),
     )
+
+
+@op(
+    "ts_capacity_factor",
+    oracle="""
+    WITH q AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, day,
+           count(*) AS n_readings,
+           max(vq) AS peak_q4,
+           CAST(sum(vq) AS BIGINT) * 1000000
+               // (count(*) * max(vq)) AS capacity_factor_ppm
+    FROM q GROUP BY user_id, day
+    HAVING max(vq) > 0
+    """,
+)
+def ts_capacity_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-circuit capacity factor — mean load over peak load,
+    the utilization metric solar microgrid operators track per
+    connection (a day at CF~1.0 is a flat-out circuit; ~0.1 is bursty).
+
+    All-integer rational: readings quantize to 1e-4 units, CF =
+    sum*1e6 DIV (n*peak) in ppm — no float division crosses engines.
+    One hash aggregate over (user, day); partial aggregation collapses
+    per-task before the exchange, same shape as ts_bucket_agg.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    q = e.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.floor(F.col("value") * 1e4 + 0.5).cast("bigint").alias("vq"),
+    )
+    return (
+        q.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.max("vq").alias("peak_q4"),
+            F.expr(
+                "CAST(sum(vq) AS BIGINT) * 1000000 DIV (count(*) * max(vq))"
+            ).alias("capacity_factor_ppm"),
+        )
+        .filter(F.col("peak_q4") > 0)
+    )
