@@ -50,12 +50,19 @@ _DUCK_EPOCH_S = "CAST(epoch(date_trunc('second', ts)) AS BIGINT)"
 
 
 def _stream_dir(sf_dir: str) -> str:
-    """File-stream sources want a DIRECTORY; stage the events parquet
-    into a per-sf scratch dir via symlink (no copy)."""
+    """File-stream sources want a DIRECTORY of data files.  A
+    real-scale events table already IS a parquet directory — use it
+    directly (the source lists its part files; a symlinked directory
+    would NOT be traversed).  The driver fixtures are single parquet
+    FILES, so those get staged into a per-sf scratch dir via symlink
+    (no copy)."""
+    p = table_path(sf_dir, "events")
+    if os.path.isdir(p):
+        return p
     d = scratch_dir(sf_dir, "events_stream_src")
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(table_path(sf_dir, "events"), link)
+        os.symlink(p, link)
     return d
 
 
