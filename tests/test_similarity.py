@@ -92,3 +92,24 @@ def test_near_embedding_is_distributed_no_driver_collect(spark, registry):
     df = registry["dedup_near_embedding"].builder(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_cluster_distributed_regime_matches_union_find(spark, registry, monkeypatch):
+    """The >2M-edge distributed min-label-propagation fallback of
+    dedup_cluster must produce the identical labeling as the driver
+    union-find fast path (it is otherwise only reachable at corpus
+    scales tests never build).  The memoized label map is evicted
+    around the regime switch so the cache cannot mask it."""
+    from shared_solar_data_warehouse_spark import materialize
+    from shared_solar_data_warehouse_spark.operators import dedup
+
+    def evict():
+        for k in [k for k in materialize._cache if "cc_labels" in repr(k)]:
+            del materialize._cache[k]
+
+    fast = registry["dedup_cluster"].builder(spark, SF_SMALL).collect()
+    evict()
+    monkeypatch.setattr(dedup, "DRIVER_CC_MAX_EDGES", -1)
+    dist = registry["dedup_cluster"].builder(spark, SF_SMALL).collect()
+    evict()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, dist))
