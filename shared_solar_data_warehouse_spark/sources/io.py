@@ -126,9 +126,9 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-declared NDJSON ingest, round-tripped from the events fixture.
 
-    Excludes the ns-precision ``ts`` column (JSON timestamp round-trips
-    are a parity trap — SURVEY.md §5.4); doubles round-trip exactly via
-    shortest-repr JSON encoding.
+    Excludes the ``ts`` column (JSON timestamp round-trips are a
+    format/zone parity trap — SURVEY.md §5.4); doubles round-trip
+    exactly via shortest-repr JSON encoding.
     """
     path = scratch_dir(sf_dir, "scan_json")
     events = load_table(spark, sf_dir, "events").select(
@@ -429,3 +429,43 @@ def scan_parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(path_old, path_new)
         .select("c_custkey", "c_acctbal", "c_mktsegment")
     )
+
+
+@op(
+    "sink_json",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON export + read-back — the interchange sink for downstream
+    consumers that want line-delimited JSON (labeling queues, web
+    services) rather than parquet.  Explicit schema on the read-back
+    (inferSchema is banned in engine paths, module docstring); small
+    report coalesces to one file, a 100 TB export keeps natural
+    partitioning exactly like sink_csv.
+    """
+    path = scratch_dir(sf_dir, "sink_json")
+    report = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).alias("n_finished"),
+        )
+    )
+    report.coalesce(1).write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderpriority", T.StringType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("n_finished", T.LongType()),
+        ]
+    )
+    return spark.read.schema(schema).json(path)
