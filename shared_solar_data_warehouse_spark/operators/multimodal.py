@@ -63,6 +63,9 @@ def mm_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, content) — the layout for small-object multimodal corpora;
     at scale, assets pack into parquet binary columns instead (one
     large file per partition, no per-file open cost)."""
+    from shared_solar_data_warehouse_spark.session import pin_session
+
+    pin_session(spark)  # every builder pins, even timezone-insensitive ones
     path = scratch_dir(sf_dir, "mm_binary_file")
     for i in range(5):
         with open(os.path.join(path, f"asset_{i}.bin"), "wb") as fh:
