@@ -38,6 +38,19 @@ def pin_session(spark: SparkSession) -> SparkSession:
             # defaults we'd be setting are then whatever the operator
             # of that session chose — proceed rather than fail.
             pass
+    # Local-mode shuffle sizing: a harness-provided session may carry the
+    # 200-partition default, which at fixture scale is pure scheduling
+    # overhead (tiny tasks x 200 per exchange across the whole registry).
+    # Overridden ONLY in local mode AND only when it is still the stock
+    # default — a deliberately configured value (any non-200) stands, and
+    # cluster deployments are never touched.
+    try:
+        if spark.sparkContext.master.startswith("local") and (
+            spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     return spark
 
 
