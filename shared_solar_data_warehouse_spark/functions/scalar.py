@@ -267,14 +267,16 @@ def fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
            toks[1] AS first_token,
-           list_slice(toks, 1, 3) AS head3,
+           array_to_string(list_slice(toks, 1, 3), ',') AS head3,
            list_contains(toks, 'the') AS has_the,
-           list_sort(list_distinct(toks)) AS vocab,
+           array_to_string(list_sort(list_distinct(toks)), ',') AS vocab,
            CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos,
-           list_filter(toks, t -> t != 'the') AS no_the,
+           array_to_string(list_filter(toks, t -> t != 'the'), ',') AS no_the,
            array_to_string(list_slice(toks, 1, 5), '-') AS head_joined,
-           list_sort(list_value(toks[1], toks[len(toks)])) AS ends_sorted,
-           generate_series(1, least(len(toks), 5)) AS tok_idx
+           array_to_string(list_sort(list_value(toks[1], toks[len(toks)])), ',')
+               AS ends_sorted,
+           array_to_string(list_transform(generate_series(1, least(len(toks), 5)),
+                                          x -> CAST(x AS VARCHAR)), ',') AS tok_idx
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     """,
 )
@@ -282,7 +284,10 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over tokenized documents.  array_distinct is
     order-sensitive in Spark and unspecified in DuckDB — always sorted
     before output; array_position missing -> 0 in Spark, NULL in DuckDB
-    (coalesce pins Spark's semantics)."""
+    (coalesce pins Spark's semantics).  Every array-typed result is
+    array_join'ed to a CSV string before output: the driver
+    canonicalizer crashes on ndarray cells (VERDICT r02 class 2), and
+    the join preserves element order/content exactly."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     dd = d.select("doc_id", toks.alias("toks"))
@@ -291,18 +296,24 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.element_at(t, 1).alias("first_token"),
-        F.slice(t, 1, 3).alias("head3"),
+        F.array_join(F.slice(t, 1, 3), ",").alias("head3"),
         F.array_contains(t, "the").alias("has_the"),
-        F.array_sort(F.array_distinct(t)).alias("vocab"),
+        F.array_join(F.array_sort(F.array_distinct(t)), ",").alias("vocab"),
         F.array_position(t, "data").alias("data_pos"),
-        F.array_remove(t, "the").alias("no_the"),
+        F.array_join(F.array_remove(t, "the"), ",").alias("no_the"),
         F.array_join(F.slice(t, 1, 5), "-").alias("head_joined"),
-        F.array_sort(F.array(F.element_at(t, 1), F.element_at(t, -1))).alias(
-            "ends_sorted"
-        ),
-        F.sequence(
-            F.lit(1).cast("long"),
-            F.least(F.size(t), F.lit(5)).cast("long"),
+        F.array_join(
+            F.array_sort(F.array(F.element_at(t, 1), F.element_at(t, -1))), ","
+        ).alias("ends_sorted"),
+        F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.least(F.size(t), F.lit(5)).cast("long"),
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
         ).alias("tok_idx"),
     )
 
@@ -354,7 +365,7 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS type_keys,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_keys,
            CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_count,
            CAST(count(DISTINCT event_type) AS INTEGER) AS n_types
     FROM events GROUP BY user_id
@@ -375,7 +386,7 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.col("type_counts")
     return mapped.select(
         "user_id",
-        F.array_sort(F.map_keys(m)).alias("type_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("type_keys"),
         F.coalesce(F.element_at(m, "click"), F.lit(0)).alias("click_count"),
         F.size(m).alias("n_types"),
     )
@@ -399,7 +410,7 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct construction + field access on both engines; the graded
     output is the ACCESSED scalar fields — a struct-typed output column
     would hash as Row vs dict across the two engines' python bindings
-    (the struct-typed column itself is covered rows-only in
+    (the struct pack/star-expand round trip is covered in
     fn_struct_shape)."""
     c = load_table(spark, sf_dir, "customer")
     agg = c.groupBy("c_nationkey").agg(
@@ -415,10 +426,22 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("fn_struct_shape", tags=("rows-only",))
+@op(
+    "fn_struct_shape",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS segment,
+           c_acctbal AS balance
+    FROM customer
+    """,
+)
 def fn_struct_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Struct-typed output column + star-expansion round trip (rows-only:
-    engine python bindings disagree on struct cell representation)."""
+    """Struct pack + star-expansion round trip: the Spark plan builds a
+    struct column and immediately star-expands it back to scalars, so
+    the graded output is flat.  Round 2 shipped the raw struct column
+    too and the driver canonicalizer crashed on the dict cells
+    (VERDICT r02 class 2); dropping it also upgrades this op from
+    rows-only to a full hash-checked oracle."""
     c = load_table(spark, sf_dir, "customer")
     nested = c.select(
         "c_custkey",
@@ -427,7 +450,7 @@ def fn_struct_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").alias("balance"),
         ).alias("profile"),
     )
-    return nested.select("c_custkey", "profile", F.col("profile.*"))
+    return nested.select("c_custkey", F.col("profile.*"))
 
 
 @op(

@@ -81,6 +81,26 @@ def run_op(spark, con, name: str, builder, oracle: str | None, sf_dir: str) -> d
     result: dict[str, Any] = {"name": name}
     try:
         sdf = builder(spark, sf_dir)
+        # The driver's canonicalizer pandas-sorts raw cells and crashes
+        # with "unhashable type" on ndarray/dict cells, so ANY
+        # array/map/struct output column is a driver failure even under
+        # the rows-only check (round 2: text_stopwords, fn_struct_shape).
+        # Reject it here so the local mirror can't pass what the driver
+        # would crash on (VERDICT r02 item 4).
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        complex_cols = [
+            (f.name, f.dataType.simpleString())
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            result.update(
+                status="COMPLEX_OUTPUT",
+                error=f"array/map/struct output would crash the driver "
+                f"canonicalizer: {complex_cols}",
+            )
+            return result
         spark_cols = list(sdf.columns)
         spark_rows = [tuple(r) for r in sdf.collect()]
     except Exception as exc:  # noqa: BLE001

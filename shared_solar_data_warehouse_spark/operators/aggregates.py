@@ -201,18 +201,27 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT o_custkey,
-           list(o_orderpriority ORDER BY o_orderpriority, o_orderkey) AS priorities,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses
+           array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
     FROM orders GROUP BY o_custkey
     """,
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """List/set aggregation — always array_sort'ed: collect order is
-    nondeterministic under shuffle (SURVEY.md §5.4)."""
+    nondeterministic under shuffle (SURVEY.md §5.4).  Output is
+    array_join'ed to a CSV string: the driver canonicalizer
+    pandas-sorts raw cells and crashes on ndarray (unhashable), so no
+    registry op may emit array/map/struct columns (VERDICT r02 §wrong
+    class 2; mirror.run_op rejects them as COMPLEX_OUTPUT and
+    tests/test_oracle_types.py bans them oracle-side)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderpriority")).alias("priorities"),
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_list("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
     )
 
 
@@ -553,7 +562,7 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_histogram",
     oracle=f"""
     SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
-           CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS bin_lo,
+           CAST(CAST(floor(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS bin_lo,
            count(*) AS n_readings,
            {sql_dsum('value')} AS bin_value_sum
     FROM events GROUP BY 1, 2
@@ -727,7 +736,7 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            bool_and(o_totalprice > 1000.0) AS all_over_1k,
            bool_or(o_totalprice > 400000.0) AS any_over_400k,
-           count_if(o_totalprice > 200000.0) AS n_over_200k,
+           CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_over_200k,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_orderpriority

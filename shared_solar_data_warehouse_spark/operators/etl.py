@@ -217,13 +217,15 @@ def etl_scd2_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     ), a AS (
         SELECT count(*) AS n_checked,
-               count_if(l_quantity IS NULL) AS qty_null,
-               count_if(l_quantity IS NOT NULL
-                        AND (l_quantity < 1 OR l_quantity > 50)) AS qty_out_of_range,
-               count_if(l_extendedprice <= 0) AS price_nonpositive,
-               count_if(l_discount < 0 OR l_discount > 1) AS discount_out_of_range,
-               count_if(o_orderkey IS NULL) AS orphan_lineitem,
-               count_if(l_shipdate < o_orderdate) AS ship_before_order
+               CAST(count_if(l_quantity IS NULL) AS BIGINT) AS qty_null,
+               CAST(count_if(l_quantity IS NOT NULL
+                        AND (l_quantity < 1 OR l_quantity > 50)) AS BIGINT)
+                   AS qty_out_of_range,
+               CAST(count_if(l_extendedprice <= 0) AS BIGINT) AS price_nonpositive,
+               CAST(count_if(l_discount < 0 OR l_discount > 1) AS BIGINT)
+                   AS discount_out_of_range,
+               CAST(count_if(o_orderkey IS NULL) AS BIGINT) AS orphan_lineitem,
+               CAST(count_if(l_shipdate < o_orderdate) AS BIGINT) AS ship_before_order
         FROM j
     )
     SELECT rule_name, n_violations, n_checked FROM (

@@ -569,7 +569,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_trunc('day', hour) AS DATE) AS day,
            round(CAST(sum(CAST(hour_value AS DECIMAL(25,8))) AS DOUBLE), 4)
                AS day_value,
-           sum(n_events) AS n_events,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
            count(*) AS n_hours_active
     FROM hourly GROUP BY 1, 2
     """,
@@ -607,7 +607,8 @@ def ts_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, is_reset,
            CAST(sum(CAST(consumed AS DECIMAL(25,8))) OVER w AS DOUBLE)
                AS cum_consumed,
-           sum(CASE WHEN is_reset THEN 1 ELSE 0 END) OVER w AS n_resets
+           CAST(sum(CASE WHEN is_reset THEN 1 ELSE 0 END) OVER w AS BIGINT)
+               AS n_resets
     FROM (
         SELECT user_id, event_id, ts,
                coalesce(value - lag(value) OVER (
@@ -832,8 +833,8 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, day,
            count(CASE WHEN gap_s > 1800 THEN 1 END) AS n_outages,
-           coalesce(sum(CASE WHEN gap_s > 1800 THEN gap_s - 1800 END), 0)
-               AS downtime_excess_s
+           CAST(coalesce(sum(CASE WHEN gap_s > 1800 THEN gap_s - 1800 END), 0)
+                AS BIGINT) AS downtime_excess_s
     FROM deltas GROUP BY 1, 2
     """,
 )
@@ -1161,7 +1162,7 @@ def ts_coincidence_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(min(bal) AS DOUBLE), 4) AS min_balance,
            CAST(min(CASE WHEN bal < 0 THEN es * 100000000 + event_id END)
                 % 100000000 AS BIGINT) AS first_neg_event_id,
-           count_if(bal < 0) AS n_negative_readings
+           CAST(count_if(bal < 0) AS BIGINT) AS n_negative_readings
     FROM b GROUP BY user_id
     """,
 )
@@ -1373,8 +1374,16 @@ def ts_capacity_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_readings"),
             F.max("vq").alias("peak_q4"),
+            # DuckDB `//` is FLOOR division while Spark DIV truncates
+            # toward zero — they diverge on negative numerators, so the
+            # Spark side floors explicitly via the pmod identity
+            # floor(a/b) = (a - pmod(a, b)) / b (exact in BIGINT; pmod
+            # is non-negative for b > 0, and HAVING max(vq) > 0
+            # guarantees the denominator is positive).  ADVICE r02.
             F.expr(
-                "CAST(sum(vq) AS BIGINT) * 1000000 DIV (count(*) * max(vq))"
+                "(CAST(sum(vq) AS BIGINT) * 1000000"
+                " - pmod(CAST(sum(vq) AS BIGINT) * 1000000, count(*) * max(vq)))"
+                " DIV (count(*) * max(vq))"
             ).alias("capacity_factor_ppm"),
         )
         .filter(F.col("peak_q4") > 0)

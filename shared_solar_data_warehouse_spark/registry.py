@@ -93,12 +93,47 @@ def _repo_root() -> str:
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def driver_covered() -> set[str]:
-    """Ops already green in a past driver ``CORRECTNESS_r*.json``.
+def op_fingerprint(o: Op) -> str:
+    """Content hash of an op's behavior surface: builder source + oracle
+    SQL.  Used to invalidate driver coverage when an op changes — a
+    green CORRECTNESS row only counts while the op still hashes the
+    same as when the driver verified it (ADVICE r02: without this, an
+    edited op would stay sorted to the tail forever and a regression
+    could ship unverified indefinitely).
 
-    The driver checks a bounded prefix of ``queries()`` per round (round
-    1 produced exactly 50 rows, in dict order), so ordering
-    not-yet-green ops first rotates fresh coverage into every round.
+    For the spark.sql-entry closures the builder source is shared
+    boilerplate, but the oracle string IS the query body, so the
+    fingerprint still keys on the actual behavior.
+    """
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(o.builder)
+    except (OSError, TypeError):
+        src = repr(o.builder)
+    return hashlib.sha256((src + "\x00" + (o.oracle or "")).encode()).hexdigest()[:16]
+
+
+def _recorded_fingerprints() -> dict[str, str]:
+    """OP_FINGERPRINTS.json: op -> fingerprint at driver-green time.
+    Maintained by tools/update_fingerprints.py at round start (after the
+    driver writes CORRECTNESS_r{N}.json, before this round's edits)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(_repo_root(), "OP_FINGERPRINTS.json")) as fh:
+            data = json.load(fh)
+        return {k: str(v) for k, v in data.items()} if isinstance(data, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
+def driver_green() -> set[str]:
+    """Ops green in ANY past driver ``CORRECTNESS_r*.json`` (no
+    invalidation — the raw union of green rows).
+
     Green = all three matches true, or the documented rows-only check
     (``err == "no_oracle"`` with a row count) for oracle-less ops.
     """
@@ -125,6 +160,31 @@ def driver_covered() -> set[str]:
     return covered
 
 
+def driver_covered() -> set[str]:
+    """Ops whose driver-green record is still valid: green in a past
+    ``CORRECTNESS_r*.json`` AND unchanged since (current fingerprint
+    matches the recorded one).  An op edited after its green round drops
+    out of this set and rotates back into the driver's bounded sample
+    until re-verified.  The driver checks a bounded prefix of
+    ``queries()`` per round (50 rows in dict order), so ordering
+    not-yet-covered ops first rotates fresh coverage into every round.
+    """
+    load_all_ops()
+    recorded = _recorded_fingerprints()
+    covered = set()
+    for name in driver_green():
+        o = REGISTRY.get(name)
+        if o is None:
+            continue
+        rec = recorded.get(name)
+        # No recorded fingerprint (file missing / op never snapshotted):
+        # fail open to "covered" so a lost sidecar file doesn't wipe the
+        # rotation state — the snapshot tool repopulates it at round start.
+        if rec is None or rec == op_fingerprint(o):
+            covered.add(name)
+    return covered
+
+
 def _bench_cost() -> dict[str, float]:
     """Per-op wall-clock from the committed local bench (ordering hint)."""
     import json
@@ -137,13 +197,46 @@ def _bench_cost() -> dict[str, float]:
         return {}
 
 
+#: Ops to confirm FIRST in the next driver round: red rows fixed this
+#: round plus latent-defect ops whose oracles/outputs were repaired
+#: (VERDICT r02 items 1/3/6).  They sort ahead of the rest of the
+#: unverified band; prune entries once they turn driver-green.
+_FRONTLOAD: tuple[str, ...] = (
+    "agg_bool",
+    "text_source_quality",
+    "text_stopwords",
+    "fn_struct_shape",
+    "agg_collect",
+    "fn_array",
+    "fn_map",
+    "agg_histogram",
+    "etl_dq_report",
+    "sql_tpch_q12",
+    "ts_counter_reset",
+    "ts_credit_reconciliation",
+    "ts_downtime",
+    "ts_rollup_two_level",
+    "ts_capacity_factor",
+    "scan_csv_permissive",
+)
+
+
 def driver_order() -> list[str]:
-    """Registry names, driver-priority first: ops with no green driver
-    row yet (cheapest first, so more fit any per-round time budget),
-    then the already-verified tail."""
+    """Registry names, driver-priority first: this round's must-confirm
+    fixes, then ops with no (valid) green driver row yet — cheapest
+    first, so more fit any per-round time budget — then the
+    already-verified tail."""
+    load_all_ops()
     covered = driver_covered()
     cost = _bench_cost()
-    return sorted(REGISTRY, key=lambda n: (n in covered, cost.get(n, 0.5), n))
+    front = {n: i for i, n in enumerate(_FRONTLOAD)}
+    # Front rank dominates the covered flag: a frontloaded op must be
+    # re-confirmed even if a stale green record still marks it covered
+    # (e.g. an op edited in the same session that snapshots fingerprints).
+    return sorted(
+        REGISTRY,
+        key=lambda n: (front.get(n, len(front)), n in covered, cost.get(n, 0.5), n),
+    )
 
 
 def queries() -> dict[str, Builder]:

@@ -96,7 +96,9 @@ def main() -> int:
                     os.path.abspath(__file__))), "BENCH.json")) as fh:
                 cost = json.load(fh)["queries"]
             names = sorted(names, key=lambda n: -cost.get(n, 0.0))[: args.top]
-        except OSError:
+        except (OSError, ValueError, KeyError):
+            # Missing, malformed, or queries-less BENCH.json all mean the
+            # same thing here: no cost hints — fall back to plain order.
             names = names[: args.top]
 
     timings, failures = {}, {}
