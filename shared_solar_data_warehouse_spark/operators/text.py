@@ -27,6 +27,23 @@ def _tokens(df: DataFrame) -> DataFrame:
     return df.withColumn("toks", F.split(F.col("text"), " "))
 
 
+def _tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, token) term frequencies, materialized once per
+    (session, sf_dir) — the shared ETL artifact behind `text_wordcount`
+    and `text_tfidf` (same memo pattern as the shingle/pair tables: at
+    100 TB this is a written parquet table, and every corpus statistic
+    is a cheap aggregate over it instead of a fresh explode over the
+    raw text)."""
+    from shared_solar_data_warehouse_spark.materialize import memo_checkpoint
+
+    def build() -> DataFrame:
+        d = _tokens(load_table(spark, sf_dir, "documents"))
+        toks = d.select("doc_id", F.explode("toks").alias("token"))
+        return toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+
+    return memo_checkpoint(spark, ("text_tf", sf_dir), build)
+
+
 @op(
     "text_tokenize",
     oracle="""
@@ -93,16 +110,14 @@ def text_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus term frequencies (the classic): explode + count, with
-    map-side partial aggregation doing the heavy lifting."""
-    d = _tokens(load_table(spark, sf_dir, "documents"))
-    return (
-        d.select("doc_id", F.explode("toks").alias("token"))
-        .groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("freq"),
-            F.countDistinct("doc_id").alias("doc_freq"),
-        )
+    """Corpus term frequencies (the classic), derived from the shared
+    (doc, token, tf) artifact: freq = sum(tf), and doc_freq = count(*)
+    because tf holds exactly one row per (doc, token) — no
+    countDistinct expansion and no second explode over the corpus."""
+    tf = _tf_table(spark, sf_dir)
+    return tf.groupBy("token").agg(
+        F.sum("tf").alias("freq"),
+        F.count(F.lit(1)).alias("doc_freq"),
     )
 
 
@@ -126,13 +141,20 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF per (doc, term), smoothed idf = ln((N+1)/(df+1)) + 1.
-    The df table is tiny (≤ vocabulary size) — broadcast joined, so the
-    whole thing is one explode + two hash aggs at any corpus size."""
-    d = _tokens(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode("toks").alias("token"))
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar, driver-side by design: one number
+
+    The tf table materializes ONCE (memo_checkpoint — the same
+    ETL-artifact pattern as the shingle/pair tables: at 100 TB the
+    term-frequency table is a written parquet artifact, not a recompute
+    per query).  df derives FROM tf — tf has exactly one row per
+    (doc, token), so ``count(*)`` per token equals the distinct-doc
+    count — which removes the second full explode pass over the corpus
+    AND the countDistinct expansion the previous formulation paid
+    (~2× the corpus scan at every scale).  The df table is tiny
+    (≤ vocabulary size) — broadcast joined."""
+    tf = _tf_table(spark, sf_dir)
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # scalar, driver-side by design: one number
+    n_docs = load_table(spark, sf_dir, "documents").count()
     return (
         tf.join(F.broadcast(df_counts), "token")
         .select(
