@@ -211,10 +211,13 @@ def test_upsert_changes_side_broadcasts(spark, registry):
 
 def test_connected_components_broadcasts_labels(spark, registry):
     """Each propagation round joins the big edge relation to the
-    node-sized label table — must broadcast, never sort-merge."""
+    node-sized label table — must broadcast, never sort-merge.  Rounds
+    before the last end in a lazy localCheckpoint barrier (kills the
+    2^K label-chain recompute), which truncates the visible plan, so
+    only the final round's join shape is assertable here."""
     plan = plan_of(registry, spark, "graph_connected_components")
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("BroadcastHashJoin") >= 1
 
 
 def test_streak_islands_stay_partition_local(spark, registry):
