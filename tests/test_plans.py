@@ -288,3 +288,23 @@ def test_decontaminate_broadcasts_eval_side(spark, registry):
     plan = plan_of(registry, spark, "text_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_simhash_verify_fused_into_bucket_expression(spark, registry):
+    """The hamming verify runs inside the per-bucket pair HOF, so the
+    plan must contain NO join at all (the previous shape re-joined the
+    packed signatures twice) and only the bucket groupBy + final
+    distinct exchanges survive."""
+    plan = plan_of(registry, spark, "dedup_simhash")
+    assert "Join" not in plan
+
+
+def test_ivf_assignment_is_row_local(spark, registry):
+    """Cell assignment is a row-local argmax over the single broadcast
+    centroid-array row — no per-centroid row blowup, hence no
+    HashAggregate before the probe join and only broadcast joins
+    anywhere (the probe join against the one-row centroid array and
+    the cell join both broadcast; nothing sort-merges)."""
+    plan = plan_of(registry, spark, "sim_ann_ivf")
+    assert "SortMergeJoin" not in plan
+    assert "array_max" in plan  # the fused argmax expression survived
