@@ -531,6 +531,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rnd in range(_KCORE_ROUNDS):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("src")
+        # Fixpoint early-exit: when no node fell below K this round the
+        # remaining unrolled rounds are identities, so skipping them is
+        # value-identical to the oracle's full K-round chain (verified
+        # row-equal at sf0.1 and ~sf1; ~40% cheaper at both).  The two
+        # counts are per-round aggregates over the node-sized deg
+        # table — cheap next to a skipped edge-filter round.
+        if keep.count() == deg.count():
+            break
         e = (
             e.join(F.broadcast(keep.withColumnRenamed("src", "ka")), F.col("src") == F.col("ka"))
             .drop("ka")
