@@ -468,9 +468,52 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sim_ann_ivf", tags=("rows-only",))
+@op(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+        WHERE vec_id < {IVF_N_CELLS}
+    ), assigned AS (
+        SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_DUCK_DOT.format(a='e.embedding', b='c.cent_emb')}
+                           DESC, c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, cent_id AS cell FROM (
+            SELECT q.vec_id, q.embedding, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_DUCK_DOT.format(a='q.embedding', b='c.cent_emb')}
+                           DESC, c.cent_id) AS rn
+            FROM embeddings q CROSS JOIN cents c
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {IVF_NPROBE}
+    ), scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a='p.q_emb', b='a.embedding')} AS dot
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+    )
+    SELECT query_id, neighbor_id,
+           round(dot, 4) AS cosine,
+           CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY dot DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {KNN_K}
+    """,
+)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate nearest neighbors.
+    """IVF-Flat approximate nearest neighbors — FULLY oracle-checked:
+    the quantizer (lowest-vec_id centroids), the cell argmax and the
+    probe ranking all break ties deterministically, so the DuckDB
+    oracle replays the exact algorithm (assignment and probes as
+    windowed argmax over the cross product, the same shape the engine
+    fuses into one row-local expression) and the result hash-matches —
+    an ANN op graded exactly, not just by recall bound.
 
     Coarse quantizer: 16 cells.  Centroids here are a deterministic
     sample (the 16 lowest vec_ids) so the whole op is seedless and
