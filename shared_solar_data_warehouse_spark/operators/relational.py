@@ -560,6 +560,78 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT user_id, purchase_id,
+           CASE WHEN staleness_s <= 3600 THEN prior_click_id END
+               AS prior_click_id_within,
+           CASE WHEN staleness_s <= 3600 THEN staleness_s END AS staleness_s
+    FROM (
+        SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS prior_click_id,
+               CAST(epoch(date_trunc('second', p.ts)) AS BIGINT)
+               - CAST(epoch(date_trunc('second', c.ts)) AS BIGINT) AS staleness_s
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join with a staleness TOLERANCE (pandas
+    ``merge_asof(tolerance=...)`` / kdb ``wj`` semantics): the most
+    recent click at-or-before each purchase counts only if it is at
+    most 1 hour old; older matches become NULL, and the match's age in
+    floor-seconds is reported alongside.
+
+    Same union-tag + ``last(ignorenulls)`` construction as `join_asof`
+    (one shuffle on user_id, no range explosion) carrying the matched
+    click's timestamp as a second ignore-nulls window column; the
+    tolerance is a plain post-filter on the integer staleness, which is
+    exactly the semantics — if the MOST RECENT prior click is already
+    too old, every other click is older still, so no eligible match
+    exists.  The oracle runs DuckDB's native ASOF JOIN and applies the
+    identical CASE; staleness compares floor-second epochs on both
+    engines (the ns->s truncation-chain rule, SURVEY.md §5.4).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("side"),  # clicks sort first at equal ts (>= inclusive)
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        clicks.unionByName(purchases)
+        .withColumn("prior_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .withColumn("prior_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("purchase_id").isNotNull())
+    )
+    stale = F.unix_timestamp("ts") - F.unix_timestamp("prior_click_ts")
+    within = stale <= 3600
+    return matched.select(
+        "user_id",
+        "purchase_id",
+        F.when(within, F.col("prior_click_id")).alias("prior_click_id_within"),
+        F.when(within, stale).alias("staleness_s"),
+    )
+
+
+@op(
     "join_self",
     oracle="""
     SELECT a.l_orderkey, a.l_linenumber AS line_a, b.l_linenumber AS line_b,

@@ -23,9 +23,28 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from shared_solar_data_warehouse_spark.materialize import memo_checkpoint
 from shared_solar_data_warehouse_spark.parity import DEC, davg, dsum, sql_davg, sql_dsum
 from shared_solar_data_warehouse_spark.registry import op
 from shared_solar_data_warehouse_spark.sources.io import load_table
+
+
+def _hourly_dsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, h, hour_value): the per-circuit hourly energy rollup —
+    the first ETL artifact of any meter pipeline.  Memoized per (app,
+    sf_dir) because both densify operators (`ts_gap_fill`,
+    `ts_interp_linear`) start from this identical table; at 100 TB it
+    is a written hourly table every downstream job reads, not a
+    recompute per query (same pattern as the shared shingle/pair/TF
+    artifacts)."""
+
+    def build() -> DataFrame:
+        e = load_table(spark, sf_dir, "events")
+        return e.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("h")
+        ).agg(dsum("value").alias("hour_value"))
+
+    return memo_checkpoint(spark, ("hourly_dsum", sf_dir), build)
 
 
 @op(
@@ -200,10 +219,7 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB this is the standard regularization step before ML
     feature extraction.
     """
-    e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(dsum("value").alias("hour_value"))
+    hourly = _hourly_dsum(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("h")
     exploded = hourly.withColumn("next_h", F.lead("h").over(w)).select(
         "user_id",
@@ -771,10 +787,7 @@ def ts_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours, so the oracle's outside-the-span fallback branch is
     unreachable in both formulations.
     """
-    e = load_table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(dsum("value").alias("hour_value"))
+    hourly = _hourly_dsum(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("h")
     nxt = (
         hourly.withColumn("next_h", F.lead("h").over(w))

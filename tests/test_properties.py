@@ -363,3 +363,39 @@ def test_downtime_agrees_with_delta_gaps(spark, registry):
     for r in downtime:
         assert r["downtime_excess_s"] >= 0
         assert (r["n_outages"] == 0) == (r["downtime_excess_s"] == 0)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, registry):
+    """The tolerance variant must agree with join_asof everywhere the
+    backward match is <= 1 h old, and return NULLs (id AND staleness)
+    exactly where the match is older or absent; reported staleness is
+    the floor-second age of the join_asof match."""
+    base = {
+        r["purchase_id"]: r["prior_click_id"]
+        for r in registry["join_asof"].builder(spark, SF_SMALL).collect()
+    }
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    ts_of = {
+        r["event_id"]: r["ts"]
+        for r in load_table(spark, SF_SMALL, "events").collect()
+    }
+    rows = registry["join_asof_tolerance"].builder(spark, SF_SMALL).collect()
+    assert rows and len(rows) == len(base)
+    n_within = 0
+    for r in rows:
+        click = base[r["purchase_id"]]
+        stale = (
+            None
+            if click is None
+            else int(ts_of[r["purchase_id"]].timestamp())
+            - int(ts_of[click].timestamp())
+        )
+        if stale is not None and stale <= 3600:
+            n_within += 1
+            assert r["prior_click_id_within"] == click
+            assert r["staleness_s"] == stale
+        else:
+            assert r["prior_click_id_within"] is None
+            assert r["staleness_s"] is None
+    assert n_within, "tolerance window matched nothing at sf0.001"
