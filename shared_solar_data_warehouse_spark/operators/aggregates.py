@@ -506,10 +506,10 @@ def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT l_returnflag,
                    count(*) AS n,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sx,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sy,
                    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sxy,
-                   CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sxx
+                   CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS DOUBLE) AS sxx
             FROM lineitem GROUP BY l_returnflag
         ) sums
     ) fitted
@@ -532,12 +532,15 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sums = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sx"),
+        # Whole-number moments (quantity is integral, SURVEY.md §1) sum
+        # as BIGINT — exact like the decimal path but without per-row
+        # Decimal allocation; the money-valued moments keep DECIMAL.
+        F.sum(F.col("l_quantity").cast("bigint")).cast("double").alias("sx"),
         F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sy"),
         F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC))
         .cast("double")
         .alias("sxy"),
-        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC))
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("bigint"))
         .cast("double")
         .alias("sxx"),
     )
@@ -684,8 +687,11 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                count(*) AS n,
                sum(CAST(l_quantity AS BIGINT)) AS sx,
-               sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS sy,
-               sum(CAST(l_quantity * l_extendedprice AS DECIMAL(25,8))) AS sxy,
+               CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sy,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sxy,
                sum(CAST(l_quantity * l_quantity AS BIGINT)) AS sxx,
                sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,8))) AS syy
         FROM lineitem GROUP BY l_returnflag
@@ -697,19 +703,34 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``corr()`` accumulates doubles in partition order — the result
     drifts run-to-run and engine-to-engine — so the engine computes the
     six sufficient statistics as EXACT sums (BIGINT for whole-number
-    quantity, DECIMAL for money) in one two-phase hash aggregate, then
-    evaluates the closed form once per group in double: identical exact
-    inputs -> identical IEEE ops -> identical bits on both engines
-    (SURVEY.md §5.4).  The statistics pattern is also the 100 TB shape:
-    six partial sums merge associatively; nothing re-scans."""
+    quantity and integer-CENT money, DECIMAL only where squared cents
+    would overflow) in one two-phase hash aggregate, then evaluates the
+    closed form once per group in double: identical exact inputs ->
+    identical IEEE ops -> identical bits on both engines (SURVEY.md
+    §5.4).  Range envelope: the largest integer moment (quantity x
+    cents, <= 5e8/row) stays exact to ~1.8e10 rows per group — the
+    same order as the DECIMAL(25,8) it replaced (17 integral digits);
+    past that, widen the unit or shard the group, and note Spark 4
+    runs ANSI mode so an overflow raises rather than wrapping.  The
+    statistics pattern is also the 100 TB shape: six partial sums
+    merge associatively; nothing re-scans."""
     from shared_solar_data_warehouse_spark.parity import DEC
 
     li = load_table(spark, sf_dir, "lineitem")
+    # Money moments accumulate as integer CENTS (prices are exact
+    # 2-decimal fixed-point, FIXTURES.md; floor(p*100+0.5) recovers the
+    # integer on both engines from the same double) — BIGINT sums are
+    # exact like the DECIMAL path but skip per-row Decimal allocation.
+    # syy alone stays DECIMAL: squared cents overflow BIGINT range.
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("bigint")
     stats = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("bigint")).alias("sx"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sy"),
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC)).alias("sxy"),
+        (F.sum(cents).cast("double") / 100.0).alias("sy"),
+        (
+            F.sum(F.col("l_quantity").cast("bigint") * cents).cast("double")
+            / 100.0
+        ).alias("sxy"),
         F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("bigint")).alias("sxx"),
         F.sum(
             (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(DEC)
