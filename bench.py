@@ -34,6 +34,12 @@ def main() -> int:
     from shared_solar_data_warehouse_spark.session import get_session
 
     load_all_ops()
+    # Optional subset (comma-separated op names): local iteration and
+    # the stdout-protocol smoke test; the driver never sets this.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = sorted(REGISTRY) if not only else [
+        n for n in sorted(REGISTRY) if n in set(only.split(","))
+    ]
     spark = get_session("sswh-bench")
 
     def materialize(name: str) -> None:
@@ -51,7 +57,7 @@ def main() -> int:
     # caches, Python-UDF worker pool spawn — the BASELINE.md protocol
     # measures the warm engine, not JVM compile latency.
     failures: dict[str, str] = {}
-    for name in sorted(REGISTRY):
+    for name in names:
         try:
             materialize(name)
         except Exception as exc:  # noqa: BLE001
@@ -62,7 +68,7 @@ def main() -> int:
     # warm runs estimates the engine's actual cost, not the noise.
     timings: dict[str, float] = {}
     for _ in range(2):
-        for name in sorted(REGISTRY):
+        for name in names:
             if name in failures:
                 continue
             started = time.time()
@@ -91,6 +97,8 @@ def main() -> int:
     # as BENCH.json — also feeds registry.driver_order's cost hints).
     here = os.path.dirname(os.path.abspath(__file__))
     try:
+        if only:
+            raise OSError  # subset run: never clobber the committed record
         with open(os.path.join(here, "BENCH.json"), "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
             fh.write("\n")

@@ -1,0 +1,44 @@
+"""Guard the driver-facing bench stdout protocol: the driver keeps only
+a ~2000-char tail of bench.py's stdout and parses the FINAL JSON line
+from it (BASELINE.md "Stdout protocol").  A formatting regression here
+silently costs the round's BENCH record, so run the real script end to
+end on a 3-op subset at the smallest fixture and assert the contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_stdout_final_line_parses_and_fits_tail_buffer():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY="project_select,filter_pred,limit_n",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=REPO,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
+    final = lines[-1]
+    assert len(final) <= 1900, f"final line {len(final)} chars > tail buffer"
+    rec = json.loads(final)
+    assert rec["metric"] == "total_sec_full_registry"
+    assert rec["unit"] == "sec"
+    assert isinstance(rec["value"], (int, float))
+    assert rec["sf"] == 0.001
+    assert set(rec["queries"]) == {"project_select", "filter_pred", "limit_n"}
+    # the subset knob must never clobber the committed full record
+    committed = json.load(open(os.path.join(REPO, "BENCH.json")))
+    assert len(committed["queries"]) > 3
