@@ -34,6 +34,26 @@ NEAR_DUP_TAU = 0.35
 MINHASH_BANDS = 12
 MINHASH_ROWS = 2
 
+#: Portable shingle hash: 60-bit md5 prefix folded mod the Mersenne
+#: prime 2^31-1 — verified bit-equal across Spark and DuckDB.
+_MH_P = 2147483647  # 2^31 - 1, Mersenne prime
+_PORTABLE_H = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT) % 2147483647"
+
+#: 24 affine permutations (a, b) — consecutive primes < 1e9, so
+#: a * h < 2^61 for h < 2^31-1 (no int64 overflow on either engine).
+#: Same portable-hash algebra as `dedup_minhash_signature`; 24 lanes
+#: feed the 12×2 banding above.
+_LSH_PERMS = (
+    (1299709, 104729), (15485863, 32452843), (49979687, 86028121),
+    (67867967, 122949823), (141650939, 160481183), (179424673, 198491317),
+    (217645177, 236887691), (256203161, 275604541), (295075147, 314606869),
+    (334214459, 353868013), (373587883, 393342739), (413158511, 433024223),
+    (452930459, 472882027), (492876847, 512927357), (533000389, 553105243),
+    (573259391, 593441861), (613651349, 633910099), (654188383, 674506081),
+    (694847533, 715225739), (735632791, 756065159), (776531401, 797003413),
+    (817504243, 838041641), (858599503, 879190747), (899809343, 920419813),
+)
+
 _SHINGLE_SQL = """
         SELECT doc_id,
                list_distinct(list_transform(
@@ -199,45 +219,120 @@ def dedup_near_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_pairs(spark, sf_dir, NEAR_DUP_TAU)
 
 
-@op("dedup_near_minhash", tags=("rows-only",))
+def _lsh_bucket_sql() -> str:
+    """The 12 DuckDB band-bucket expressions mirroring the builder:
+    bucket = 'band:minlane(2b):minlane(2b+1)' over the portable md5
+    shingle hash pushed through the 24 _LSH_PERMS affine lanes."""
+    lane = (
+        "list_min(list_transform(hs, h -> ({a} * h + {b}) % " + str(_MH_P) + "))"
+    )
+    buckets = []
+    for band in range(MINHASH_BANDS):
+        a0, b0 = _LSH_PERMS[band * MINHASH_ROWS]
+        a1, b1 = _LSH_PERMS[band * MINHASH_ROWS + 1]
+        buckets.append(
+            f"concat({band}, ':', {lane.format(a=a0, b=b0)},"
+            f" ':', {lane.format(a=a1, b=b1)})"
+        )
+    return "[" + ", ".join(buckets) + "]"
+
+
+_NEAR_MINHASH_ORACLE = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    hashed AS (
+        SELECT doc_id, shingles,
+               list_transform(shingles, s -> {_PORTABLE_H.format(s='s')}) AS hs
+        FROM sh
+    ),
+    buckets AS (
+        SELECT doc_id, unnest({{bucket_list}}) AS bucket FROM hashed
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+               len(list_intersect(x.shingles, y.shingles)) AS n_common,
+               len(x.shingles) AS n_a, len(y.shingles) AS n_b
+        FROM cand c
+        JOIN hashed x ON x.doc_id = c.doc_a
+        JOIN hashed y ON y.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+               AS jaccard,
+           n_shared_bands
+    FROM ver
+    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+          >= {NEAR_DUP_TAU}
+"""
+
+
+@op(
+    "dedup_near_minhash",
+    oracle=_NEAR_MINHASH_ORACLE.format(bucket_list=_lsh_bucket_sql()),
+)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-verified (the scale path).
 
-    Signature: 24 seeded xxhash64 min-hashes per doc (computed with one
-    array transform per seed — no Python), banded 12×2; docs sharing a
-    band bucket become candidates; candidates are exact-Jaccard
-    verified against the same threshold as dedup_near_shingle.  Output
-    is (doc_a, doc_b, jaccard, n_shared_bands).  Registered rows-only:
-    LSH recall < 1 by construction; tests/test_similarity.py asserts
-    recall >= 0.7 against the exact pairs at tau, and precision == 1.0
-    (verification step discards false candidates).
+    Signature: ONE portable md5-prefix hash per shingle (the expensive
+    string hash happens once), then 24 integer affine lanes
+    ((a*h+b) mod 2^31-1, `_LSH_PERMS`) folded with ``array_min`` —
+    all JVM expression work, and bit-equal in DuckDB, which makes the
+    ENTIRE pipeline (signatures, banding, bucket join, verification)
+    hash-checkable against an independent engine — LSH recall < 1
+    doesn't matter for parity because both engines derive the same
+    deterministic candidates.  At 100 TB swap the md5 prefix for
+    xxhash64 (~5x cheaper, same lane algebra); the banding and
+    verification shapes are hash-agnostic.
+
+    Banding 12×2: docs sharing any band bucket become candidates;
+    candidates are exact-Jaccard verified against the same threshold
+    as dedup_near_shingle.  Output is (doc_a, doc_b, jaccard,
+    n_shared_bands).  tests/test_similarity.py asserts recall >= 0.7
+    against the exact pairs at tau, and precision == 1.0 (the
+    verification step discards false candidates).
     """
     s = shingle_sets(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
-    # 24 min-hashes: min over shingles of xxhash64(shingle, seed).
+    hashed = F.transform(
+        F.col("shingles"),
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+        % F.lit(_MH_P),
+    )
+    def lane(a: int, b: int):
+        # Closure factory (NOT lambda defaults — PySpark reads lambda
+        # arity to decide the higher-order-function argument count).
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P)
+
     sig_cols = [
-        F.array_min(
-            F.expr(f"transform(shingles, x -> xxhash64(x, {seed}))")
-        ).alias(f"mh{seed}")
-        for seed in range(MINHASH_BANDS * MINHASH_ROWS)
+        F.array_min(F.transform(F.col("hs"), lane(a, b))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_LSH_PERMS)
     ]
-    signed = s.select("doc_id", "n_sh", "shingles", *sig_cols)
-    # Band keys: hash of the band's row minhashes.
+    signed = s.withColumn("hs", hashed).select(
+        "doc_id", "n_sh", "shingles", *sig_cols
+    )
+    # Band keys: 'band:lane0:lane1' strings (portable across engines).
     band_cols = [
-        F.xxhash64(
+        F.concat_ws(
+            ":",
             F.lit(band),
-            *[F.col(f"mh{band * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
-        ).alias(f"band{band}")
+            F.col(f"mh{band * MINHASH_ROWS}"),
+            F.col(f"mh{band * MINHASH_ROWS + 1}"),
+        )
         for band in range(MINHASH_BANDS)
     ]
-    banded = signed.select("doc_id", "n_sh", "shingles", *band_cols)
+    banded = signed.select(
+        "doc_id", "n_sh", "shingles", F.array(*band_cols).alias("bands")
+    )
     # Candidate pairs carry only ids: group each bucket's posting list
     # and emit its pairs JVM-side (same shape as exact_pairs) — the
     # heavy shingle arrays never enter the candidate shuffle.
     buckets = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.col(f"band{b}") for b in range(MINHASH_BANDS)])
-        ).alias("bucket"),
+        "doc_id", F.explode("bands").alias("bucket")
     )
     pair_expr = (
         "flatten(transform(docs, (x, i) ->"
@@ -688,11 +783,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Affine permutation constants (a, b) for the portable minhash
 #: signature op — a,b < _MH_P so a*(h%p)+b stays under 2^62 (no
-#: overflow on either engine's BIGINT).
-_MH_P = 2147483647  # 2^31 - 1, Mersenne prime
+#: overflow on either engine's BIGINT).  Kept as the first 4 lanes'
+#: historical values; `dedup_near_minhash` uses the 24-lane _LSH_PERMS.
 _MH_PERMS = ((1299709, 104729), (15485863, 32452843), (49979687, 86028121), (67867967, 122949823))
-
-_PORTABLE_H = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT) % 2147483647"
 
 
 @op(

@@ -57,12 +57,33 @@ def mm_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("mm_binary_file", tags=("rows-only",))
+@op(
+    "mm_binary_file",
+    oracle="""
+    WITH f AS (
+        SELECT i, unhex(repeat(lpad(format('{:x}', i), 2, '0'), 100 + i))
+                   AS content
+        FROM (SELECT unnest(generate_series(0, 4)) AS i)
+    )
+    SELECT concat('asset_', i, '.bin') AS file_name,
+           CAST(100 + i AS BIGINT) AS length,
+           CAST(100 + i AS BIGINT) AS content_len,
+           md5(hex(content)) AS content_md5
+    FROM f ORDER BY file_name
+    """,
+)
 def mm_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binaryFile source: file-per-asset ingest (path, modificationTime,
     length, content) — the layout for small-object multimodal corpora;
     at scale, assets pack into parquet binary columns instead (one
-    large file per partition, no per-file open cost)."""
+    large file per partition, no per-file open cost).
+
+    Fully hash-checked: the asset payloads are deterministic
+    (``bytes([i]) * (100 + i)``), so the oracle RECONSTRUCTS each blob
+    in SQL (``unhex(repeat(...))``) and md5s the same uppercase-hex
+    rendering Spark's ``hex(content)`` produces — the binaryFile
+    scan's (name, size, content) triple is verified bit-for-bit
+    against an independent engine with no filesystem access."""
     from shared_solar_data_warehouse_spark.session import pin_session
 
     pin_session(spark)  # every builder pins, even timezone-insensitive ones

@@ -228,17 +228,105 @@ def sim_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sim_ann_lsh", tags=("rows-only",))
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane (sign) LSH.
+#: Sign-LSH geometry: 24 hyperplanes banded 8×3.
+_LSH_N_PLANES = 24
+_LSH_BANDS = 8
+#: Fixed-point scale for the sign computation: float32 inputs widened
+#: to float64 then floored onto a 2^20 integer grid, so the sign of
+#: the plane dot product is INTEGER arithmetic — bit-equal across
+#: engines regardless of their float summation order.
+_LSH_QSCALE = 1048576  # 2^20
 
-    24 deterministic hyperplanes (seeded numpy, closed over by the
-    signature UDF) → each vector hashes to a 24-bit sign signature,
-    split into 8 bands of 3 bits; vectors sharing any band bucket with
-    a query are candidates; candidates are exact-dot verified and
-    per-query top-k kept.  Recall vs the exact kNN is asserted >= 0.6
-    in tests — the scale trade: candidate count grows with corpus
-    density, not corpus size.
+
+def _lsh_plane_sign(p: int, j: int) -> int:
+    """±1 hyperplane entry from md5 parity of 'plane:p:j' — the same
+    value the oracle SQL derives, so both engines hold the same
+    24×64 sign matrix without sharing any runtime state."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane:{p}:{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def _sim_ann_lsh_oracle() -> str:
+    """DuckDB mirror of the full sign-LSH pipeline: md5-parity planes
+    → integer-quantized sign bits → 8×3 banding → bucket join →
+    exact-dot verification → per-query top-k."""
+    parity = (
+        "CAST(('0x' || substr(md5(concat('plane:', p, ':', j - 1)), 1, 15))"
+        " AS BIGINT) % 2"
+    )
+    bucket_exprs = ", ".join(
+        f"{b * 8} + bits[{b * 3 + 1}] * 4 + bits[{b * 3 + 2}] * 2"
+        f" + bits[{b * 3 + 3}]"
+        for b in range(_LSH_BANDS)
+    )
+    return f"""
+    WITH planes AS (
+        SELECT p, j, CASE WHEN {parity} = 0 THEN 1 ELSE -1 END AS s
+        FROM (SELECT unnest(generate_series(0, {_LSH_N_PLANES - 1})) AS p),
+             (SELECT unnest(generate_series(1, 64)) AS j)
+    ),
+    qv AS (
+        SELECT vec_id, j,
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * {_LSH_QSCALE})
+                    AS BIGINT) AS q
+        FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS j)
+    ),
+    bit_rows AS (
+        SELECT vec_id, p,
+               CASE WHEN sum(s * q) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM qv JOIN planes USING (j) GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT vec_id, list(bit ORDER BY p) AS bits FROM bit_rows GROUP BY 1
+    ),
+    buckets AS (
+        SELECT vec_id, unnest([{bucket_exprs}]) AS bucket FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets c ON q.bucket = c.bucket
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               {_DUCK_DOT.format(a='qe.embedding', b='ne.embedding')} AS dot
+        FROM cand
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+        JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, dot,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(dot, 4) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {KNN_K}
+    """
+
+
+@op("sim_ann_lsh", oracle=_sim_ann_lsh_oracle())
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane (sign) LSH — fully
+    hash-checked: the hyperplanes are ±1 matrices derived from md5
+    parity (`_lsh_plane_sign`) and the sign bits are computed in
+    fixed-point INTEGER arithmetic (floor onto a 2^20 grid), so the
+    oracle SQL reconstructs the identical 24-bit signature per vector
+    with no shared runtime state and no float-summation-order risk.
+    LSH recall < 1 doesn't matter for parity — both engines derive the
+    same deterministic candidate set.  (±1 planes are a standard
+    sign-LSH family — for unit vectors the collision probability
+    1 - angle/pi argument needs only symmetric i.i.d. entries.)
+
+    Each vector hashes to a 24-bit sign signature, split into 8 bands
+    of 3 bits; vectors sharing any band bucket with a query are
+    candidates; candidates are exact-dot verified and per-query top-k
+    kept.  Recall vs the exact kNN is asserted >= 0.6 in tests — the
+    scale trade: candidate count grows with corpus density, not corpus
+    size.
 
     Shape notes (measured at sf0.1):
     * signatures come from ONE numpy GEMM per Arrow batch inside
@@ -254,8 +342,13 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rng = np.random.RandomState(42)
-    planes = rng.normal(size=(24, 64))
+    planes = np.array(
+        [
+            [_lsh_plane_sign(p, j) for j in range(64)]
+            for p in range(_LSH_N_PLANES)
+        ],
+        dtype=np.int64,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
 
@@ -264,7 +357,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             if pdf.empty:
                 continue
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            bits = (m @ planes.T >= 0).astype(np.int64)  # (n × 24) signs
+            q = np.floor(m * _LSH_QSCALE).astype(np.int64)
+            bits = (q @ planes.T >= 0).astype(np.int64)  # (n × 24) signs
             vec_ids = pdf["vec_id"].to_numpy()
             # bucket id = band index (3 bits) ++ band value (3 bits):
             # globally unique per (band, pattern) — same keying as the

@@ -218,6 +218,10 @@ _FRONTLOAD: tuple[str, ...] = (
     "ts_rollup_two_level",
     "ts_capacity_factor",
     "scan_csv_permissive",
+    # r4 oracle graduations (builder+oracle changed → must re-verify):
+    "mm_binary_file",
+    "dedup_near_minhash",
+    "sim_ann_lsh",
 )
 
 
