@@ -596,3 +596,56 @@ def fn_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unbase64(F.base64(F.col("source").cast("binary"))), "UTF-8"
         ).alias("src_roundtrip"),
     )
+
+
+@op(
+    "fn_url",
+    oracle="""
+    SELECT c_custkey,
+           'https' AS proto,
+           concat(lower(c_mktsegment), '.example.com') AS host,
+           concat('/cust/', CAST(c_custkey AS VARCHAR)) AS path,
+           concat('nation=', CAST(c_nationkey AS VARCHAR),
+                  '&seg=', lower(c_mktsegment)) AS query,
+           CAST(c_nationkey AS VARCHAR) AS nation_param,
+           replace(c_name, '#', '%23') AS name_encoded,
+           c_name AS name_roundtrip
+    FROM customer
+    """,
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family: parse_url component extraction (PROTOCOL /
+    HOST / PATH / QUERY / QUERY:key) plus url_encode/url_decode.
+
+    The URL is CONSTRUCTED from customer columns inside the query, so
+    the oracle needs no URL parser — it derives every expected
+    component directly from the source columns, and Spark must parse
+    back exactly what it built (an inverse-pair test, the same shape
+    fn_encode uses for base64).  The encode leg pins Spark's
+    url_encode('Customer#...') against the known %23 expansion; the
+    decode leg round-trips it.  All string ops, whole-stage codegen,
+    trivially scale-safe."""
+    c = load_table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower("c_mktsegment"),
+        F.lit(".example.com/cust/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?nation="),
+        F.col("c_nationkey").cast("string"),
+        F.lit("&seg="),
+        F.lower("c_mktsegment"),
+    )
+    u = c.select("c_custkey", "c_name", url.alias("url"))
+    return u.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("nation")).alias(
+            "nation_param"
+        ),
+        F.url_encode("c_name").alias("name_encoded"),
+        F.url_decode(F.url_encode("c_name")).alias("name_roundtrip"),
+    )

@@ -915,3 +915,45 @@ def agg_geomean_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_ln_q12"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@op(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS n_distinct_users
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's bitmap functions — the
+    mergeable alternative to count(distinct) for dense integer keys.
+
+    Shape: key -> (bucket, bit) via bitmap_bucket_number /
+    bitmap_bit_position; one partial-aggregable groupBy builds a
+    32KB-max bitmap per (group, bucket); a second sums per-bucket
+    popcounts.  Unlike count(distinct) — whose exact form needs an
+    expensive Expand/repartition of the raw keys — the bitmap partials
+    combine map-side and shuffle O(groups x buckets) fixed-width blobs
+    regardless of row count.  At 100 TB this is the incrementally-
+    maintainable exact-distinct: per-partition/day bitmaps persist as
+    an artifact and OR-merge (bitmap_or_agg) across any rollup —
+    same merge algebra as agg_sketch_mergeable's HLL row, but exact.
+    The oracle pins the result against DuckDB's count(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("bigint")
+            .alias("n_distinct_users")
+        )
+    )

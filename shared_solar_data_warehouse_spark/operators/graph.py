@@ -563,3 +563,73 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_kcore.__doc__ = graph_kcore.__doc__.format(K=_KCORE_K, R=_KCORE_ROUNDS)
+
+
+#: BFS geometry: 3 customer seed nodes, depth cap 3 (covers the
+#: bipartite graph's c->s->c->s reach).
+_BFS_SEEDS = ("c0", "c1", "c2")
+_BFS_DEPTH = 3
+
+
+def _bfs_oracle() -> str:
+    """Unrolled multi-source BFS rounds (same idiom as the pagerank
+    oracle: each DataFrame round has a literal CTE twin)."""
+    seeds = ", ".join(f"('{s}', 0)" for s in _BFS_SEEDS)
+    ctes = [f"l0 AS (SELECT * FROM (VALUES {seeds}) AS t(node, dist))"]
+    union_prev = "SELECT node FROM l0"
+    for d in range(1, _BFS_DEPTH + 1):
+        ctes.append(
+            f"""l{d} AS (
+        SELECT DISTINCT e.dst AS node, {d} AS dist
+        FROM edges e JOIN l{d - 1} f ON e.src = f.node
+        WHERE e.dst NOT IN ({union_prev})
+    )"""
+        )
+        union_prev += f" UNION ALL SELECT node FROM l{d}"
+    layers = " UNION ALL ".join(
+        f"SELECT node, dist FROM l{d}" for d in range(_BFS_DEPTH + 1)
+    )
+    return (
+        f"WITH {_EDGES_SQL}, "
+        + ", ".join(ctes)
+        + f" SELECT node, CAST(dist AS INTEGER) AS dist FROM ({layers})"
+    )
+
+
+@op("graph_bfs_layers", oracle=_bfs_oracle())
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source breadth-first search, depth-capped: shortest hop
+    distance from a 3-customer seed set over the trade graph —
+    'blast radius' analytics (which suppliers/customers are within k
+    trade hops of these accounts).  Iterative frontier expansion as
+    unrolled DataFrame rounds, hash-checked by an identically-unrolled
+    oracle (the pagerank pattern).
+
+    Per round: frontier ⋈ edges (one shuffle on src), distinct, then
+    anti-join against the visited set — the frontier is ALWAYS the
+    small side, so Spark broadcasts it against the memoized edge list;
+    `localCheckpoint` truncates the growing lineage each round (the
+    iterative-algorithm hygiene every loop op here applies).  At
+    100 TB: same plan with edges pre-bucketed on src; the visited set
+    stays proportional to reached nodes, and depth caps the rounds —
+    BFS over power-law graphs saturates in a handful of hops."""
+    edges = _edges(spark, sf_dir)
+    visited = spark.createDataFrame(
+        [(s, 0) for s in _BFS_SEEDS], "node string, dist int"
+    )
+    frontier = visited
+    for d in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            edges.join(
+                F.broadcast(frontier.select(F.col("node").alias("src"))),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+    return visited

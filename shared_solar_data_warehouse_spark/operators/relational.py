@@ -1338,3 +1338,138 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hi") - F.col("lo")).alias("interval_span_s"),
         )
     )
+
+
+#: Bloom geometry for join_bloom_prefilter: m = 2^13 bits packed into
+#: 128 int64 words, k = 3 portable md5-prefix hashes.
+_BLOOM_M = 8192
+_BLOOM_K = 3
+
+
+@op(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 450000
+    )
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join accelerated by a hand-built broadcast Bloom filter —
+    the runtime-filter pattern made explicit (Spark's own
+    InjectRuntimeFilter does this transparently; building it as
+    DataFrame algebra makes the mechanics visible and portable).
+
+    Build side (orders with totalprice > 450k, ~10%): each key sets
+    k=3 bit positions from independent md5-prefix hashes; positions
+    bit-pack into 128 int64 words via ``bit_or(shiftleft(1, pos % 64))``
+    grouped by word index, then fold into ONE map<word, bits> row that
+    broadcasts to every probe task.  Probe side (lineitem) evaluates
+    membership map-side — three AND-mask lookups, no shuffle, no
+    fan-out — and only surviving candidates (true matches + Bloom
+    false positives) enter the exact semi join that removes the false
+    positives.  Result is therefore EXACTLY the plain semi join, which
+    is what the oracle checks.
+
+    100 TB story: the filter is O(m) bytes regardless of build
+    cardinality (vs broadcasting the key set itself), the probe prunes
+    before the shuffle so the semi join moves ~selectivity x |probe|
+    rows, and the same packed-words artifact is reusable across
+    queries of the same build predicate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = orders.filter(F.col("o_totalprice") > 450000).select("o_orderkey")
+
+    def pos_sql(col: str, i: int) -> str:
+        # Spark spelling of the portable md5-prefix hash (DuckDB's
+        # equivalent is CAST('0x'||substr(...) AS BIGINT)); parity is
+        # irrelevant here anyway — the oracle checks the post-verify
+        # join result, not the filter internals.
+        return (
+            f"CAST(conv(substr(md5(concat(CAST({col} AS STRING), ':{i}')),"
+            f" 1, 15), 16, 10) AS BIGINT) % {_BLOOM_M}"
+        )
+
+    positions = build.select(
+        F.explode(
+            F.array(
+                *[F.expr(pos_sql("o_orderkey", i)) for i in range(_BLOOM_K)]
+            )
+        ).alias("p")
+    )
+    words = (
+        positions.groupBy(F.expr("p DIV 64").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(p % 64 AS INT)))").alias("bits"))
+        .groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("bloom")
+        )
+    )
+    probe = li.select("l_orderkey", "l_returnflag", "l_quantity").join(
+        F.broadcast(words)
+    )
+    hit = None
+    for i in range(_BLOOM_K):
+        p = pos_sql("l_orderkey", i)
+        test = F.expr(
+            f"(coalesce(element_at(bloom, CAST(({p}) DIV 64 AS BIGINT)), 0L)"
+            f" & shiftleft(1L, CAST(({p}) % 64 AS INT))) != 0"
+        )
+        hit = test if hit is None else (hit & test)
+    candidates = probe.filter(hit).drop("bloom")
+    exact = candidates.join(
+        F.broadcast(build),
+        candidates.l_orderkey == build.o_orderkey,
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint")
+        .alias("sum_qty"),
+    )
+
+
+@op(
+    "sample_reservoir",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           md5(concat('rsv:', CAST(o_orderkey AS VARCHAR))) AS rkey
+    FROM orders
+    ORDER BY rkey
+    LIMIT 100
+    """,
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample (k=100) via order statistics on a
+    portable hash — the distributed equivalent of reservoir sampling:
+    'keep the k smallest of n i.i.d. uniform keys' draws exactly the
+    same distribution as the classic single-pass reservoir, but is
+    embarrassingly parallel and reproducible (the key is
+    md5('rsv:' || orderkey), so the sample is stable across runs,
+    engines, and partitionings — unlike df.sample, whose RNG is
+    partition-dependent; cf. row_sample, rows-only for that reason).
+
+    Plan: orderBy(hash).limit(k) compiles to TakeOrderedAndProject —
+    each partition keeps its local top-k heap and only k-row heaps
+    merge, no global sort materializes.  At 100 TB this ships
+    O(partitions x k) rows, the optimal comm bound for exact global
+    top-k."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.md5(F.concat(F.lit("rsv:"), F.col("o_orderkey").cast("string")))
+            .alias("rkey"),
+        )
+        .orderBy("rkey")
+        .limit(100)
+    )

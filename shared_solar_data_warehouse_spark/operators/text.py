@@ -757,3 +757,133 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("shingle").alias("n_shared_shingles"),
         )
     )
+
+
+@op(
+    "text_html_strip",
+    oracle="""
+    WITH marked AS (
+        SELECT doc_id,
+               concat('<div id="d', CAST(doc_id AS VARCHAR), '"><p>',
+                      text, ' &amp; more</p></div>') AS html
+        FROM documents
+    )
+    SELECT doc_id,
+           replace(regexp_replace(html, '<[^>]+>', '', 'g'), '&amp;', '&')
+               AS clean_text,
+           CAST(len(regexp_extract_all(html, '<[^>]+>')) AS INTEGER)
+               AS n_tags
+    FROM marked
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal — tag stripping + entity decoding, the
+    first stage of every web-corpus ingestion pipeline.
+
+    The fixture corpus has no markup, so the query INJECTS a
+    deterministic wrapper (div/p tags + an &amp; entity) and then
+    strips it — the strip/decode expressions are exercised on real
+    markup while the oracle derives the expected output from the same
+    construction.  The tag regex '<[^>]+>' is intentionally simple and
+    shared verbatim by both engines.  Pure regexp_replace chain:
+    per-row, codegen'd, no shuffle — a 100 TB corpus strips at scan
+    throughput.  (A production pass adds script/style content removal
+    first: regexp_replace('(?s)<script.*?</script>', '') — same shape,
+    stacked replaces.)"""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'),
+        F.col("text"),
+        F.lit(" &amp; more</p></div>"),
+    )
+    m = d.select("doc_id", html.alias("html"))
+    return m.select(
+        "doc_id",
+        F.replace(
+            F.regexp_replace("html", "<[^>]+>", ""),
+            F.lit("&amp;"),
+            F.lit("&"),
+        ).alias("clean_text"),
+        F.regexp_count("html", F.lit("<[^>]+>")).cast("int").alias("n_tags"),
+    )
+
+
+#: Paragraph chunk width (tokens) for text_paragraph_dedup.
+_PARA_W = 8
+
+
+@op(
+    "text_paragraph_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    paras AS (
+        SELECT doc_id,
+               unnest(generate_series(1, (len(t) + {_PARA_W} - 1) // {_PARA_W}))
+                   AS para_idx,
+               t
+        FROM toks
+    ),
+    ex AS (
+        SELECT doc_id, CAST(para_idx AS INTEGER) AS para_idx,
+               array_to_string(
+                   list_slice(t, (para_idx - 1) * {_PARA_W} + 1,
+                              (para_idx - 1) * {_PARA_W} + {_PARA_W}), ' ')
+                   AS para
+        FROM paras
+    ),
+    ranked AS (
+        SELECT doc_id, para_idx,
+               row_number() OVER (PARTITION BY para
+                                  ORDER BY doc_id, para_idx) AS rnk
+        FROM ex
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(count(*) FILTER (WHERE rnk > 1) AS BIGINT) AS n_dup_paras
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup census (the CCNet/RefinedWeb line-dedup
+    stage): chunk each document into 8-token paragraphs, find
+    every paragraph instance whose exact text already occurred earlier
+    in the corpus (first occurrence = lowest (doc_id, para_idx)), and
+    report per-document totals.  Keeping ONLY first occurrences is the
+    classic suffix of this op; the census output keeps the row count
+    per doc_id stable for grading.
+
+    Shape: per-row chunking (posexplode of a slice transform, no
+    Python), then ONE shuffle partitioned by paragraph text for the
+    first-occurrence ranking, then a count-style re-aggregation by
+    doc.  At 100 TB: hash the paragraph to a 128-bit key before the
+    shuffle (xx128 — shuffles fixed-width keys, not text), and a hot
+    boilerplate paragraph (the skew risk) caps at its occurrence
+    count; a min-struct aggregate + rejoin replaces the window if a
+    single paragraph's postings exceed a partition."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    paras = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, (size(t) + {_PARA_W} - 1) DIV {_PARA_W}),"
+                f" i -> array_join(slice(t, (i - 1) * {_PARA_W} + 1, {_PARA_W}),"
+                f" ' '))"
+            )
+        ).alias("pos0", "para"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("int").alias("para_idx"), "para"
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "para_idx")
+    ranked = paras.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("rnk") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_paras"),
+    )

@@ -1391,3 +1391,64 @@ def ts_capacity_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("peak_q4") > 0)
     )
+
+
+@op(
+    "ts_ramp_rate",
+    oracle="""
+    WITH q AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               ts, event_id,
+               CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, day,
+               vq - lag(vq) OVER (PARTITION BY user_id, day
+                                  ORDER BY ts, event_id) AS delta
+        FROM q
+    )
+    SELECT user_id, day,
+           CAST(max(delta) AS BIGINT) AS max_ramp_up_q4,
+           CAST(min(delta) AS BIGINT) AS max_ramp_down_q4,
+           CAST(count(delta) AS BIGINT) AS n_ramps
+    FROM d
+    GROUP BY user_id, day
+    HAVING count(delta) > 0
+    """,
+)
+def ts_ramp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ramp-rate extrema per circuit-day: the steepest upward and
+    downward swing between consecutive readings — the grid-operations
+    metric behind inverter clipping and cloud-transient detection
+    (PV output can ramp its full capacity in seconds).
+
+    Readings quantize to 1e-4 units BEFORE differencing, so deltas and
+    their extrema are BIGINT — zero float parity risk (§5.4), and the
+    lag() tie-break on (ts, event_id) pins duplicate timestamps.  One
+    shuffle on (user, day) serves both the window and the aggregate —
+    Catalyst reuses the partitioning; days with a single reading emit
+    no delta and are dropped (count(delta) = 0), matching SQL count
+    semantics over nulls on both engines.  At 100 TB this is the
+    hypertable-chunk shape: partition by (circuit, day) and the window
+    never crosses a chunk boundary."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "ts",
+        "event_id",
+        F.expr("CAST(floor(value * 1e4 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    d = q.withColumn("delta", F.col("vq") - F.lag("vq").over(w))
+    return (
+        d.groupBy("user_id", "day")
+        .agg(
+            F.max("delta").cast("bigint").alias("max_ramp_up_q4"),
+            F.min("delta").cast("bigint").alias("max_ramp_down_q4"),
+            F.count("delta").cast("bigint").alias("n_ramps"),
+        )
+        .filter(F.col("n_ramps") > 0)
+    )
