@@ -308,3 +308,47 @@ def test_ivf_assignment_is_row_local(spark, registry):
     plan = plan_of(registry, spark, "sim_ann_ivf")
     assert "SortMergeJoin" not in plan
     assert "array_max" in plan  # the fused argmax expression survived
+
+
+def test_reservoir_sample_uses_take_ordered(spark, registry):
+    # The whole point of the hash-order-statistics sample: partial
+    # per-partition top-k heaps, never a global sort.
+    plan = plan_of(registry, spark, "sample_reservoir")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_bloom_prefilter_probe_is_map_side(spark, registry):
+    # The Bloom words broadcast to the probe; the probe side must see a
+    # BroadcastNestedLoopJoin (1-row filter table) + Filter, and the
+    # only shuffle feeds the final aggregate — lineitem itself is never
+    # exchanged before the membership test.
+    plan = plan_of(registry, spark, "join_bloom_prefilter")
+    assert "BroadcastHashJoin" in plan  # exact verification semi join
+    assert "LeftSemi" in plan
+
+
+def test_bfs_rounds_are_materialized(spark, registry):
+    # Each BFS round localCheckpoints (lineage truncation); the final
+    # plan must therefore be a Union over materialized layers, not a
+    # re-derivation of the whole frontier cascade.
+    plan = plan_of(registry, spark, "graph_bfs_layers")
+    assert "Union" in plan
+    assert "ExistingRDD" in plan
+
+
+def test_bitmap_distinct_combines_map_side_no_expand(spark, registry):
+    # The bitmap partials must combine BEFORE the shuffle
+    # (partial_bitmap_construct_agg on the map side), and the plan must
+    # not contain the Expand fan-out of the exact count-distinct
+    # rewrite this op exists to avoid.
+    plan = plan_of(registry, spark, "agg_bitmap_distinct")
+    assert "Expand" not in plan
+    assert "partial_bitmap_construct_agg" in plan
+
+
+def test_ramp_rate_single_exchange_for_window_and_agg(spark, registry):
+    # Window on (user, day) and the following aggregate share a
+    # partitioning: exactly one shuffle of the event rows.
+    plan = plan_of(registry, spark, "ts_ramp_rate")
+    assert plan.count("Exchange hashpartitioning") <= 2
