@@ -649,3 +649,36 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.url_encode("c_name").alias("name_encoded"),
         F.url_decode(F.url_encode("c_name")).alias("name_roundtrip"),
     )
+
+
+@op(
+    "fn_format",
+    oracle="""
+    SELECT p_partkey,
+           printf('%08d', p_partkey) AS key_padded,
+           printf('%s|%d|%s', p_brand, p_size, p_type) AS row_tag,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_lpad,
+           rpad(p_brand, 12, '.') AS brand_rpad,
+           repeat('*', p_size % 8) AS stars
+    FROM part
+    """,
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting family: printf-style templating
+    (format_string), fixed-width padding (lpad/rpad), repeat — the
+    report/export-rendering functions.  printf '%d'/'%s'/zero-pad
+    conversions are C-semantics-identical in both engines (no locale
+    grouping — deliberately NOT format_number, whose thousands
+    separators are locale-dependent).  Pure per-row codegen'd string
+    ops."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%08d", "p_partkey").alias("key_padded"),
+        F.format_string("%s|%d|%s", "p_brand", "p_size", "p_type").alias(
+            "row_tag"
+        ),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_lpad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.expr("repeat('*', CAST(p_size % 8 AS INT))").alias("stars"),
+    )

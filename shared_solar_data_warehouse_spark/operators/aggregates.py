@@ -957,3 +957,39 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_distinct_users")
         )
     )
+
+
+@op(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+               AS sum_price_exact,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE)
+               AS sum_qty_exact,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money-exact aggregation through the DECIMAL path: inputs cast to
+    DECIMAL(18,2) BEFORE summing, so the accumulation is exact integer
+    arithmetic in both engines (Spark widens the sum to DECIMAL(28,2),
+    DuckDB to a scaled HUGEINT) and the result is order-independent —
+    the warehouse answer to float-sum drift for currency columns,
+    complementary to parity.dsum's quantize-then-BIGINT trick.  The
+    final value is cast to DOUBLE only for transport: the exact sums
+    fit in well under 2^53, so the cast is lossless and bit-identical.
+    At 100 TB decimal aggregation costs ~2x a double sum but stays
+    map-side combinable — same plan shape as any sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price_exact"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty_exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

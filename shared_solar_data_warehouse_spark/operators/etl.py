@@ -344,3 +344,55 @@ def etl_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("new_bal").isNull()
         | (F.col("old_bal") != F.col("new_bal"))
     )
+
+
+#: Incremental-rollup cut: rows before this day form the persisted
+#: aggregate artifact; rows on/after it are the incoming delta.
+_ROLLUP_CUT = "2024-01-25"
+
+
+@op(
+    "etl_incremental_rollup",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_q4,
+           count(*) AS n_rows
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def etl_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merge a persisted rollup
+    artifact (all history before the cut day) with a fresh delta
+    partition (the cut day onward) WITHOUT re-scanning history — the
+    nightly-rollup pattern behind every warehouse's materialized
+    daily/hourly tables.
+
+    Both sides reduce to the same mergeable state (sum of 1e-4
+    quantized BIGINTs + count); the merge is a union + re-aggregate of
+    partial states, so its cost scales with |groups|, not |history
+    rows|.  The oracle computes the full-history aggregate directly —
+    passing proves merge(partial(old), partial(new)) ==
+    aggregate(all), the algebraic-aggregate contract that makes
+    incremental maintenance sound.  At 100 TB: the artifact is a
+    parquet table partitioned by group hash; each night reads only the
+    delta partitions + the artifact, never the raw history."""
+    e = load_table(spark, sf_dir, "events")
+    vq = F.expr("CAST(floor(value * 1e4 + 0.5) AS BIGINT)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.sum(vq).alias("sum_q4"), F.count(F.lit(1)).alias("n_rows")
+        )
+
+    artifact = partial(e.filter(F.col("ts") < _ROLLUP_CUT))
+    delta = partial(e.filter(F.col("ts") >= _ROLLUP_CUT))
+    return (
+        artifact.unionAll(delta)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("sum_q4").cast("bigint").alias("sum_q4"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+        )
+    )

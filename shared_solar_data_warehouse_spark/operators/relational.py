@@ -1473,3 +1473,37 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rkey")
         .limit(100)
     )
+
+
+@op(
+    "join_mark_exists",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           c_custkey IN (SELECT o_custkey FROM orders
+                         WHERE o_totalprice > 400000) AS has_big_order
+    FROM customer
+    """,
+)
+def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-mark join: keep EVERY left row and add a boolean
+    'matching right row exists' column — the IN/EXISTS-as-projection
+    shape (Catalyst's ExistenceJoin when EXISTS sits inside a
+    disjunction).  Expressed as left join against the distinct'd key
+    set + IS NOT NULL flag: unlike a semi join it preserves
+    non-matching rows, unlike an inner join it never duplicates (the
+    distinct guarantees ≤1 match).  At 100 TB the distinct'd key set
+    is usually tiny relative to the probe → broadcast, making the mark
+    a map-side annotation; here the filtered orders keys broadcast
+    under AQE's threshold automatically."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    keys = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+        .distinct()
+    )
+    return c.join(keys, c.c_custkey == keys.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("o_custkey").isNotNull().alias("has_big_order"),
+    )
