@@ -626,10 +626,17 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            # The visited set is bounded by reached nodes — broadcast
+            # it so the anti-join is map-side too.
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
             .select("node", F.lit(d).cast("int").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+        if d < _BFS_DEPTH:
+            # Materialize rounds that later rounds re-consume (both as
+            # frontier and inside visited); the FINAL round is read
+            # exactly once by the output union — checkpointing it
+            # would only add a blocking pass.
+            nxt = nxt.localCheckpoint(eager=True)
         visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
