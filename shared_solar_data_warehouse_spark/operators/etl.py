@@ -396,3 +396,66 @@ def etl_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rows").cast("bigint").alias("n_rows"),
         )
     )
+
+
+@op(
+    "etl_zorder_key",
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey % 256 AS BIGINT) AS px,
+               CAST(l_suppkey % 256 AS BIGINT) AS sy
+        FROM lineitem
+    ), z AS (
+        SELECT l_orderkey, l_linenumber, px, sy,
+               CAST(
+                 ((px & 1))         | ((sy & 1) << 1)
+               | ((px & 2) << 1)    | ((sy & 2) << 2)
+               | ((px & 4) << 2)    | ((sy & 4) << 3)
+               | ((px & 8) << 3)    | ((sy & 8) << 4)
+               | ((px & 16) << 4)   | ((sy & 16) << 5)
+               | ((px & 32) << 5)   | ((sy & 32) << 6)
+               | ((px & 64) << 6)   | ((sy & 64) << 7)
+               | ((px & 128) << 7)  | ((sy & 128) << 8)
+               AS BIGINT) AS zcode
+        FROM b
+    )
+    SELECT CAST(zcode >> 10 AS BIGINT) AS zfile,
+           count(*) AS n_rows,
+           CAST(min(px) AS BIGINT) AS px_min, CAST(max(px) AS BIGINT) AS px_max,
+           CAST(min(sy) AS BIGINT) AS sy_min, CAST(max(sy) AS BIGINT) AS sy_max
+    FROM z GROUP BY 1
+    """,
+)
+def etl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key + the per-file min/max ranges it
+    yields — the data-layout move behind multi-dimensional pruning
+    (Delta OPTIMIZE ZORDER, Hudi clustering): interleave the bits of
+    two bucketed keys so a range of the combined key stays tight in
+    BOTH dimensions.  The op emits one row per simulated file
+    (zcode >> 10 ≈ 64 z-tiles) with each dimension's min/max — the
+    parquet footer stats a scan would prune on; both spans stay
+    ~2^5 wide out of 256, vs 256 for a single-key sort.  Bit
+    interleave is pure integer &/<<;| identical in both engines.
+    Plan: scan → project (codegen'd bit ops) → one partial-agg
+    groupBy; at 100 TB this is the layout job you run once per
+    partition, then every two-predicate scan prunes ~97% of files."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.expr("CAST(l_partkey % 256 AS BIGINT)").alias("px"),
+        F.expr("CAST(l_suppkey % 256 AS BIGINT)").alias("sy"),
+    )
+    interleave = " | ".join(
+        f"((px & {1 << i}) << {i}) | ((sy & {1 << i}) << {i + 1})"
+        for i in range(8)
+    )
+    z = b.withColumn("zcode", F.expr(f"CAST({interleave} AS BIGINT)"))
+    return z.groupBy(
+        F.expr("CAST(zcode >> 10 AS BIGINT)").alias("zfile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("px").alias("px_min"),
+        F.max("px").alias("px_max"),
+        F.min("sy").alias("sy_min"),
+        F.max("sy").alias("sy_max"),
+    )

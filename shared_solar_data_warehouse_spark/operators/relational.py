@@ -1507,3 +1507,28 @@ def join_mark_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.col("o_custkey").isNotNull().alias("has_big_order"),
     )
+
+
+@op(
+    "sort_within_partitions",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (`sortWithinPartitions`) — the write-side
+    clustering primitive: rows are hash-distributed on o_custkey,
+    then sorted inside each partition WITHOUT a global range
+    exchange.  This is how a 100 TB table is laid out for min/max
+    pruning + run-length encoding per file (every writer task emits
+    a locally-sorted file; a global Sort would add a rangepartition
+    shuffle for ordering nobody reads).  Output content is the
+    orders projection itself — the layout, not the values, is the
+    point; `tests/test_plans.py` pins the plan to Sort[global=false]
+    with exactly one hash exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(F.col("o_custkey"))
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+    )

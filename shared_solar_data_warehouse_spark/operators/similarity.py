@@ -763,3 +763,76 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(q) DIV count(*) AS BIGINT)").alias("centroid_q6"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+@op(
+    "sim_random_projection",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                    AS BIGINT) AS v
+        FROM embeddings
+    ), proj AS (
+        SELECT CAST(range AS BIGINT) AS j FROM range(0, 8)
+    ), signs AS (
+        SELECT x.vec_id, proj.j,
+               CASE WHEN ascii(substr(
+                        md5(CAST(x.i AS VARCHAR) || '_'
+                            || CAST(proj.j AS VARCHAR)), 1, 1)) % 2 = 0
+                    THEN x.v ELSE -x.v END AS term
+        FROM x CROSS JOIN proj
+    )
+    SELECT vec_id, j AS proj_id,
+           CAST(sum(term) AS BIGINT) AS proj_micro
+    FROM signs GROUP BY vec_id, j
+    """,
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: 64-dim embeddings
+    down to 8 dims with a {±1} matrix — the dimensionality-reduction
+    front end for large-scale similarity (project first, then search
+    in the cheap space; JL bounds the distance distortion).  The
+    projection matrix is derived, not stored: sign(i,j) comes from
+    the parity of the first md5 hex char of "i_j" — identical on
+    both engines, reproducible on any worker without shipping state
+    (the same trick as the portable minhash perms).  Coordinates
+    quantize to 1e-6 integer units first, so every projected value
+    is an exact BIGINT sum.
+
+    Plan: posexplode → broadcast-join the 512-row sign table →
+    partial-agg groupBy (vec_id, proj_id): one shuffle, and the
+    map-side combine collapses the 64×8 term blowup to 8 partials
+    per vector before the exchange.  At 100 TB nothing here is
+    driver-side; the sign table stays 512 rows no matter the data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "raw")
+    ).select(
+        "vec_id",
+        F.col("i").cast("bigint").alias("i"),
+        F.expr("CAST(floor(CAST(raw AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").alias(
+            "v"
+        ),
+    )
+    signs = (
+        spark.range(0, 64)
+        .select(F.col("id").alias("i"))
+        .crossJoin(spark.range(0, 8).select(F.col("id").alias("j")))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "CASE WHEN ascii(substr(md5(concat(CAST(i AS STRING), '_',"
+                " CAST(j AS STRING))), 1, 1)) % 2 = 0"
+                " THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END"
+            ).alias("s"),
+        )
+    )
+    terms = x.join(F.broadcast(signs), "i").select(
+        "vec_id", "j", F.expr("s * v").alias("term")
+    )
+    return terms.groupBy("vec_id", F.col("j").alias("proj_id")).agg(
+        F.sum("term").alias("proj_micro")
+    )

@@ -887,3 +887,124 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dup_paras"),
     )
+
+
+@op(
+    "text_unigram_perplexity",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), dtf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token
+    ), corpus AS (
+        SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM dtf GROUP BY token
+    ), tot AS (
+        SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM corpus
+    ), terms AS (
+        SELECT d.doc_id,
+               CAST(d.tf AS BIGINT) AS tf,
+               CAST(floor(log2(c.ctf / t.n_total) * 1e12 - 0.5) + 1
+                    AS BIGINT) AS q
+        FROM dtf d JOIN corpus c USING (token) CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(CAST(-sum(tf * q) AS DOUBLE)
+                 / (CAST(sum(tf) AS DOUBLE) * 1e12), 6) AS xent_bits
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a corpus unigram LM — the
+    cheapest "how surprising is this document" quality signal in
+    pretraining pipelines (KenLM-perplexity's degenerate cousin;
+    outliers on either end are boilerplate or noise).  The LM is the
+    corpus itself: p(tok) = ctf/N from the shared term-frequency
+    artifact; per doc, H = -Σ tf·log2 p / Σ tf bits.
+
+    Parity: each token type's log2 p is quantized to integer 1e-12
+    units (round-half-up via floor(x·1e12-0.5)+1, exact for the
+    negative log terms) BEFORE the weighted per-doc sum; the final
+    division is one double op on identical integers.  Plan: the tf
+    table materializes once (memo_checkpoint); the corpus table is a
+    31-row broadcast; the per-doc agg shuffles on doc_id only.  At
+    100 TB the vocab table is the only global state — a few million
+    rows, broadcastable, exactly how distributed KenLM scoring
+    ships its model."""
+    tf = _tf_table(spark, sf_dir)
+    corpus = tf.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    tot = corpus.agg(F.sum("ctf").alias("n_total"))
+    terms = (
+        tf.join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.expr(
+                "CAST(floor(log2(ctf / n_total) * 1e12 - 0.5) + 1 AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(
+            -F.sum(F.expr("tf * q")).cast("double")
+            / (F.sum("tf").cast("double") * F.lit(1e12)),
+            6,
+        ).alias("xent_bits"),
+    )
+
+
+@op(
+    "text_zipf_census",
+    oracle="""
+    WITH tf AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), corpus AS (
+        SELECT token, count(*) AS ctf FROM tf GROUP BY token
+    ), tot AS (
+        SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM corpus
+    )
+    SELECT token,
+           CAST(ctf AS BIGINT) AS ctf,
+           CAST(row_number() OVER (ORDER BY ctf DESC, token) AS BIGINT)
+               AS rnk,
+           CAST(row_number() OVER (ORDER BY ctf DESC, token) * ctf
+                AS BIGINT) AS rank_freq_product,
+           CAST((ctf * 1000000) // n_total AS BIGINT) AS share_ppm
+    FROM corpus CROSS JOIN tot
+    """,
+)
+def text_zipf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary census in Zipf form: every token with its
+    frequency, frequency rank, rank×freq product (constant under an
+    ideal Zipf law — the standard sanity plot for a scraped corpus)
+    and ppm share of all tokens.  Plan: one partial-agg groupBy over
+    the shared tf artifact, then a single-partition window over the
+    vocabulary table ONLY (vocab is orders of magnitude smaller than
+    the corpus; at 100 TB a few million rows on one task is the
+    correct plan — the alternative two-pass rank join is strictly
+    worse below ~10⁸ vocab entries)."""
+    tf = _tf_table(spark, sf_dir)
+    corpus = tf.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    tot = corpus.agg(F.sum("ctf").alias("n_total"))
+    w = Window.orderBy(F.col("ctf").desc(), "token")
+    return (
+        corpus.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.col("ctf").cast("bigint").alias("ctf"),
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "n_total",
+        )
+        .select(
+            "token",
+            "ctf",
+            "rnk",
+            F.expr("CAST(rnk * ctf AS BIGINT)").alias("rank_freq_product"),
+            F.expr("CAST((ctf * 1000000) DIV n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

@@ -1452,3 +1452,210 @@ def ts_ramp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_ramps") > 0)
     )
+
+
+@op(
+    "ts_max_concurrency",
+    oracle="""
+    WITH sessions AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS s_start,
+               max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) + 1 AS s_end
+        FROM events GROUP BY 1, 2
+    ), endpoints AS (
+        SELECT day, s_start AS t, 1 AS delta FROM sessions
+        UNION ALL
+        SELECT day, s_end AS t, -1 AS delta FROM sessions
+    ), merged AS (
+        SELECT day, t, CAST(sum(delta) AS BIGINT) AS d
+        FROM endpoints GROUP BY day, t
+    ), run AS (
+        SELECT day, t,
+               CAST(sum(d) OVER (PARTITION BY day ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS active
+        FROM merged
+    )
+    SELECT r.day, r.max_concurrency, s.n_sessions
+    FROM (SELECT day, max(active) AS max_concurrency FROM run GROUP BY day) r
+    JOIN (SELECT day, count(*) AS n_sessions FROM sessions GROUP BY day) s
+      USING (day)
+    """,
+)
+def ts_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent circuits per day by sweep line — the grid
+    operator's "how many households draw at once" coincidence view,
+    and the classic interval-overlap counting pattern.  Each
+    user-day's activity span becomes a half-open interval
+    [first_s, last_s+1); endpoints carry +1/-1 deltas, same-instant
+    deltas are pre-merged by a (day, t) groupBy so the running sum
+    has no tie-order dependence, and the max prefix-sum per day is
+    the exact peak concurrency.  Plan: ONE scan of events and three
+    stacked exchanges — session agg on (user_id, day), endpoint merge
+    on (day, t), then the window + final agg share a (day) exchange;
+    the endpoint fan-out is an inline explode(array(struct...)), not a
+    UNION ALL of two selects (which would recompute the session agg
+    per branch — the plan test pins the single-subtree shape), and
+    n_sessions rides along as the count of +1 endpoints instead of a
+    separate branch.  At 100 TB the endpoint table is two rows per
+    session, tiny next to the raw readings, and the sweep is
+    partition-local per day."""
+    e = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp(F.date_trunc("second", "ts"))
+    sessions = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.min(epoch_s).alias("s_start"),
+        (F.max(epoch_s) + 1).alias("s_end"),
+    )
+    endpoints = sessions.select(
+        "day",
+        F.explode(
+            F.expr(
+                "array(struct(s_start AS t, 1 AS delta),"
+                " struct(s_end AS t, -1 AS delta))"
+            )
+        ).alias("ep"),
+    ).select("day", F.col("ep.t").alias("t"), F.col("ep.delta").alias("delta"))
+    merged = endpoints.groupBy("day", "t").agg(
+        F.sum("delta").alias("d"),
+        F.sum(F.greatest(F.col("delta"), F.lit(0))).alias("starts"),
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = merged.select("day", "starts", F.sum("d").over(w).alias("active"))
+    return run.groupBy("day").agg(
+        F.max("active").alias("max_concurrency"),
+        F.sum("starts").alias("n_sessions"),
+    )
+
+
+@op(
+    "ts_load_duration",
+    oracle="""
+    WITH q AS (
+        SELECT user_id,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_micro,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_readings,
+           CAST(max(CASE WHEN rn = 1 THEN v_micro END) AS BIGINT) AS peak_micro,
+           CAST(max(CASE WHEN rn = (n * 10 + 99) // 100 THEN v_micro END)
+                AS BIGINT) AS p90_micro,
+           CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v_micro END)
+                AS BIGINT) AS p50_micro
+    FROM q GROUP BY user_id, n
+    """,
+)
+def ts_load_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-duration curve points per circuit — the power-systems view
+    "demand exceeded X% of the time": peak, top-decile (p90) and
+    median (p50) readings selected by EXACT rank, not interpolation.
+    Readings quantize to BIGINT micro-units; the rank-r order
+    statistic with r = ceil(q*n) (integer form (n*q_pct+99)//100) is
+    the same row in both engines because the DESC sort tie-breaks on
+    event_id.  Plan: one hash exchange on user_id, a partition-local
+    sort for row_number, then a partial-aggregated groupBy on the
+    same key — no second exchange (AQE reuses the partitioning); at
+    100 TB this streams each circuit's history through one sorted
+    pass."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    part = Window.partitionBy("user_id")
+    q = e.select(
+        "user_id",
+        F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)").alias("v_micro"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    return q.groupBy("user_id", "n").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("v_micro"))).alias("peak_micro"),
+        F.max(
+            F.when(F.expr("rn = (n * 10 + 99) DIV 100"), F.col("v_micro"))
+        ).alias("p90_micro"),
+        F.max(
+            F.when(F.expr("rn = (n * 50 + 99) DIV 100"), F.col("v_micro"))
+        ).alias("p50_micro"),
+    ).select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_readings"),
+        "peak_micro",
+        "p90_micro",
+        "p50_micro",
+    )
+
+
+@op(
+    "ts_trend_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01' AS x,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n AS n_days,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) // (n * sxx - sx * sx)
+                ELSE CAST(0 AS BIGINT) END AS slope_micro_per_day
+    FROM m
+    """,
+)
+def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-circuit consumption trend: least-squares slope of daily
+    energy vs day index — the degradation/uptake metric behind "is
+    this household's usage growing?".  x is the integer day offset,
+    y the micro-unit daily total, and the slope comes from the four
+    exact integer moments (n·Σxy − ΣxΣy)/(n·Σxx − (Σx)²) with
+    truncated integer division, so there is no float anywhere
+    (same moment-algebra pattern as agg_linreg/agg_corr_exact, here
+    grouped per entity).  Magnitudes: |Σxy| ≤ 31 days × 30 × ~3e8
+    micro-units ≈ 3e12 per month-window — far inside BIGINT.  Plan:
+    two stacked partial aggs on the same user_id prefix (day agg,
+    then moment agg) — one exchange; at 100 TB the daily table is
+    the shared hourly/daily artifact every other rollup reads."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)")).alias("y")
+    ).select(
+        "user_id",
+        F.datediff("day", F.lit("2024-01-01")).cast("bigint").alias("x"),
+        "y",
+    )
+    m = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return m.select(
+        "user_id",
+        F.col("n").alias("n_days"),
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx <> 0"
+            " THEN CAST((n * sxy - sx * sy) DIV (n * sxx - sx * sx) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("slope_micro_per_day"),
+    )

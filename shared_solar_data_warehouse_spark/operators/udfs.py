@@ -223,3 +223,30 @@ def udf_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs, LATERAL split_tokens(text) t
         """
     )
+
+
+@op(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1
+                AS INTEGER) AS n_tokens_arrow,
+           upper(substr(source, 1, 3)) AS src_tag
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (`F.udf(..., useArrow=True)`, Spark
+    3.5+/4.x) — the third lane of the scalar-UDF surface: row-wise
+    Python *semantics* with Arrow-batch *transport*, closing most of
+    the gap to pandas_udf without requiring vectorized code.  The
+    functions here are deliberately SQL-expressible so the oracle
+    can verify the lane end-to-end."""
+    n_tokens = F.udf(lambda s: s.count(" ") + 1, "int", useArrow=True)
+    tag = F.udf(lambda s: s[:3].upper(), "string", useArrow=True)
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens_arrow"),
+        tag("source").alias("src_tag"),
+    )

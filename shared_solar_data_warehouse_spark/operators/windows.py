@@ -411,3 +411,92 @@ def win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_micro",
         F.expr("CAST(_num DIV _den AS BIGINT)").alias("share_ppm"),
     )
+
+
+@op(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(4) OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal, c_custkey) AS INTEGER) AS balance_quartile
+    FROM customer
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-height quartile assignment per market segment (the BI
+    "customer value tier" bucketing).  ntile's bucket-size rule — the
+    first ``n_rows % 4`` buckets get one extra row — is the standard
+    SQL definition in both engines, so parity needs only a unique
+    ORDER BY (acctbal then custkey).  Plan: one hash exchange on
+    c_mktsegment, then a single sort; window state is a counter, so a
+    100 TB partition streams through without buffering."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+@op(
+    "win_percent_rank",
+    oracle="""
+    WITH k AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(floor(c_acctbal) AS BIGINT) AS bal_floor
+        FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, bal_floor,
+           CASE WHEN count(*) OVER (PARTITION BY c_mktsegment) > 1
+                THEN ((CAST(rank() OVER (PARTITION BY c_mktsegment
+                                         ORDER BY bal_floor) AS BIGINT) - 1)
+                      * 1000000)
+                     // (count(*) OVER (PARTITION BY c_mktsegment) - 1)
+                ELSE 0 END AS pct_rank_ppm,
+           (count(*) OVER (PARTITION BY c_mktsegment ORDER BY bal_floor
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            * 1000000)
+               // count(*) OVER (PARTITION BY c_mktsegment) AS cume_dist_ppm
+    FROM k
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist re-derived in exact integer ppm — the
+    builtin forms return doubles whose division order is engine
+    -specific, so this op computes the defining rationals itself:
+    pct_rank = (rank-1)/(n-1), cume_dist = peers_le/n, both as
+    truncated-integer ppm.  Ranking on floor(acctbal) keeps genuine
+    ties so rank() vs row_number() semantics (and the RANGE-frame peer
+    count) are actually exercised.  Plan: one exchange on
+    c_mktsegment feeds all four windows (same partition spec), sort
+    reused across them."""
+    c = load_table(spark, sf_dir, "customer")
+    k = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.expr("CAST(floor(c_acctbal) AS BIGINT)").alias("bal_floor"),
+    )
+    part = Window.partitionBy("c_mktsegment")
+    wo = part.orderBy("bal_floor")
+    peers = wo.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    n = F.count(F.lit(1)).over(part)
+    return k.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_floor",
+        ((F.rank().over(wo).cast("bigint") - 1) * 1000000).alias("_num_pr"),
+        (F.count(F.lit(1)).over(peers) * 1000000).alias("_num_cd"),
+        n.alias("_n"),
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_floor",
+        F.expr(
+            "CASE WHEN _n > 1 THEN CAST(_num_pr DIV (_n - 1) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("pct_rank_ppm"),
+        F.expr("CAST(_num_cd DIV _n AS BIGINT)").alias("cume_dist_ppm"),
+    )

@@ -352,3 +352,64 @@ def test_ramp_rate_single_exchange_for_window_and_agg(spark, registry):
     # partitioning: exactly one shuffle of the event rows.
     plan = plan_of(registry, spark, "ts_ramp_rate")
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_sort_within_partitions_no_global_sort(spark, registry):
+    # The contract: partition-local sort only — a hash exchange for the
+    # clustering, NO rangepartitioning exchange (that's the layout-job
+    # plan; a global Sort would add an ordering nobody reads).
+    plan = plan_of(registry, spark, "sort_within_partitions")
+    assert "rangepartitioning" not in plan
+    assert _n_exchanges(plan) == 1
+
+
+def _n_exchanges(plan: str) -> int:
+    import re
+
+    # formatted explain: tree node "Exchange (k)" + detail "(k) Exchange";
+    # count the detail headers (one per physical exchange, broadcasts
+    # counted separately as "(k) BroadcastExchange").
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_sweep_line_single_scan_three_exchanges(spark, registry):
+    # ts_max_concurrency: the explode-based endpoint fan-out keeps ONE
+    # events subtree (no UNION ALL recompute), so the whole sweep is
+    # session agg -> (day,t) merge -> (day) window+agg: <=3 exchanges,
+    # one Scan parquet of events, no join at all.
+    plan = plan_of(registry, spark, "ts_max_concurrency")
+    assert _n_exchanges(plan) <= 3
+    import re
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_load_duration_one_exchange(spark, registry):
+    # row_number window and the following groupBy share the user_id
+    # partitioning: one exchange total for the event rows.
+    plan = plan_of(registry, spark, "ts_load_duration")
+    assert _n_exchanges(plan) == 1
+
+
+def test_random_projection_broadcasts_sign_table(spark, registry):
+    # The 512-row derived sign matrix must broadcast; the only shuffle
+    # carries (vec_id, proj_id) partials after map-side combine.
+    plan = plan_of(registry, spark, "sim_random_projection")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_unigram_perplexity_broadcasts_vocab(spark, registry):
+    # Corpus vocab + total are broadcast side-inputs; the per-doc agg
+    # is the only shuffle of the tf table after the memoized artifact.
+    plan = plan_of(registry, spark, "text_unigram_perplexity")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_zorder_key_is_single_partial_agg(spark, registry):
+    # Bit interleave is codegen'd projection; one partial-agg groupBy.
+    plan = plan_of(registry, spark, "etl_zorder_key")
+    assert _n_exchanges(plan) == 1
+    assert "partial_count" in plan  # map-side combine below the exchange
