@@ -993,3 +993,42 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_qty_exact"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@op(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM lineitem)
+    SELECT l_partkey,
+           count(*) AS n_hits,
+           CAST((count(*) * 1000000) // max(tot.n) AS BIGINT) AS share_ppm
+    FROM lineitem CROSS JOIN tot
+    GROUP BY l_partkey
+    HAVING count(*) * 2000 > max(tot.n)
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys holding > 1/2000 of all rows (the
+    skew-detection primitive — these are precisely the keys a salted
+    join or AQE skew split must handle).  One partial-agg groupBy +
+    a broadcast scalar total; the HAVING is integer cross-multiplied
+    (count*2000 > N) so no division is involved in the predicate.
+    At 100 TB exact-per-key counting is affordable only because
+    map-side combine collapses each partition to its distinct keys;
+    when the key domain itself explodes, a Misra-Gries/CMS sketch
+    prefilters candidates and THIS op re-checks exactly — the
+    two-pass pattern this entry documents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    g = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .filter(F.expr("n_hits * 2000 > n"))
+        .select(
+            "l_partkey",
+            "n_hits",
+            F.expr("CAST((n_hits * 1000000) DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

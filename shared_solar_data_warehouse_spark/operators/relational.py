@@ -1532,3 +1532,62 @@ def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("o_custkey"))
         .sortWithinPartitions("o_custkey", "o_orderkey")
     )
+
+
+@op(
+    "join_interval_overlap",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS s0,
+               max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) + 1 AS s1
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.day,
+           count(*) AS n_overlap_pairs,
+           CAST(sum(least(a.s1, b.s1) - greatest(a.s0, b.s0)) AS BIGINT)
+               AS total_overlap_s
+    FROM s a JOIN s b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s0 < b.s1 AND b.s0 < a.s1
+    GROUP BY a.day
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — the general two-sided cousin of the
+    point-in-interval `join_range_bucketed`: which circuit activity
+    spans overlap, per day, with total overlapping seconds.  The
+    equi-key (day) carries the join; the interval-intersection
+    predicate (a.s0 < b.s1 AND b.s0 < a.s1, half-open) is the
+    residual filter, so the plan is a hash/sort-merge join on day —
+    never a nested loop over the cross product.  At 100 TB the day
+    bucket is the standard interval-join decomposition (split long
+    intervals across bucket boundaries, dedup on output); sessions
+    here are bounded within a day by construction so no splitting is
+    needed, and per-day skew is AQE-split.  All arithmetic is
+    integer epoch seconds."""
+    e = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp(F.date_trunc("second", "ts"))
+    s = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.min(epoch_s).alias("s0"),
+        (F.max(epoch_s) + 1).alias("s1"),
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s0") < F.col("b.s1"))
+        & (F.col("b.s0") < F.col("a.s1")),
+    )
+    return pairs.groupBy(F.col("a.day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_overlap_pairs"),
+        F.sum(
+            F.least(F.col("a.s1"), F.col("b.s1"))
+            - F.greatest(F.col("a.s0"), F.col("b.s0"))
+        ).alias("total_overlap_s"),
+    )

@@ -1008,3 +1008,61 @@ def text_zipf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@op(
+    "text_keywords",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), tf_counts AS (
+        SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token
+    ), df_counts AS (
+        SELECT token, count(*) AS df FROM tf_counts GROUP BY token
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tc.doc_id, tc.token,
+               round(tc.tf * (ln((n.n_docs + 1.0) / (dc.df + 1.0)) + 1.0), 4)
+                   AS tfidf
+        FROM tf_counts tc JOIN df_counts dc ON tc.token = dc.token
+        CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf,
+           CAST(kw_rank AS INTEGER) AS kw_rank
+    FROM (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token) AS kw_rank
+        FROM scored
+    ) WHERE kw_rank <= 3
+    """,
+)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by smoothed TF-IDF — the
+    keyword-extraction / doc-tagging stage of a corpus pipeline,
+    stacked directly on the memoized tf artifact and the broadcast
+    df table (zero new corpus passes).  Ranking orders by the
+    ROUNDED score (the value whose cross-engine parity text_tfidf
+    already pins) with the token as unique tie-break, so the top-3
+    set is deterministic on both engines.  Plan: broadcast join +
+    one (doc_id) window — the same single-exchange top-k-per-group
+    shape as topk_per_group."""
+    tf = _tf_table(spark, sf_dir)
+    df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    scored = tf.join(F.broadcast(df_counts), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            4,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= 3)
+        .select("doc_id", "token", "tfidf", "kw_rank")
+    )

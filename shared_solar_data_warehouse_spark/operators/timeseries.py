@@ -1659,3 +1659,66 @@ def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE CAST(0 AS BIGINT) END"
         ).alias("slope_micro_per_day"),
     )
+
+
+@op(
+    "ts_session_window",
+    oracle="""
+    WITH q AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_micro,
+               CASE WHEN CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                         - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= 1800
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), isl AS (
+        SELECT user_id, es, v_micro,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY es
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sid
+        FROM q
+    )
+    SELECT user_id,
+           CAST(min(es) AS BIGINT) AS session_start_s,
+           CAST(max(es) + 1800 AS BIGINT) AS session_end_s,
+           count(*) AS n_events,
+           CAST(sum(v_micro) AS BIGINT) AS total_micro
+    FROM isl GROUP BY user_id, sid
+    """,
+)
+def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in `session_window` aggregation (the native
+    event-time session operator, batch form) — the API twin of the
+    hand-rolled gaps-and-islands `ts_sessionize`: each event opens a
+     30-min window and overlapping windows merge, so a session breaks
+    exactly when a gap >= 30 min appears.  The oracle reproduces the
+    merge rule as islands (break on gap >= 1800 s), pinning that the
+    builtin's semantics equal the manual form: start = first event,
+    end = last event + gap.  The struct-typed window column is
+    flattened to epoch seconds on output (driver canon rejects
+    structs).  Plan: session_window compiles to a single exchange on
+    user_id + sort — state per key is one open window, the same shape
+    Structured Streaming uses for its stateful session store; at
+    100 TB batch sessionization this beats any self-join formulation
+    outright."""
+    e = load_table(spark, sf_dir, "events")
+    grouped = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)")).alias(
+            "total_micro"
+        ),
+    )
+    return grouped.select(
+        "user_id",
+        F.unix_timestamp(F.col("sw.start")).alias("session_start_s"),
+        F.unix_timestamp(F.col("sw.end")).alias("session_end_s"),
+        "n_events",
+        "total_micro",
+    )

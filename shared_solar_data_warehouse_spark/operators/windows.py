@@ -500,3 +500,60 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pct_rank_ppm"),
         F.expr("CAST(_num_cd DIV _n AS BIGINT)").alias("cume_dist_ppm"),
     )
+
+
+@op(
+    "win_drawdown",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_micro
+        FROM events
+    ), d AS (
+        SELECT user_id,
+               CAST(max(cum_micro)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - cum_micro AS drawdown
+        FROM q
+    )
+    SELECT user_id,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_micro,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM d GROUP BY user_id
+    """,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per circuit: largest drop of the cumulative
+    reading total below its own running peak — the risk metric every
+    billing/credit pipeline computes (how deep does a balance dip),
+    expressed as two stacked running windows (cumsum, then running
+    max) and a final group agg.  Everything is quantized BIGINT
+    micro-units, and all three steps share the single (user_id)
+    exchange + one sort — a textbook case of window partitioning
+    reuse (asserted <= 1 exchange in test_plans).  Note drawdown here
+    is always >= 0 by construction (running max >= current), so max()
+    over it needs no null/sign care."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = e.select(
+        "user_id",
+        F.sum(F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)"))
+        .over(wo)
+        .alias("cum_micro"),
+        "ts",
+        "event_id",
+    )
+    d = q.select(
+        "user_id",
+        (F.max("cum_micro").over(wo) - F.col("cum_micro")).alias("drawdown"),
+    )
+    return d.groupBy("user_id").agg(
+        F.max("drawdown").alias("max_drawdown_micro"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

@@ -413,3 +413,34 @@ def test_zorder_key_is_single_partial_agg(spark, registry):
     plan = plan_of(registry, spark, "etl_zorder_key")
     assert _n_exchanges(plan) == 1
     assert "partial_count" in plan  # map-side combine below the exchange
+
+
+def test_drawdown_windows_share_one_exchange(spark, registry):
+    # cumsum window, running-max window, and the final user agg all
+    # partition on user_id: exactly one exchange.
+    plan = plan_of(registry, spark, "win_drawdown")
+    assert _n_exchanges(plan) == 1
+
+
+def test_interval_overlap_is_equi_join_on_day(spark, registry):
+    # The overlap predicate must ride as a residual on a hash/merge
+    # join keyed on day — a BroadcastNestedLoopJoin over the session
+    # pairs would be the quadratic plan this op exists to avoid.
+    plan = plan_of(registry, spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_session_window_single_exchange(spark, registry):
+    # Built-in session_window: one exchange on user_id, session merge
+    # is partition-local.
+    plan = plan_of(registry, spark, "ts_session_window")
+    assert _n_exchanges(plan) <= 1
+
+
+def test_fuzzy_blocked_join_is_hash_on_block_key(spark, registry):
+    # Levenshtein runs as a residual AFTER an equi join on the block
+    # key — never over the cross product.
+    plan = plan_of(registry, spark, "dedup_fuzzy_blocked")
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
