@@ -835,10 +835,14 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "dedup_fuzzy_blocked",
     oracle="""
-    WITH b AS (
+    WITH canon AS (
+        SELECT min(doc_id) AS doc_id, text, min(lang) AS lang,
+               min(n_chars) AS n_chars
+        FROM documents GROUP BY text
+    ), b AS (
         SELECT doc_id, text, lang, n_chars,
                array_to_string(string_split(text, ' ')[1:3], ' ') AS blk
-        FROM documents
+        FROM canon
     )
     SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
            CAST(levenshtein(a.text, c.text) AS BIGINT) AS edit_dist,
@@ -852,7 +856,12 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy (edit-distance) dedup — the record-linkage
     pattern for near-dups that shingle/minhash misses (small in-place
-    edits): block on cheap keys (lang + first-3-token prefix), gate
+    edits): collapse byte-identical texts to one canonical
+    representative FIRST (min doc_id per text — exact dups are
+    dedup_exact's job, and skipping this step makes the pair stage
+    quadratic in the duplicate multiplicity, the scale-smoke
+    failure mode), then block on cheap keys (lang + first-3-token
+    prefix), gate
     candidates on |length difference| <= 16 (a free lower bound on
     edit distance), and only THEN pay O(n·m) Levenshtein, keeping
     pairs whose distance is <= 20% of the longer text (integer
@@ -863,7 +872,16 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, and the Levenshtein stage is the exact verifier.  Spark
     and DuckDB both implement unrestricted Levenshtein, so the
     distances are integers that match exactly."""
-    d = load_table(spark, sf_dir, "documents").select(
+    canon = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("lang").alias("lang"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+    d = canon.select(
         "doc_id",
         "text",
         "lang",
