@@ -1722,3 +1722,105 @@ def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_micro",
     )
+
+
+@op(
+    "ts_overlap_sweep",
+    oracle="""
+    WITH sessions AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS s0,
+               max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) + 1 AS s1
+        FROM events GROUP BY 1, 2
+    ), ep AS (
+        SELECT day, s0 AS t, 1 AS is_start FROM sessions
+        UNION ALL
+        SELECT day, s1 AS t, 0 AS is_start FROM sessions
+    ), merged AS (
+        SELECT day, t,
+               CAST(sum(is_start) AS BIGINT) AS k,
+               CAST(sum(1 - is_start) AS BIGINT) AS e
+        FROM ep GROUP BY day, t
+    ), run AS (
+        SELECT day, t, k,
+               CAST(sum(k - e) OVER (PARTITION BY day ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS a,
+               lead(t) OVER (PARTITION BY day ORDER BY t) AS t_next
+        FROM merged
+    )
+    SELECT day,
+           CAST(sum(k * (a - k) + (k * (k - 1)) // 2) AS BIGINT)
+               AS n_overlap_pairs,
+           CAST(sum(CASE WHEN t_next IS NULL THEN 0
+                         ELSE (a * (a - 1)) // 2 * (t_next - t) END)
+                AS BIGINT) AS total_overlap_s
+    FROM run GROUP BY day
+    """,
+)
+def ts_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR twin of `join_interval_overlap`: the same per-day
+    aggregate — how many session pairs overlap, and for how many
+    total seconds — without ever materializing a pair.  Sweep-line
+    identities over half-open intervals: a pair overlaps iff the
+    later session starts while the earlier is active, so
+    n_pairs = Σ_t [k_t·(A_t − k_t) + C(k_t,2)] where k_t sessions
+    start at instant t and A_t is the running active count AFTER
+    processing t (so A_t − k_t is "active from before, net of
+    same-instant ends"); and Σ_pairs |intersection| =
+    ∫ C(active,2) dt = Σ elementary intervals C(A_t,2)·(t_next−t).
+    A·(A−1) is always even, so the halving is exact integer DIV.
+
+    This op + its pytest parity check against the join formulation
+    document the quadratic→linear rewrite that matters at 100 TB:
+    when the downstream only needs overlap STATISTICS, the O(n²)
+    pair join is the wrong plan at any scale — the sweep is one
+    sessions-sized sort per day.  Plan: single scan, session agg,
+    (day,t) merge, then the (day) window + final agg — ≤3 exchanges,
+    no join."""
+    e = load_table(spark, sf_dir, "events")
+    epoch_s = F.unix_timestamp(F.date_trunc("second", "ts"))
+    sessions = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.min(epoch_s).alias("s0"),
+        (F.max(epoch_s) + 1).alias("s1"),
+    )
+    ep = sessions.select(
+        "day",
+        F.explode(
+            F.expr(
+                "array(struct(s0 AS t, 1 AS is_start),"
+                " struct(s1 AS t, 0 AS is_start))"
+            )
+        ).alias("x"),
+    ).select("day", F.col("x.t").alias("t"), F.col("x.is_start").alias("is_start"))
+    merged = ep.groupBy("day", "t").agg(
+        F.sum("is_start").alias("k"),
+        F.sum(F.expr("1 - is_start")).alias("e"),
+    )
+    wrun = (
+        Window.partitionBy("day")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlead = Window.partitionBy("day").orderBy("t")
+    run = merged.select(
+        "day",
+        "t",
+        "k",
+        F.sum(F.expr("k - e")).over(wrun).alias("a"),
+        F.lead("t").over(wlead).alias("t_next"),
+    )
+    return run.groupBy("day").agg(
+        F.sum(F.expr("k * (a - k) + (k * (k - 1)) DIV 2")).alias(
+            "n_overlap_pairs"
+        ),
+        F.sum(
+            F.expr(
+                "CASE WHEN t_next IS NULL THEN CAST(0 AS BIGINT)"
+                " ELSE (a * (a - 1)) DIV 2 * (t_next - t) END"
+            )
+        ).alias("total_overlap_s"),
+    )

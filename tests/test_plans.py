@@ -444,3 +444,11 @@ def test_fuzzy_blocked_join_is_hash_on_block_key(spark, registry):
     plan = plan_of(registry, spark, "dedup_fuzzy_blocked")
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_overlap_sweep_has_no_join(spark, registry):
+    # The whole point of the sweep: same statistics as the pair join,
+    # zero join nodes, single scan, <=3 exchanges.
+    plan = plan_of(registry, spark, "ts_overlap_sweep")
+    assert "Join" not in plan
+    assert _n_exchanges(plan) <= 3

@@ -399,3 +399,21 @@ def test_asof_tolerance_nulls_stale_matches(spark, registry):
             assert r["prior_click_id_within"] is None
             assert r["staleness_s"] is None
     assert n_within, "tolerance window matched nothing at sf0.001"
+
+
+def test_overlap_sweep_equals_pair_join(spark, registry):
+    """The linear sweep-line formulation must produce exactly the same
+    per-day overlap statistics as the quadratic pair join — the
+    algebraic identity (∫C(active,2)dt == Σ pairwise intersections)
+    that justifies the rewrite at scale."""
+    sweep = {
+        r["day"]: (r["n_overlap_pairs"], r["total_overlap_s"])
+        for r in registry["ts_overlap_sweep"].builder(spark, SF_SMALL).collect()
+    }
+    join = {
+        r["day"]: (r["n_overlap_pairs"], r["total_overlap_s"])
+        for r in registry["join_interval_overlap"]
+        .builder(spark, SF_SMALL)
+        .collect()
+    }
+    assert sweep == join
