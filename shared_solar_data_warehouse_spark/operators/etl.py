@@ -459,3 +459,54 @@ def etl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sy").alias("sy_min"),
         F.max("sy").alias("sy_max"),
     )
+
+
+@op(
+    "etl_table_checksum",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(o_orderkey % 32 AS BIGINT) AS bucket,
+               CAST(('0x' || substr(md5(
+                     CAST(o_orderkey AS VARCHAR) || '|' ||
+                     CAST(o_custkey AS VARCHAR) || '|' ||
+                     o_orderstatus || '|' ||
+                     CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR)), 1, 15)) AS BIGINT) AS rh
+        FROM orders
+    )
+    SELECT bucket,
+           count(*) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS checksum
+    FROM h GROUP BY bucket
+    """,
+)
+def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksum per key bucket — the anti-entropy primitive
+    for verifying a 100 TB replica/migration without moving data:
+    each row hashes (md5 over a canonical '|'-joined rendering, 60
+    bits kept), buckets combine with bit_xor — commutative,
+    fixed-width, and overflow-free at ANY row count (a modular sum
+    needs decimal headroom; XOR needs none), so the checksum is
+    shuffle-order-independent by construction.  Two engines/sites
+    comparing (bucket, n_rows, checksum) localize any divergence to
+    a bucket before any row-level diff; n_rows guards the one XOR
+    blind spot (paired duplicate rows cancel).  Money enters the
+    hash as integer cents (double formatting never crosses
+    engines).
+    Plan: scan → project (codegen md5) → one partial-agg groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    h = o.select(
+        F.expr("CAST(o_orderkey % 32 AS BIGINT)").alias("bucket"),
+        F.expr(
+            "CAST(conv(substr(md5(concat("
+            "CAST(o_orderkey AS STRING), '|',"
+            " CAST(o_custkey AS STRING), '|',"
+            " o_orderstatus, '|',"
+            " CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        ).alias("rh"),
+    )
+    return h.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("CAST(bit_xor(rh) AS BIGINT)").alias("checksum"),
+    )

@@ -557,3 +557,71 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("drawdown").alias("max_drawdown_micro"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+@op(
+    "win_cumulative_share",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ), r AS (
+        SELECT o_custkey, rev_cents,
+               CAST(row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+                    AS BIGINT) AS rnk,
+               CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_cents,
+               CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents
+        FROM m
+    )
+    SELECT o_custkey, rev_cents, rnk,
+           (cum_cents * 1000000) // total_cents AS cum_share_ppm,
+           CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 1 ELSE 0
+                END AS in_top80
+    FROM r
+    """,
+)
+def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration curve: customers ranked by total
+    revenue with their CUMULATIVE share of all revenue (the "top X%
+    of customers carry Y% of revenue" analysis), plus a flag for the
+    cohort inside the 80% mass.  Revenue quantizes to integer cents
+    at the scan; rank, running sum, grand total, the ppm share and
+    the 80% test (cross-multiplied, no division) are all integer —
+    zero float parity surface.  Plan note: the ranking windows are
+    UNPARTITIONED, which is correct here because the window input is
+    the per-customer aggregate, orders of magnitude smaller than the
+    fact table (same single-partition-vocabulary argument as
+    text_zipf_census); at 100 TB you'd two-pass it — distributed
+    sort + broadcast partition boundaries — only when the customer
+    dimension itself stops fitting one task."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).alias(
+            "rev_cents"
+        )
+    )
+    wo = Window.orderBy(F.col("rev_cents").desc(), "o_custkey")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    r = m.select(
+        "o_custkey",
+        "rev_cents",
+        F.row_number().over(wo).cast("bigint").alias("rnk"),
+        F.sum("rev_cents").over(wrun).alias("cum_cents"),
+        F.sum("rev_cents").over(wall).alias("total_cents"),
+    )
+    return r.select(
+        "o_custkey",
+        "rev_cents",
+        "rnk",
+        F.expr("CAST((cum_cents * 1000000) DIV total_cents AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+        F.expr(
+            "CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 1 ELSE 0 END"
+        ).alias("in_top80"),
+    )
