@@ -510,3 +510,62 @@ def etl_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("CAST(bit_xor(rh) AS BIGINT)").alias("checksum"),
     )
+
+
+@op(
+    "etl_file_manifest",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           count(*) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS orderkey_min,
+           CAST(max(l_orderkey) AS BIGINT) AS orderkey_max,
+           CAST(min(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty_min_cents,
+           CAST(max(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty_max_cents
+    FROM lineitem GROUP BY 1
+    """,
+)
+def etl_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest/statistics collection over a physical table layout —
+    what Iceberg/Delta keep per data file (row count + per-column
+    min/max bounds) so a planner can prune files from metadata alone.
+    The op materializes the year-partitioned layout (one file per
+    ship_year via repartition on the partition column), re-reads it,
+    and derives each row's physical file with `input_file_name()`;
+    stats aggregate per file.  Output keys on the ship_year parsed
+    back OUT of the file path (regexp over the hive-style
+    `ship_year=YYYY` directory) — proving the path→stats linkage
+    while keeping the nondeterministic scratch prefix out of the
+    output.  The oracle computes the same bounds logically (one file
+    == one year by construction).  At 100 TB this is the metadata
+    job that runs at write time; scans then skip whole files when
+    the predicate misses [min,max] — the dynamic twin of the static
+    z-order spans in etl_zorder_key."""
+    from shared_solar_data_warehouse_spark.sources.io import scratch_dir
+
+    path = scratch_dir(sf_dir, "etl_file_manifest")
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    li.repartition("ship_year").write.partitionBy("ship_year").mode(
+        "overwrite"
+    ).parquet(path)
+    back = spark.read.parquet(path).withColumn(
+        "_file", F.input_file_name()
+    )
+    return back.groupBy(
+        F.regexp_extract("_file", r"ship_year=(\d+)", 1)
+        .cast("bigint")
+        .alias("ship_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("orderkey_min"),
+        F.max("l_orderkey").alias("orderkey_max"),
+        F.min(F.expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)")).alias(
+            "qty_min_cents"
+        ),
+        F.max(F.expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)")).alias(
+            "qty_max_cents"
+        ),
+    )

@@ -250,3 +250,44 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens("text").alias("n_tokens_arrow"),
         tag("source").alias("src_tag"),
     )
+
+
+@op(
+    "udf_apply_in_arrow",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_micro
+    FROM events GROUP BY user_id
+    """,
+)
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow (Spark 4): grouped-map over raw Arrow tables — the
+    Arrow-native sibling of applyInPandas, skipping the pandas
+    conversion entirely (matters when groups are large and the logic
+    is columnar).  Each group arrives as ONE pyarrow.Table; the demo
+    computes a per-user reduction whose integer quantization keeps
+    the SQL twin exact.  Plan: one exchange on the grouping key, then
+    FlatMapGroupsInArrow per partition — the same 100 TB shape as
+    every grouped-map (state bounded by the largest single group)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_user(table: pa.Table) -> pa.Table:
+        q = pc.cast(
+            pc.floor(pc.add(pc.multiply(table.column("value"), 1e6), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": [table.column("user_id")[0].as_py()],
+                "n_events": [table.num_rows],
+                "total_micro": [pc.sum(q).as_py()],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return e.groupBy("user_id").applyInArrow(
+        per_user, "user_id long, n_events long, total_micro long"
+    )
