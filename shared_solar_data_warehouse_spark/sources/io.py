@@ -469,3 +469,58 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(path)
+
+
+@op(
+    "scan_partition_pruned_dynamic",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS yr
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT CAST(ship_year AS INTEGER) AS ship_year,
+           count(*) AS n_rows,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE), 4)
+               AS revenue
+    FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                 l_extendedprice
+          FROM lineitem) f
+    JOIN dim ON f.ship_year = dim.yr
+    GROUP BY 1
+    """,
+)
+def scan_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning (DPP) — the optimizer feature static
+    pruning can't replace: the years to scan are known only after
+    filtering the dimension at RUNTIME (finished-status orders), so
+    Catalyst injects a `dynamicpruning` subquery into the fact scan's
+    PartitionFilters, reusing the dim's broadcast to skip whole
+    partition directories before I/O (tests/test_plans.py pins the
+    plan node).  This is THE mechanism that makes star-schema queries
+    over a 100 TB date-partitioned fact read only the dimension-
+    selected slice; without it the scan reads every year and throws
+    rows away post-join.  Layout materializes once per (sf, op) under
+    scratch, same discipline as the static twin."""
+    path = scratch_dir(sf_dir, "scan_partition_pruned_dynamic")
+    li = load_table(spark, sf_dir, "lineitem")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li.withColumn("ship_year", F.year("l_shipdate")).write.partitionBy(
+            "ship_year"
+        ).mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.year("o_orderdate").alias("yr"))
+        .distinct()
+    )
+    from shared_solar_data_warehouse_spark.parity import dsum
+
+    return (
+        fact.join(F.broadcast(dim), fact.ship_year == dim.yr)
+        .groupBy(F.col("ship_year").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice").alias("revenue"),
+        )
+    )

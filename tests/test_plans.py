@@ -452,3 +452,12 @@ def test_overlap_sweep_has_no_join(spark, registry):
     plan = plan_of(registry, spark, "ts_overlap_sweep")
     assert "Join" not in plan
     assert _n_exchanges(plan) <= 3
+
+
+def test_dynamic_partition_pruning_fires(spark, registry):
+    # The fact scan's PartitionFilters must carry a dynamicpruning
+    # subquery fed by the filtered dim — runtime directory skipping,
+    # not a post-join filter.
+    plan = plan_of(registry, spark, "scan_partition_pruned_dynamic")
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan
