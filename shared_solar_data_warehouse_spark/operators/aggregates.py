@@ -890,8 +890,12 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_geomean_log",
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CAST(floor(ln(l_quantity) * 1e12 + 0.5) AS BIGINT))
-                AS BIGINT) // count(*) AS mean_ln_q12,
+           CASE WHEN sum(CAST(floor(ln(l_quantity) * 1e12 + 0.5) AS BIGINT)) >= 0
+                THEN CAST(sum(CAST(floor(ln(l_quantity) * 1e12 + 0.5) AS BIGINT))
+                     AS BIGINT) // count(*)
+                ELSE -(CAST(-sum(CAST(floor(ln(l_quantity) * 1e12 + 0.5)
+                        AS BIGINT)) AS BIGINT) // count(*))
+                END AS mean_ln_q12,
            count(*) AS n_rows
     FROM lineitem
     WHERE l_quantity > 0
@@ -904,7 +908,11 @@ def agg_geomean_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp(mean_ln_q12 / 1e12); the op emits the log-space mean as an
     integer in 1e-12 units so NO float crosses the engine boundary:
     each ln() term is quantized pre-sum (libm-ulp-proof, same pattern
-    as text_char_entropy) and the mean is truncated integer division.
+    as text_char_entropy) and the mean is truncated integer division
+    (sign-split in the oracle: quantities in (0,1) make ln terms
+    negative, where DuckDB // floors but Spark DIV truncates — the
+    fixture's quantities are >= 1 today, but the contract shouldn't
+    lean on that).
     One map-side-combinable groupBy; at 100 TB this is as cheap as
     sum/count."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)

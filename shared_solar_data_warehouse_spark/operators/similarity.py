@@ -730,8 +730,13 @@ def sim_embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, CAST(i - 1 AS INTEGER) AS pos,
-           CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5)
-                         AS BIGINT)) AS BIGINT) // count(*) AS centroid_q6,
+           CASE WHEN sum(CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5)
+                             AS BIGINT)) >= 0
+                THEN CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5)
+                              AS BIGINT)) AS BIGINT) // count(*)
+                ELSE -(CAST(-sum(CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5)
+                               AS BIGINT)) AS BIGINT) // count(*))
+                END AS centroid_q6,
            count(*) AS n_vectors
     FROM x GROUP BY label, i
     """,
@@ -742,7 +747,11 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification).  Emitted long-form (label, dimension position,
     mean) so no array reassembly crosses the engine boundary; each
     component is quantized to 1e-6 units pre-sum and the mean is
-    truncated integer division — fully exact.
+    truncated integer division — fully exact.  Negative component
+    sums are real (embeddings are signed), so the oracle spells the
+    truncation as sign(s)*(|s| // n): DuckDB's // floors negatives
+    where Spark's DIV truncates, and a negative odd-lot sum would
+    silently diverge by one unit otherwise.
 
     Plan: posexplode -> groupBy (label, pos) is ONE shuffle whose
     map-side partial aggregation collapses the 64× row blowup to

@@ -1614,9 +1614,11 @@ def ts_load_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily GROUP BY user_id
     )
     SELECT user_id, n AS n_days,
-           CASE WHEN n * sxx - sx * sx <> 0
+           CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+                WHEN n * sxy - sx * sy >= 0
                 THEN (n * sxy - sx * sy) // (n * sxx - sx * sx)
-                ELSE CAST(0 AS BIGINT) END AS slope_micro_per_day
+                ELSE -((-(n * sxy - sx * sy)) // (n * sxx - sx * sx))
+                END AS slope_micro_per_day
     FROM m
     """,
 )
@@ -1626,7 +1628,9 @@ def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     this household's usage growing?".  x is the integer day offset,
     y the micro-unit daily total, and the slope comes from the four
     exact integer moments (n·Σxy − ΣxΣy)/(n·Σxx − (Σx)²) with
-    truncated integer division, so there is no float anywhere
+    truncated integer division (spelled sign(a)*(|a| // b) in the
+    oracle — DuckDB // floors, Spark DIV truncates, and slopes go
+    negative), so there is no float anywhere
     (same moment-algebra pattern as agg_linreg/agg_corr_exact, here
     grouped per entity).  Magnitudes: |Σxy| ≤ 31 days × 30 × ~3e8
     micro-units ≈ 3e12 per month-window — far inside BIGINT.  Plan:
@@ -1823,4 +1827,82 @@ def ts_overlap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ELSE (a * (a - 1)) DIV 2 * (t_next - t) END"
             )
         ).alias("total_overlap_s"),
+    )
+
+
+@op(
+    "ts_forecast_backtest",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(hour(ts) AS INTEGER) AS hod,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS h_micro
+        FROM events GROUP BY 1, 2, 3
+    ), train AS (
+        SELECT user_id, hod,
+               CAST(sum(h_micro) AS BIGINT) // count(*) AS fc_micro
+        FROM hourly WHERE day < DATE '2024-01-22'
+        GROUP BY user_id, hod
+    ), test AS (
+        SELECT * FROM hourly WHERE day >= DATE '2024-01-22'
+    )
+    SELECT t.user_id,
+           count(*) AS n_test_hours,
+           CAST(sum(abs(t.h_micro - f.fc_micro)) AS BIGINT) // count(*)
+               AS mae_micro,
+           CASE WHEN sum(t.h_micro - f.fc_micro) >= 0
+                THEN CAST(sum(t.h_micro - f.fc_micro) AS BIGINT) // count(*)
+                ELSE -(CAST(-sum(t.h_micro - f.fc_micro) AS BIGINT)
+                       // count(*)) END AS bias_micro
+    FROM test t JOIN train f
+      ON t.user_id = f.user_id AND t.hod = f.hod
+    GROUP BY t.user_id
+    """,
+)
+def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — the canonical load-forecast
+    baseline (tomorrow's 3pm ≈ the historical 3pm average): train on
+    the first three weeks' per-(circuit, hour-of-day) mean hourly
+    energy, forecast the final week, report MAE and signed bias per
+    circuit.  All arithmetic stays BIGINT micro-units with truncated
+    DIV means — and because the signed bias can be negative, the
+    oracle spells truncation out as sign(s)*(|s| // n): DuckDB's //
+    floors (-7//2 = -4) where Spark's DIV truncates (-7 DIV 2 = -3),
+    a divergence that only bites on negative odd-lot sums; test hours whose (circuit, hour) never appeared in
+    training drop at the inner join (can't forecast an unseen
+    regime — the documented convention).  Plan: the hourly rollup is
+    computed once and feeds both split branches; train is
+    (users × 24) rows — broadcast to the test side — and the final
+    agg shuffles on user_id only.  This is the backtest shape a
+    100 TB pipeline runs per model candidate: the expensive part is
+    the shared hourly artifact, and every extra candidate is one
+    cheap broadcast join over it."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)")).alias(
+            "h_micro"
+        )
+    )
+    split = F.lit("2024-01-22").cast("date")
+    train = (
+        hourly.filter(F.col("day") < split)
+        .groupBy("user_id", "hod")
+        .agg(F.expr("CAST(sum(h_micro) DIV count(*) AS BIGINT)").alias("fc_micro"))
+    )
+    test = hourly.filter(F.col("day") >= split)
+    j = test.join(F.broadcast(train), ["user_id", "hod"])
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_test_hours"),
+        F.expr(
+            "CAST(sum(abs(h_micro - fc_micro)) DIV count(*) AS BIGINT)"
+        ).alias("mae_micro"),
+        F.expr(
+            "CAST(sum(h_micro - fc_micro) DIV count(*) AS BIGINT)"
+        ).alias("bias_micro"),
     )

@@ -24,6 +24,11 @@ Other pinned rules (enforced by convention in each operator module):
 - lower_snake_case alias on every computed column, both sides;
 - DuckDB ``sum(BIGINT)`` returns HUGEINT — always cast back to BIGINT
   in oracle SQL; DuckDB ``count`` is already BIGINT like Spark's.
+- Integer division of a POSSIBLY-NEGATIVE numerator: DuckDB ``//``
+  floors (-7//2 = -4) but Spark ``DIV`` truncates (-7 DIV 2 = -3).
+  Spell the oracle as ``CASE WHEN s >= 0 THEN s // n ELSE -((-s) //
+  n) END`` (sign-split truncation) whenever the numerator can go
+  negative — signed sums, regression moments, embedding components.
 """
 
 from __future__ import annotations
