@@ -524,3 +524,93 @@ def scan_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
             dsum("l_extendedprice").alias("revenue"),
         )
     )
+
+
+@op(
+    "scan_json_permissive",
+    oracle="""
+    SELECT count(CASE WHEN doc_id % 11 <> 0 THEN 1 END) AS n_good,
+           count(CASE WHEN doc_id % 11 = 0 THEN 1 END) AS n_corrupt,
+           CAST(sum(CASE WHEN doc_id % 11 <> 0 THEN doc_id END) AS BIGINT)
+               AS good_id_sum
+    FROM documents
+    """,
+)
+def scan_json_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSON tolerance — the JSON twin of scan_csv_permissive:
+    every 11th record is truncated mid-object; PERMISSIVE mode lands
+    it in `_corrupt_record` instead of failing the job (the 100 TB
+    web-scrape reality: a crawler's NDJSON always has broken lines,
+    and FAILFAST on line 3 billion is an outage, not a data-quality
+    policy).  The op reports good/corrupt splits and a checksum over
+    the surviving rows; the oracle reconstructs the split logically."""
+    path = scratch_dir(sf_dir, "scan_json_permissive")
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id"), F.lit(', "n_ch')),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id"),
+                F.lit(', "n_chars": '),
+                F.col("n_chars"),
+                F.lit("}"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("doc_id"))).alias("good_id_sum"),
+    )
+
+
+@op(
+    "scan_text",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_chars AS BIGINT) AS line_chars
+    FROM documents
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source (`spark.read.text`) — the rawest
+    ingest surface: one row per line, one `value` column, no parsing
+    opinion (the entry point for log files and unstructured corpora
+    before any schema exists).  Round-trip: documents export as
+    `doc_id|text` lines, read back as raw lines, split on the first
+    pipe — recovering (doc_id, payload length) pins both the writer
+    and the reader byte-exactly (texts are single-line by fixture
+    construction, FIXTURES.md).  At 100 TB `text` scans parallelize
+    by line-splittable blocks exactly like CSV."""
+    path = scratch_dir(sf_dir, "scan_text")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        F.concat_ws("|", F.col("doc_id"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.select(
+        F.split("value", r"\|", 2).getItem(0).cast("bigint").alias("doc_id"),
+        F.length(F.split("value", r"\|", 2).getItem(1))
+        .cast("bigint")
+        .alias("line_chars"),
+    )
