@@ -1040,3 +1040,40 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@op(
+    "agg_grouping_id",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT)
+               AS grouping_level,
+           count(*) AS n_cust,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM customer
+    GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with the grouping_id() disambiguator — the bitmask that
+    tells subtotal rows apart from genuine NULL group keys (0 = both
+    keys grouped, 1 = nationkey rolled up, 2 = segment rolled up,
+    3 = grand total).  Spark's grouping_id() and DuckDB/standard
+    GROUPING(a, b) use the same bit order (first listed key =
+    highest bit), pinned here cross-engine.  Balances aggregate as
+    integer cents.  Plan: one Expand (4 grouping sets) + one
+    partial-agg exchange — the Expand fan-out is the documented cost
+    of cube at scale (4× the input rows pre-combine), which is why a
+    100 TB cube enumerates only the grouping sets it actually
+    needs."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.cube("c_mktsegment", "c_nationkey").agg(
+        F.grouping_id().cast("bigint").alias("grouping_level"),
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)")).alias(
+            "bal_cents"
+        ),
+    ).select(
+        "c_mktsegment", "c_nationkey", "grouping_level", "n_cust", "bal_cents"
+    )

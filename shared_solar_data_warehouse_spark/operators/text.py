@@ -1066,3 +1066,84 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kw_rank") <= 3)
         .select("doc_id", "token", "tfidf", "kw_rank")
     )
+
+
+@op(
+    "text_langid_eval",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ), profile AS (
+        SELECT lang, token FROM (
+            SELECT lang, token, count(*) AS freq,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY count(*) DESC, token) AS rn
+            FROM tok GROUP BY lang, token
+        ) WHERE rn <= 5
+    ), doc_tokens AS (
+        SELECT DISTINCT doc_id, token FROM tok
+    ), scores AS (
+        SELECT dt.doc_id, p.lang AS cand_lang, count(*) AS score
+        FROM doc_tokens dt JOIN profile p ON dt.token = p.token
+        GROUP BY dt.doc_id, p.lang
+    ), best AS (
+        SELECT doc_id, cand_lang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cand_lang) AS rn
+        FROM scores
+    )
+    SELECT d.lang AS true_lang,
+           coalesce(b.cand_lang, '??') AS predicted_lang,
+           count(*) AS n_docs
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the n-gram language identifier — the
+    evaluation stage stacked on text_lang_id's exact pipeline: count
+    of documents per (true_lang, predicted_lang) cell, unpredicted
+    docs bucketed as '??'.  A model-eval op is a first-class
+    pipeline citizen (same pattern as ts_forecast_backtest): at
+    100 TB you run the classifier and its confusion rollup in ONE
+    job because re-reading the corpus to score it separately doubles
+    the dominant cost.  Plan mirrors text_lang_id (broadcast 25-row
+    profile, (doc, lang) score agg) plus one tiny (lang, lang)
+    grouping."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    profile = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("freq").desc(), F.col("token")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    doc_tokens = tok.select("doc_id", "token").distinct()
+    scores = doc_tokens.join(F.broadcast(profile), "token").groupBy(
+        "doc_id", "cand_lang"
+    ).agg(F.count(F.lit(1)).alias("score"))
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand_lang")
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cand_lang")
+    )
+    return (
+        d.join(best, "doc_id", "left")
+        .groupBy(
+            F.col("lang").alias("true_lang"),
+            F.coalesce(F.col("cand_lang"), F.lit("??")).alias("predicted_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -1906,3 +1906,103 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(h_micro - fc_micro) DIV count(*) AS BIGINT)"
         ).alias("bias_micro"),
     )
+
+
+@op(
+    "ts_daily_acf",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   // 10000 AS yc
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT user_id, yc AS x, next_yc AS y
+        FROM (
+            SELECT user_id, day, yc,
+                   lead(yc) OVER (PARTITION BY user_id ORDER BY day) AS next_yc,
+                   lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+            FROM daily
+        ) WHERE next_day = day + 1
+    ), m AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY user_id
+    )
+    SELECT user_id, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN floor(
+                    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    * 10000.0 + 0.5) / 10000.0
+                ELSE NULL END AS acf1_q4
+    FROM m
+    """,
+)
+def ts_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily energy per circuit — the load
+    persistence metric ("does a heavy day predict a heavy tomorrow")
+    behind storage sizing and anomaly baselining.  Consecutive-day
+    pairs only (lead gated on next_day = day + 1, so month gaps
+    never fabricate a pair); daily micro-totals downscale to 1e-2
+    units so all six moments stay far inside BIGINT (y² ≤ ~1e13 per
+    pair); the Pearson value is one shared double expression over
+    identical integers, floor-quantized to 1e-4 (agg_corr_exact's
+    pattern, grouped per entity).  Degenerate series (zero variance)
+    emit NULL.  Plan: daily rollup and both windows share the
+    (user_id) exchange; the moment agg is partial-aggregated."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) DIV 10000"
+            " AS BIGINT)"
+        ).alias("yc")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    pairs = (
+        daily.select(
+            "user_id",
+            "day",
+            "yc",
+            F.lead("yc").over(w).alias("next_yc"),
+            F.lead("day").over(w).alias("next_day"),
+        )
+        .filter(F.expr("next_day = date_add(day, 1)"))
+        .select("user_id", F.col("yc").alias("x"), F.col("next_yc").alias("y"))
+    )
+    m = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    corr = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return m.select(
+        "user_id",
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            f"CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+            f" THEN floor({corr} * 10000.0 + 0.5) / 10000.0"
+            f" ELSE NULL END"
+        ).alias("acf1_q4"),
+    )
