@@ -682,3 +682,73 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rpad("p_brand", 12, ".").alias("brand_rpad"),
         F.expr("repeat('*', CAST(p_size % 8 AS INT))").alias("stars"),
     )
+
+
+@op(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) IS NULL
+                THEN 1 ELSE 0 END AS k_missing
+    FROM events
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion (Spark 4's semi-structured type): parse_json
+    into a binary-encoded variant, typed extraction via variant_get —
+    the schema-on-read lane that replaces string re-parsing per
+    access (the variant decodes once; every path access is a cheap
+    binary walk, ~10× get_json_object on repeated extraction).  The
+    VARIANT itself never reaches the output (driver canon takes
+    scalars only) — extraction results are the graded surface; the
+    oracle reads the same paths with DuckDB's JSON extraction."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("vp"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(vp, '$.k', 'int')").alias("k_int"),
+        F.expr("variant_get(vp, '$.k', 'bigint') % 10").alias("k_mod"),
+        F.expr(
+            "CASE WHEN variant_get(vp, '$.k', 'bigint') IS NULL"
+            " THEN 1 ELSE 0 END"
+        ).alias("k_missing"),
+    )
+
+
+@op(
+    "fn_try_safe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               / nullif(CAST(l_quantity AS BIGINT) - 25, 0) AS price_per_off25,
+           CASE WHEN l_quantity BETWEEN 20 AND 30
+                THEN CAST(l_quantity AS BIGINT) ELSE NULL END AS qty_in_band,
+           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int
+    FROM lineitem
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic family: with ANSI mode ON (this engine's
+    default and the production-correct setting), division by zero and
+    bad casts are ERRORS — try_divide / try_cast / conditional guards
+    are the idioms that keep a 100 TB job from dying on row
+    3 billion.  try_divide(a, b) ≡ a / nullif(b, 0) (the oracle's
+    portable spelling); TRY_CAST of a non-numeric string is NULL in
+    both engines.  The divide result is double in both (BIGINT /
+    BIGINT), fed exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "try_divide(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),"
+            " CAST(l_quantity AS BIGINT) - 25)"
+        ).alias("price_per_off25"),
+        F.expr(
+            "CASE WHEN l_quantity BETWEEN 20 AND 30"
+            " THEN CAST(l_quantity AS BIGINT) ELSE NULL END"
+        ).alias("qty_in_band"),
+        F.expr("TRY_CAST(l_returnflag AS BIGINT)").alias("flag_as_int"),
+    )

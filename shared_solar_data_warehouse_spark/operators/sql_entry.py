@@ -481,3 +481,66 @@ for _name, _body in [
         "(SURVEY.md §3.3); identical text is the DuckDB oracle."
     )
     op(_name, oracle=_body)(_fn)
+
+
+# --- Modern-SQL surface beyond TPC-H -----------------------------------
+
+#: Recursive CTE: ancestor chain over the implicit binary-tree key
+#: hierarchy (parent(k) = k DIV 2).  The recursion DEPTH is data-driven
+#: (log2 of the key domain) — precisely what non-recursive SQL cannot
+#: express without hardcoding the unroll count; both engines implement
+#: standard UNION ALL breadth-first semantics.
+_RECURSIVE_BODY = """
+WITH RECURSIVE chain AS (
+    SELECT c_custkey AS root, CAST(c_custkey AS BIGINT) AS node,
+           0 AS depth
+    FROM customer
+    UNION ALL
+    SELECT root, CAST(floor(node / 2.0) AS BIGINT) AS node, depth + 1 AS depth
+    FROM chain WHERE node > 1
+)
+SELECT CAST(depth AS INTEGER) AS depth,
+       count(*) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM chain GROUP BY depth
+"""
+
+_fn = _sql_op(_RECURSIVE_BODY)
+_fn.__name__ = "sql_recursive_cte"
+_fn.__doc__ = (
+    "WITH RECURSIVE through spark.sql (Spark 4) — hierarchy walk with "
+    "data-driven depth: each customer key climbs its binary-tree "
+    "ancestor chain (k -> k DIV 2) to the root; per-depth census. "
+    "Identical text runs on DuckDB.  At scale each recursion step is "
+    "one self-join round — the engine-managed form of the unrolled "
+    "BFS/PageRank rounds elsewhere in the registry."
+)
+op("sql_recursive_cte", oracle=_RECURSIVE_BODY)(_fn)
+
+
+#: LATERAL correlated subquery: per-nation top-2 customers by balance.
+#: Spark decorrelates this to a window under the hood (DuckDB executes
+#: it as a dependent join) — one declarative text, two different
+#: physical strategies, hash-equal results.
+_LATERAL_BODY = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+     LATERAL (
+         SELECT c_custkey, c_acctbal
+         FROM customer
+         WHERE c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey
+         LIMIT 2
+     ) t
+"""
+
+_fn = _sql_op(_LATERAL_BODY)
+_fn.__name__ = "sql_lateral_topk"
+_fn.__doc__ = (
+    "LATERAL correlated subquery (top-2 customers per nation) through "
+    "spark.sql; identical text on DuckDB.  Spark plans the correlated "
+    "LIMIT as a decorrelated window (rank <= 2) — the per-group-top-k "
+    "rewrite test_plans pins for topk_per_group — while DuckDB runs a "
+    "dependent join; the hash compare proves the semantics equal."
+)
+op("sql_lateral_topk", oracle=_LATERAL_BODY)(_fn)
