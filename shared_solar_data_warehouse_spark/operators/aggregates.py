@@ -11,7 +11,7 @@ decimal accumulation in ``parity`` (order-independent, hash-stable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shared_solar_data_warehouse_spark.parity import davg, dsum, sql_davg, sql_dsum
@@ -1076,4 +1076,70 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(
         "c_mktsegment", "c_nationkey", "grouping_level", "n_cust", "bal_cents"
+    )
+
+
+@op(
+    "agg_quantile_sketch",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               least(CAST(floor(value / 8.0) AS BIGINT), 63) AS bucket,
+               count(*) AS k
+        FROM events GROUP BY 1, 2
+    ), c AS (
+        SELECT event_type, bucket, k,
+               CAST(sum(k) OVER (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(sum(k) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM b
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(min(CASE WHEN cum * 2 >= n THEN bucket END) AS BIGINT)
+               AS p50_bucket,
+           CAST(min(CASE WHEN cum * 100 >= n * 95 THEN bucket END) AS BIGINT)
+               AS p95_bucket
+    FROM c GROUP BY event_type
+    """,
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles — the mergeable approximate-quantile
+    pattern (t-digest/KLL's fixed-grid cousin): per group, counts in
+    64 equi-width value buckets form the ENTIRE state; p50/p95 are
+    the first buckets whose cumulative count crosses the rank
+    (integer cross-multiplied).  Error is bounded by one bucket width
+    by construction, and the state merges associatively at any
+    fan-in/re-partitioning — what exact rank selection
+    (ts_load_duration) cannot do without a global sort.  That
+    trade — bounded-error, fixed-size, mergeable vs exact,
+    sort-requiring — is THE quantile decision at 100 TB.  Plan: one
+    partial-agg groupBy to the (group, bucket) table (≤ 64 rows per
+    group), then windows over that tiny table."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type",
+        F.expr("least(CAST(floor(value / 8.0) AS BIGINT), 63)").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type",
+        "bucket",
+        F.sum("k").over(wcum).alias("cum"),
+        F.sum("k").over(wall).alias("n"),
+    )
+    return c.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        F.min(F.when(F.expr("cum * 2 >= n"), F.col("bucket"))).alias(
+            "p50_bucket"
+        ),
+        F.min(F.when(F.expr("cum * 100 >= n * 95"), F.col("bucket"))).alias(
+            "p95_bucket"
+        ),
     )

@@ -2006,3 +2006,71 @@ def ts_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE NULL END"
         ).alias("acf1_q4"),
     )
+
+
+@op(
+    "ts_cusum",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1e4 + 0.5) AS BIGINT) - 400000 AS dev
+        FROM events
+    ), p1 AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(dev) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS pref
+        FROM q
+    ), p AS (
+        SELECT user_id, pref,
+               CAST(min(pref) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS pref_min
+        FROM p1
+    )
+    SELECT user_id,
+           CAST(max(pref - least(pref_min, 0)) AS BIGINT) AS max_cusum_q4,
+           CAST(count(CASE WHEN pref - least(pref_min, 0) > 3000000
+                      THEN 1 END) AS BIGINT) AS n_alarm_points
+    FROM p GROUP BY user_id
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per circuit — the classic upward
+    change-point statistic s_t = max(0, s_{t-1} + x_t − k).  That
+    recursion looks window-inexpressible (each value depends on the
+    previous), but the closed form s_t = p_t − min(0, min_{j≤t} p_j)
+    over the plain prefix sums p of (x_t − k) turns it into two
+    stacked running windows — the same linearization trick as the
+    drawdown op, pointed the other way.  Deviations quantize to 1e-4
+    units around target k = 40 (the fixture's median-ish reading);
+    the op reports each circuit's peak CUSUM and how many readings
+    exceeded the h = 300 alarm threshold.  All integer; both windows
+    and the final agg share one (user_id) exchange.  At 100 TB this
+    scans each circuit's history once, sorted — no per-row recursion
+    ever materializes."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.expr("CAST(floor(value * 1e4 + 0.5) AS BIGINT)") - 400000).alias(
+            "dev"
+        ),
+    )
+    p = q.select(
+        "user_id",
+        F.sum("dev").over(wo).alias("pref"),
+        F.min(F.sum("dev").over(wo)).over(wo).alias("pref_min"),
+    )
+    s = p.select(
+        "user_id",
+        (F.col("pref") - F.least(F.col("pref_min"), F.lit(0))).alias("s"),
+    )
+    return s.groupBy("user_id").agg(
+        F.max("s").alias("max_cusum_q4"),
+        F.count(F.when(F.col("s") > 3000000, 1)).alias("n_alarm_points"),
+    )

@@ -461,3 +461,10 @@ def test_dynamic_partition_pruning_fires(spark, registry):
     plan = plan_of(registry, spark, "scan_partition_pruned_dynamic")
     assert "dynamicpruningexpression" in plan
     assert "PartitionFilters" in plan
+
+
+def test_cusum_single_exchange(spark, registry):
+    # prefix sum, running min, and the final agg all partition on
+    # user_id — the linearized recursion costs exactly one exchange.
+    plan = plan_of(registry, spark, "ts_cusum")
+    assert _n_exchanges(plan) == 1
