@@ -23,7 +23,7 @@ through a broadcast 1-row cross join, never a driver collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shared_solar_data_warehouse_spark.materialize import memo_checkpoint
@@ -640,3 +640,40 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
+
+
+@op(
+    "graph_neighborhood_sample",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    ranked AS (
+        SELECT src, dst,
+               row_number() OVER (
+                   PARTITION BY src
+                   ORDER BY md5(src || '->' || dst), dst) AS rn
+        FROM edges
+    )
+    SELECT src, dst, CAST(rn AS INTEGER) AS sample_rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def graph_neighborhood_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-fanout neighbor sampling — the GraphSAGE/
+    GNN mini-batch primitive: every node keeps at most 3 neighbors,
+    chosen by rank of md5(src->dst) so the \"random\" sample is
+    reproducible on any engine, any partitioning, any day (the same
+    portable-hash-as-RNG move as sample_split_train_test).  Plan: one
+    window over the memoized edge list, partitioned by src — a
+    top-k-per-group, not a shuffle of the neighborhood explosion; at
+    100 TB multi-hop sampling chains this op, and the hash seed
+    string is the epoch knob (change the arrow literal, get a fresh
+    sample)."""
+    edges = _edges(spark, sf_dir)
+    w = Window.partitionBy("src").orderBy(
+        F.md5(F.concat(F.col("src"), F.lit("->"), F.col("dst"))), F.col("dst")
+    )
+    return (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst", F.col("rn").cast("int").alias("sample_rank"))
+    )
