@@ -505,7 +505,18 @@ SELECT CAST(depth AS INTEGER) AS depth,
 FROM chain GROUP BY depth
 """
 
-_fn = _sql_op(_RECURSIVE_BODY)
+def _recursive_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, *_TABLES_NEEDED)
+    # The recursion produces n_customers x ~log2(keyspace) rows; Spark
+    # guards runaway recursion at 1M rows by default, which a ~100k+
+    # customer dimension legitimately exceeds (hit at the x10 scale
+    # smoke).  Raising the guard is the documented knob — the depth
+    # limit (cteRecursionLevelLimit=100) still bounds the loop.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    return spark.sql(_RECURSIVE_BODY)
+
+
+_fn = _recursive_build
 _fn.__name__ = "sql_recursive_cte"
 _fn.__doc__ = (
     "WITH RECURSIVE through spark.sql (Spark 4) — hierarchy walk with "
