@@ -1147,3 +1147,81 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@op(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
+                   AS pos,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), big AS (
+        SELECT doc_id, w AS w1,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM tok
+    ), dtf AS (
+        SELECT doc_id, w1, w2, count(*) AS tf
+        FROM big WHERE w2 IS NOT NULL GROUP BY doc_id, w1, w2
+    ), c2 AS (
+        SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n2 FROM dtf GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+    ), terms AS (
+        SELECT d.doc_id, CAST(d.tf AS BIGINT) AS tf,
+               CAST(floor(log2(c2.n2 / c1.n1) * 1e12 - 0.5) + 1 AS BIGINT)
+                   AS q
+        FROM dtf d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           round(CAST(-sum(tf * q) AS DOUBLE)
+                 / (CAST(sum(tf) AS DOUBLE) * 1e12), 6) AS xent2_bits
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document: -mean log2 p(w_t | w_t-1)
+    with p = c(w1,w2)/c(w1,·) from the corpus itself — one order up
+    from text_unigram_perplexity, and the two together give the
+    information-gain of context (unigram H minus bigram H), the
+    standard repetitiveness/fluency axis in corpus-quality suites.
+    Same exactness scheme: per-bigram-type log2 quantized to integer
+    1e-12 units (round-half-up via floor(x·1e12-0.5)+1) BEFORE the
+    tf-weighted per-doc sum; one final double division.  Plan: doc
+    bigrams from a (doc_id)-partitioned lead window, then the model
+    tables (≤ vocab² rows) broadcast back over the doc tf table —
+    one window exchange + one (doc_id) agg; exactly the distributed
+    KenLM-scoring shape of the unigram op with a bigger broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
+    big = tok.select(
+        "doc_id", F.col("w").alias("w1"), F.lead("w").over(wlead).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    dtf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c2 = dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    terms = (
+        dtf.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "doc_id",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.expr(
+                "CAST(floor(log2(n2 / n1) * 1e12 - 0.5) + 1 AS BIGINT)"
+            ).alias("q"),
+        )
+    )
+    return terms.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.round(
+            -F.sum(F.expr("tf * q")).cast("double")
+            / (F.sum("tf").cast("double") * F.lit(1e12)),
+            6,
+        ).alias("xent2_bits"),
+    )
