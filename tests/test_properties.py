@@ -417,3 +417,58 @@ def test_overlap_sweep_equals_pair_join(spark, registry):
         .collect()
     }
     assert sweep == join
+
+
+def test_quantile_sketch_brackets_exact_percentile(spark, registry):
+    """The histogram sketch's bucket must CONTAIN the exact quantile:
+    bucket*8 <= exact p50 < (bucket+1)*8 (one-bucket error bound by
+    construction)."""
+    import math
+
+    sk = {
+        r["event_type"]: r
+        for r in registry["agg_quantile_sketch"].builder(spark, SF_SMALL).collect()
+    }
+    ev = _events(spark)
+    for et, row in sk.items():
+        vals = sorted(
+            x["value"] for x in ev.filter(F.col("event_type") == et).collect()
+        )
+        exact_p50 = vals[math.ceil(0.5 * len(vals)) - 1]
+        lo = row["p50_bucket"] * 8.0
+        hi = lo + 8.0
+        assert lo <= exact_p50 < hi or row["p50_bucket"] == 63, (et, exact_p50, lo)
+
+
+def test_forecast_mae_dominates_bias(spark, registry):
+    """|mean signed error| <= mean |error| (triangle inequality) for
+    every circuit — a corruption in either accumulation breaks this."""
+    rows = registry["ts_forecast_backtest"].builder(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["bias_micro"]) <= r["mae_micro"] + 1  # +1 for DIV truncation
+
+
+def test_bigram_entropy_not_above_unigram_corpus_level(spark, registry):
+    """MLE log-likelihood is monotone in model granularity on the
+    training corpus: total bigram cross-entropy <= total unigram
+    cross-entropy over the same token stream (small slack for the
+    per-type 1e-12 quantization)."""
+    uni = registry["text_unigram_perplexity"].builder(spark, SF_SMALL).collect()
+    bi = registry["text_bigram_perplexity"].builder(spark, SF_SMALL).collect()
+    tot_uni = sum(r["xent_bits"] * r["n_tokens"] for r in uni)
+    # bigram stream has one fewer token per doc; compare mean rates
+    tot_bi = sum(r["xent2_bits"] * r["n_bigrams"] for r in bi)
+    n_uni = sum(r["n_tokens"] for r in uni)
+    n_bi = sum(r["n_bigrams"] for r in bi)
+    assert tot_bi / n_bi <= tot_uni / n_uni + 1e-6
+
+
+def test_zorder_tiles_bound_both_dimensions(spark, registry):
+    """Every z-tile (zcode >> 10) spans at most 2^5 = 32 values in EACH
+    bucketed dimension — the multi-dim locality the layout exists for."""
+    rows = registry["etl_zorder_key"].builder(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["px_max"] - r["px_min"] <= 31
+        assert r["sy_max"] - r["sy_min"] <= 31
