@@ -1143,3 +1143,47 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_bucket"
         ),
     )
+
+
+@op(
+    "agg_cat_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS k
+        FROM events GROUP BY user_id, event_type
+    ), n AS (
+        SELECT user_id, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY user_id
+    )
+    SELECT c.user_id,
+           CAST(max(n.n) AS BIGINT) AS n_events,
+           count(*) AS n_types,
+           round(CAST(-sum(CAST(floor((k / n.n) * log2(k / n.n) * 1e12 + 0.5)
+                                AS BIGINT)) AS DOUBLE) / 1e12, 6)
+               AS type_entropy_bits
+    FROM c JOIN n USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def agg_cat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each circuit's record-type mix — the
+    behavioral-diversity measure (a circuit emitting only `error`
+    rows scores 0; a uniform mix scores log2(5)).  The same
+    label-distribution entropy grades class balance in training-data
+    audits.  Exactness: each p·log2 p term quantizes to integer
+    1e-12 units BEFORE the per-group sum (text_char_entropy's
+    scheme, pointed at a categorical column); the count tables are
+    integers throughout.  Plan: two stacked aggs on the user_id
+    prefix + a self-join on the tiny per-user totals — broadcast,
+    one real exchange of event rows."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    n = c.groupBy("user_id").agg(F.sum("k").alias("n"))
+    j = c.join(F.broadcast(n), "user_id")
+    q = F.expr("CAST(floor((k / n) * log2(k / n) * 1e12 + 0.5) AS BIGINT)")
+    return j.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(-F.sum(q).cast("double") / F.lit(1e12), 6).alias(
+            "type_entropy_bits"
+        ),
+    )

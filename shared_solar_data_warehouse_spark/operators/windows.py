@@ -625,3 +625,64 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 1 ELSE 0 END"
         ).alias("in_top80"),
     )
+
+
+@op(
+    "win_zscore",
+    oracle="""
+    WITH m AS (
+        SELECT event_id, user_id, value,
+               CAST(sum(CAST(value AS DECIMAL(25,8))) OVER w AS DOUBLE)
+                   / CAST(count(*) OVER w AS DOUBLE) AS mu,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(25,8))
+                        * CAST(value AS DECIMAL(25,8))) OVER w AS DOUBLE)
+                   AS sxx
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN sxx / n - mu * mu > 0
+                THEN floor((value - mu) / sqrt(sxx / n - mu * mu)
+                           * 10000.0 + 0.5) / 10000.0
+                ELSE 0.0 END AS zscore_q4
+    FROM m
+    """,
+)
+def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity z-score normalization — the feature-scaling
+    primitive every ML preprocessing pipeline runs (and the
+    normalize-per-group precedent of SNIPPETS [1], here as pure
+    windows instead of a grouped-map UDF).  Mean and E[x²] come from
+    exact DECIMAL window sums (order-independent), the population
+    variance is one shared double expression, and each row's z
+    floor-quantizes to 1e-4 — bit-identical on both engines.
+    Degenerate (zero-variance) groups emit 0.  Plan: one
+    unordered-frame window exchange on user_id; no sort needed
+    (frames are whole-partition)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    m = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("mu"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum((F.col("value").cast(DEC) * F.col("value").cast(DEC)))
+        .over(w)
+        .cast("double")
+        .alias("sxx"),
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CASE WHEN sxx / n - mu * mu > 0"
+            " THEN floor((value - mu) / sqrt(sxx / n - mu * mu)"
+            " * 10000.0 + 0.5) / 10000.0"
+            " ELSE 0.0 END"
+        ).alias("zscore_q4"),
+    )
