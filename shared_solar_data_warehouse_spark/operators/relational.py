@@ -1591,3 +1591,58 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("a.s0"), F.col("b.s0"))
         ).alias("total_overlap_s"),
     )
+
+
+@op(
+    "join_role_playing_dim",
+    oracle="""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def join_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing dimension: the SAME physical dim (nation) joined
+    twice under two roles — buyer's nation and seller's nation —
+    producing the trade matrix.  The warehouse pattern every date/
+    geography dim lives by (order-date vs ship-date being the
+    canonical case).  Plan property worth pinning: Spark broadcasts
+    nation ONCE and the second join consumes a ReusedExchange — the
+    optimizer recognizes the identical broadcast subtree, so a dim
+    used in N roles costs one build, which is exactly why role-playing
+    beats materializing N dim copies at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # Both roles broadcast the IDENTICAL subtree (same projection, renames
+    # happen only above the join) so physical planning canonicalizes the
+    # two BroadcastExchanges equal and the second becomes a ReusedExchange.
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+    )
+    return j.groupBy(
+        F.col("cn.n_name").alias("cust_nation"),
+        F.col("sn.n_name").alias("supp_nation"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+        ).alias("rev_cents"),
+    )

@@ -2074,3 +2074,65 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s").alias("max_cusum_q4"),
         F.count(F.when(F.col("s") > 3000000, 1)).alias("n_alarm_points"),
     )
+
+
+@op(
+    "ts_out_of_order_audit",
+    oracle="""
+    WITH a AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+               CAST(max(epoch(date_trunc('second', ts)))
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS BIGINT) AS max_prior_es
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(count(CASE WHEN es < max_prior_es THEN 1 END) AS BIGINT)
+               AS n_out_of_order,
+           CAST(coalesce(max(CASE WHEN es < max_prior_es
+                                  THEN max_prior_es - es END), 0) AS BIGINT)
+               AS max_lateness_s
+    FROM a GROUP BY user_id
+    """,
+)
+def ts_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit: for each circuit, how many records
+    arrived (by ingestion order = event_id) with an event time EARLIER
+    than something already seen, and the worst lateness — the
+    measurement that justifies a streaming watermark's delay budget
+    (stream_watermark's `10 minutes` should come from THIS op's
+    max_lateness_s, not from folklore).  The running max over
+    arrival order uses a 1-PRECEDING frame so a record is never
+    compared to itself; all integer epoch-seconds.  Plan: one
+    (user_id) exchange shared by the window and the audit agg."""
+    e = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp(F.date_trunc("second", "ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    a = e.select(
+        "user_id",
+        es.alias("es"),
+        F.max(es).over(w).alias("max_prior_es"),
+    )
+    late = F.when(F.col("es") < F.col("max_prior_es"), 1)
+    return a.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(late).cast("bigint").alias("n_out_of_order"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("es") < F.col("max_prior_es"),
+                    F.col("max_prior_es") - F.col("es"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("max_lateness_s"),
+    )

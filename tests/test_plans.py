@@ -468,3 +468,14 @@ def test_cusum_single_exchange(spark, registry):
     # user_id — the linearized recursion costs exactly one exchange.
     plan = plan_of(registry, spark, "ts_cusum")
     assert _n_exchanges(plan) == 1
+
+
+def test_role_playing_dim_reuses_broadcast(spark, registry):
+    # The two nation roles must share ONE broadcast build: the executed
+    # (post-AQE) plan carries a ReusedExchange for the second role.
+    # (Reuse is applied at physical prep, so the pre-execution
+    # formatted explain can't show it — inspect the executed plan.)
+    df = registry["join_role_playing_dim"].builder(spark, SF_ORACLE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 1
