@@ -1225,3 +1225,71 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xent2_bits"),
     )
+
+
+@op(
+    "report_corpus_quality",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lang, source, n_chars,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nh
+        FROM documents
+    ), clusters AS (
+        SELECT nh, count(*) AS csize FROM norm GROUP BY nh
+    )
+    SELECT n.lang,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT n.source) AS BIGINT) AS n_sources,
+           CAST(sum(n.n_chars) AS BIGINT) // count(*) AS mean_chars_floor,
+           CAST((count(CASE WHEN n.n_chars < 100 THEN 1 END) * 1000000)
+                // count(*) AS BIGINT) AS short_doc_ppm,
+           CAST((count(CASE WHEN c.csize > 1 THEN 1 END) * 1000000)
+                // count(*) AS BIGINT) AS dup_member_ppm
+    FROM norm n JOIN clusters c ON n.nh = c.nh
+    GROUP BY n.lang
+    """,
+)
+def report_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-language corpus quality report — the composed summary a
+    pretraining-data curator reads before a training run: document
+    volume, source diversity, mean length, short-document rate, and
+    the fraction of docs belonging to a (normalized-text) duplicate
+    cluster, all in one job.  Composition: the normalized-hash
+    cluster census (text_dedup_normalized's core) joins back to the
+    corpus as a broadcast, so the duplicate-membership flag costs no
+    second scan; everything else is conditional aggregation in the
+    same (lang) groupBy.  Integer ppm/floor arithmetic throughout."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+                    " +",
+                    " ",
+                )
+            )
+        ).alias("nh"),
+    )
+    clusters = norm.groupBy("nh").agg(F.count(F.lit(1)).alias("csize"))
+    j = norm.join(F.broadcast(clusters), "nh")
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.expr("CAST(sum(n_chars) DIV count(*) AS BIGINT)").alias(
+            "mean_chars_floor"
+        ),
+        F.expr(
+            "CAST((count(CASE WHEN n_chars < 100 THEN 1 END) * 1000000)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("short_doc_ppm"),
+        F.expr(
+            "CAST((count(CASE WHEN csize > 1 THEN 1 END) * 1000000)"
+            " DIV count(*) AS BIGINT)"
+        ).alias("dup_member_ppm"),
+    )

@@ -2136,3 +2136,106 @@ def ts_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_lateness_s"),
     )
+
+
+@op(
+    "report_grid_health",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_micro,
+               event_id
+        FROM events
+    ), per_user_day AS (
+        SELECT user_id, day,
+               CAST(sum(v_micro) AS BIGINT) AS energy_micro,
+               CAST(max(v_micro) AS BIGINT) AS peak_micro,
+               count(*) AS n_readings,
+               CAST(max(es) - min(es) AS BIGINT) AS span_s
+        FROM base GROUP BY user_id, day
+    ), gaps AS (
+        SELECT day, count(*) AS n_big_gaps
+        FROM (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+                   - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id,
+                           CAST(date_trunc('day', ts) AS DATE)
+                           ORDER BY ts, event_id) AS gap_s
+            FROM events
+        ) WHERE gap_s > 1800 GROUP BY day
+    )
+    SELECT p.day,
+           count(*) AS n_active_circuits,
+           CAST(sum(p.energy_micro) AS BIGINT) AS system_energy_micro,
+           CAST(max(p.peak_micro) AS BIGINT) AS worst_circuit_peak_micro,
+           CAST(sum(p.n_readings) AS BIGINT) AS n_readings,
+           CAST(min(p.span_s) AS BIGINT) AS min_active_span_s,
+           CAST(coalesce(max(g.n_big_gaps), 0) AS BIGINT) AS n_big_gaps
+    FROM per_user_day p LEFT JOIN gaps g ON p.day = g.day
+    GROUP BY p.day
+    """,
+)
+def report_grid_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily grid-operations report — the composed, analyst-facing
+    workload the reference's warehouse exists to answer, in ONE scan
+    pass: per day, active circuit count, total system energy, worst
+    single-circuit peak, reading volume, the shortest circuit
+    activity span (a dying meter shows up here first), and the count
+    of >30-min intra-day reading gaps.  Composition shape: the
+    per-(user, day) rollup feeds the day aggregate; the gap census
+    is a window over the same (user, day) ordering; both branches
+    join on the 30-row day dimension — so the expensive fact scan
+    happens once per branch and everything downstream is tiny.  At
+    100 TB this query IS the nightly job; its artifacts (the
+    per-user-day table) are exactly the shared rollups other ops
+    memoize."""
+    e = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp(F.date_trunc("second", "ts"))
+    base = e.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        es.alias("es"),
+        F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)").alias("v_micro"),
+        "ts",
+        "event_id",
+    )
+    per_user_day = base.groupBy("user_id", "day").agg(
+        F.sum("v_micro").alias("energy_micro"),
+        F.max("v_micro").alias("peak_micro"),
+        F.count(F.lit(1)).alias("n_readings"),
+        (F.max("es") - F.min("es")).alias("span_s"),
+    )
+    wg = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    gaps = (
+        base.select(
+            "day", (F.col("es") - F.lag("es").over(wg)).alias("gap_s")
+        )
+        .filter(F.col("gap_s") > 1800)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_big_gaps"))
+    )
+    return (
+        per_user_day.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_circuits"),
+            F.sum("energy_micro").alias("system_energy_micro"),
+            F.max("peak_micro").alias("worst_circuit_peak_micro"),
+            F.sum("n_readings").alias("n_readings"),
+            F.min("span_s").alias("min_active_span_s"),
+        )
+        .join(F.broadcast(gaps), "day", "left")
+        .select(
+            "day",
+            "n_active_circuits",
+            "system_energy_micro",
+            "worst_circuit_peak_micro",
+            "n_readings",
+            "min_active_span_s",
+            F.coalesce(F.col("n_big_gaps"), F.lit(0))
+            .cast("bigint")
+            .alias("n_big_gaps"),
+        )
+    )
