@@ -720,12 +720,17 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 @op(
     "fn_try_safe",
     oracle="""
-    SELECT l_orderkey, l_linenumber,
-           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-               / nullif(CAST(l_quantity AS BIGINT) - 25, 0) AS price_per_off25,
-           CASE WHEN l_quantity BETWEEN 20 AND 30
-                THEN CAST(l_quantity AS BIGINT) ELSE NULL END AS qty_in_band,
-           TRY_CAST(l_returnflag AS BIGINT) AS flag_as_int
+    SELECT count(*) AS n_rows,
+           count(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 / nullif(CAST(l_quantity AS BIGINT) - 25, 0))
+               AS n_divisible,
+           CAST(sum(CAST(floor(
+                CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                / nullif(CAST(l_quantity AS BIGINT) - 25, 0) + 0.5)
+                AS BIGINT)) AS BIGINT) AS sum_ratio_round,
+           count(CASE WHEN l_quantity BETWEEN 20 AND 30
+                 THEN CAST(l_quantity AS BIGINT) END) AS n_in_band,
+           count(TRY_CAST(l_returnflag AS BIGINT)) AS n_flag_casts
     FROM lineitem
     """,
 )
@@ -737,18 +742,29 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 billion.  try_divide(a, b) ≡ a / nullif(b, 0) (the oracle's
     portable spelling); TRY_CAST of a non-numeric string is NULL in
     both engines.  The divide result is double in both (BIGINT /
-    BIGINT), fed exact integers."""
+    BIGINT), fed exact integers.  Output is the audit SUMMARY (counts
+    + a rounded-ratio checksum), not the 600k-row projection — the
+    try_* lane is about per-row error absorption, and the aggregate
+    exercises every expression on every row without shipping the rows
+    anywhere."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.expr(
-            "try_divide(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),"
-            " CAST(l_quantity AS BIGINT) - 25)"
-        ).alias("price_per_off25"),
-        F.expr(
-            "CASE WHEN l_quantity BETWEEN 20 AND 30"
-            " THEN CAST(l_quantity AS BIGINT) ELSE NULL END"
-        ).alias("qty_in_band"),
-        F.expr("TRY_CAST(l_returnflag AS BIGINT)").alias("flag_as_int"),
+    ratio = (
+        "try_divide(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),"
+        " CAST(l_quantity AS BIGINT) - 25)"
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.expr(ratio)).alias("n_divisible"),
+        F.sum(F.expr(f"CAST(floor({ratio} + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_ratio_round"),
+        F.count(
+            F.expr(
+                "CASE WHEN l_quantity BETWEEN 20 AND 30"
+                " THEN CAST(l_quantity AS BIGINT) END"
+            )
+        ).alias("n_in_band"),
+        F.count(F.expr("TRY_CAST(l_returnflag AS BIGINT)")).alias(
+            "n_flag_casts"
+        ),
     )
