@@ -217,3 +217,64 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(256).alias("target_h"),
         F.round(src_bytes.cast("double") / F.lit(65536.0), 4).alias("scale_ratio"),
     )
+
+
+@op(
+    "mm_content_type_sniff",
+    oracle="""
+    WITH payload AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                    WHEN 0 THEN 'FFD8FF'
+                    WHEN 1 THEN '89504E47'
+                    WHEN 2 THEN '25504446'
+                    ELSE '1F8B08' END
+                   || substr(md5(text), 1, 8) AS hex_bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN hex_bytes LIKE 'FFD8FF%' THEN 'image/jpeg'
+                WHEN hex_bytes LIKE '89504E47%' THEN 'image/png'
+                WHEN hex_bytes LIKE '25504446%' THEN 'application/pdf'
+                WHEN hex_bytes LIKE '1F8B%' THEN 'application/gzip'
+                ELSE 'application/octet-stream' END AS sniffed_mime,
+           CAST(length(hex_bytes) / 2 AS BIGINT) AS n_bytes
+    FROM payload
+    """,
+)
+def mm_content_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME sniffing — the first gate of any multimodal
+    ingest: classify each binary payload by its leading bytes (JPEG
+    FFD8FF, PNG 89504E47, PDF 25504446, gzip 1F8B) instead of
+    trusting file extensions.  Payloads are deterministic fakes
+    (magic prefix by doc_id % 4 + an md5-derived body), so the
+    oracle reconstructs the same hex and the sniff rules are
+    verified end-to-end; the Spark side sniffs the actual BINARY
+    column via hex(content) — the same upper-hex rendering both
+    engines produce.  At 100 TB this runs inside the ingest scan
+    (a LIKE on the first bytes, codegen'd, no UDF) and routes each
+    asset to its decoder partition."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = d.select(
+        "doc_id",
+        F.expr(
+            "unhex(CASE doc_id % 4"
+            " WHEN 0 THEN 'FFD8FF' WHEN 1 THEN '89504E47'"
+            " WHEN 2 THEN '25504446' ELSE '1F8B08' END"
+            " || substr(md5(text), 1, 8))"
+        ).alias("content"),
+    )
+    hexed = payload.select(
+        "doc_id", F.upper(F.hex("content")).alias("hex_bytes")
+    )
+    return hexed.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN hex_bytes LIKE 'FFD8FF%' THEN 'image/jpeg'"
+            " WHEN hex_bytes LIKE '89504E47%' THEN 'image/png'"
+            " WHEN hex_bytes LIKE '25504446%' THEN 'application/pdf'"
+            " WHEN hex_bytes LIKE '1F8B%' THEN 'application/gzip'"
+            " ELSE 'application/octet-stream' END"
+        ).alias("sniffed_mime"),
+        F.expr("CAST(length(hex_bytes) / 2 AS BIGINT)").alias("n_bytes"),
+    )

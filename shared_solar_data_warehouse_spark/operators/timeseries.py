@@ -2239,3 +2239,71 @@ def report_grid_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_big_gaps"),
         )
     )
+
+
+@op(
+    "ts_demand_charge",
+    oracle="""
+    WITH q AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 900 AS qh,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_micro
+        FROM events
+    ), quarter_hour AS (
+        SELECT user_id, CAST(qh AS BIGINT) AS qh,
+               CAST(sum(v_micro) AS BIGINT) AS window_micro,
+               count(*) AS n_readings
+        FROM q GROUP BY user_id, qh
+    )
+    SELECT user_id,
+           CAST(max(window_micro * 2097152 + (2097151 - qh)) / 2097152
+                AS BIGINT) AS billing_demand_micro,
+           CAST((2097151 - CAST(max(window_micro * 2097152 + (2097151 - qh))
+                AS BIGINT) % 2097152) * 900 AS BIGINT)
+               AS peak_window_start_s,
+           count(*) AS n_windows
+    FROM quarter_hour GROUP BY user_id
+    """,
+)
+def ts_demand_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Billing demand — the demand-charge half of a power bill that
+    ts_tariff_billing's energy charges don't cover: each circuit's
+    maximum 15-minute interval total over the period, plus WHICH
+    window set it (the fact the customer disputes).  Interval = 900 s
+    epoch bucket; the argmax window packs into ONE BIGINT key
+    (demand << 21 | (2^21-1 - qh)) so a single max() carries both
+    the peak demand and its earliest-window tie-break — DuckDB 1.0's
+    max_by takes no composite key, and the packed form is the
+    portable argmax (quarter-hour indexes stay under 2^21 until
+    2029; demand ~1e10 micro x 2^21 sits well inside BIGINT).  Plan: two stacked partial aggs on the user_id prefix
+    (quarter-hour rollup, then the per-circuit max) — one exchange;
+    at 100 TB the quarter-hour table is another shared billing
+    artifact."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        F.expr(
+            "CAST(unix_timestamp(date_trunc('second', ts)) DIV 900 AS BIGINT)"
+        ).alias("qh"),
+        F.expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)").alias("v_micro"),
+    )
+    quarter = q.groupBy("user_id", "qh").agg(
+        F.sum("v_micro").alias("window_micro"),
+        F.count(F.lit(1)).alias("n_readings"),
+    )
+    packed = quarter.groupBy("user_id").agg(
+        F.max(
+            F.expr("window_micro * 2097152 + (2097151 - qh)")
+        ).alias("key"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    return packed.select(
+        "user_id",
+        F.expr("CAST(key DIV 2097152 AS BIGINT)").alias(
+            "billing_demand_micro"
+        ),
+        F.expr("CAST((2097151 - key % 2097152) * 900 AS BIGINT)").alias(
+            "peak_window_start_s"
+        ),
+        "n_windows",
+    )
