@@ -24,6 +24,11 @@ Other pinned rules (enforced by convention in each operator module):
 - lower_snake_case alias on every computed column, both sides;
 - DuckDB ``sum(BIGINT)`` returns HUGEINT — always cast back to BIGINT
   in oracle SQL; DuckDB ``count`` is already BIGINT like Spark's.
+- NEVER cast a fractional double to an integer type directly:
+  DuckDB's double->int CAST rounds to nearest while Spark's
+  truncates (epoch/900 bucketing diverged a whole bucket this way).
+  Either divide in integers (``DIV`` / ``//`` on BIGINTs) or make
+  the rounding explicit with floor()/round() before the cast.
 - Integer division of a POSSIBLY-NEGATIVE numerator: DuckDB ``//``
   floors (-7//2 = -4) but Spark ``DIV`` truncates (-7 DIV 2 = -3).
   Spell the oracle as ``CASE WHEN s >= 0 THEN s // n ELSE -((-s) //
