@@ -1187,3 +1187,65 @@ def agg_cat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_entropy_bits"
         ),
     )
+
+
+@op(
+    "agg_gini",
+    oracle="""
+    WITH totals AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   // 10000 AS x
+        FROM events GROUP BY user_id
+    ), ranked AS (
+        SELECT x,
+               CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM totals
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_circuits,
+           CAST(sum(x) AS BIGINT) AS total_micro,
+           CAST((2 * CAST(sum(i * x) AS BIGINT) * 1000000)
+                // (max(n) * CAST(sum(x) AS BIGINT))
+                - ((max(n) + 1) * 1000000) // max(n) AS BIGINT)
+               AS gini_ppm
+    FROM ranked
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of consumption inequality across circuits —
+    the energy-access metric behind "is the grid serving everyone or
+    three big loads?" (and, pointed at token counts, the
+    data-distribution balance of a corpus).  Exact rank formula
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over ascending totals, computed
+    entirely in BIGINT with ppm integer division (both terms
+    truncate identically — each is independently // 'd, so no signed
+    division arises); per-circuit totals first downscale to 1e-2
+    units so the 2·Σi·x·1e6 moment stays inside int64 (Gini is
+    scale-invariant, and at larger circuit counts the downscale
+    exponent is the knob).  Plan: per-circuit totals (one exchange), then
+    an unpartitioned rank window over the CIRCUIT dimension — small
+    by definition (same justification as the Pareto op); the i·x
+    moment partial-aggregates map-side."""
+    e = load_table(spark, sf_dir, "events")
+    totals = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) DIV 10000"
+            " AS BIGINT)"
+        ).alias("x")
+    )
+    wo = Window.orderBy("x", "user_id")
+    wall = Window.partitionBy()
+    ranked = totals.select(
+        "x",
+        F.row_number().over(wo).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_circuits"),
+        F.sum("x").alias("total_micro"),
+        F.expr(
+            "CAST((2 * sum(i * x) * 1000000) DIV (max(n) * sum(x))"
+            " - ((max(n) + 1) * 1000000) DIV max(n) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
