@@ -677,3 +677,86 @@ def graph_neighborhood_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("src", "dst", F.col("rn").cast("int").alias("sample_rank"))
     )
+
+
+@op(
+    "graph_assortativity",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    dpairs AS (
+        SELECT da.d AS x, db.d AS y
+        FROM edges e JOIN deg da ON e.src = da.src
+                     JOIN deg db ON e.dst = db.src
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM dpairs
+    )
+    SELECT n AS n_directed_edges,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN floor(
+                    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    * 10000.0 + 0.5) / 10000.0
+                ELSE NULL END AS assortativity_q4
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph — Pearson correlation
+    of endpoint degrees over every directed edge: do high-degree
+    hubs connect to other hubs (assortative, r > 0) or to leaves
+    (disassortative, r < 0)?  A bipartite customer–supplier web is
+    typically disassortative, and the sign is the structural fact a
+    partitioner cares about (hub-hub edges concentrate shuffle
+    traffic).  Unlike the round-based graph ops this is pure
+    statistics: degree table (node-cardinality, broadcast twice onto
+    the edge list), then the six exact integer moments and one
+    shared double expression (agg_corr_exact's scheme; degrees are
+    small so x·y ≤ deg_max² ≈ 1e6 per edge — far inside BIGINT)."""
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        edges.join(
+            F.broadcast(deg.select(F.col("src"), F.col("d").alias("x"))), "src"
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("src").alias("dst"), F.col("d").alias("y"))
+            ),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    corr = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.expr(
+            f"CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+            f" THEN floor({corr} * 10000.0 + 0.5) / 10000.0"
+            f" ELSE NULL END"
+        ).alias("assortativity_q4"),
+    )

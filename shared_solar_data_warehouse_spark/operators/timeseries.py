@@ -2307,3 +2307,56 @@ def ts_demand_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_windows",
     )
+
+
+@op(
+    "ts_completeness",
+    oracle="""
+    WITH per_day AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               count(*) AS n_readings
+        FROM events GROUP BY 1, 2
+    ), expected AS (
+        SELECT user_id, CAST(max(n_readings) AS BIGINT) AS cadence
+        FROM per_day GROUP BY user_id
+    )
+    SELECT p.user_id, p.day,
+           CAST(p.n_readings AS BIGINT) AS n_readings,
+           e.cadence,
+           CAST((p.n_readings * 1000000) // e.cadence AS BIGINT)
+               AS completeness_ppm,
+           CASE WHEN p.n_readings * 2 < e.cadence THEN 1 ELSE 0 END
+               AS is_degraded
+    FROM per_day p JOIN expected e USING (user_id)
+    """,
+)
+def ts_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meter-day data completeness — the ingestion-health audit every
+    metering fleet runs: each circuit-day's reading count against
+    that circuit's own observed cadence (its best day), as ppm, with
+    a <50% degraded flag.  Self-calibrating (no config table of
+    per-model cadences): the max-day IS the empirical cadence, which
+    also makes the op robust to heterogeneous meter generations.
+    All integer; the per-circuit cadence table broadcasts back onto
+    the per-day counts — two stacked aggs + a broadcast join on the
+    user_id prefix, one exchange of event rows."""
+    e = load_table(spark, sf_dir, "events")
+    per_day = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_readings"))
+    expected = per_day.groupBy("user_id").agg(
+        F.max("n_readings").alias("cadence")
+    )
+    return per_day.join(F.broadcast(expected), "user_id").select(
+        "user_id",
+        "day",
+        F.col("n_readings").cast("bigint").alias("n_readings"),
+        "cadence",
+        F.expr("CAST((n_readings * 1000000) DIV cadence AS BIGINT)").alias(
+            "completeness_ppm"
+        ),
+        F.expr(
+            "CASE WHEN n_readings * 2 < cadence THEN 1 ELSE 0 END"
+        ).alias("is_degraded"),
+    )
