@@ -31,6 +31,12 @@ GOLDEN_OPS = (
     "sim_knn_bruteforce",
     "text_tfidf",
     "sql_tpch_q1",
+    # round-3 flagships (one per new capability axis):
+    "report_grid_health",
+    "ts_cusum",
+    "etl_zorder_key",
+    "text_unigram_perplexity",
+    "sql_recursive_cte",
 )
 
 
