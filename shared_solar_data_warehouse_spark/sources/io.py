@@ -614,3 +614,41 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("line_chars"),
     )
+
+
+@op(
+    "scan_csv_gzip",
+    oracle="""
+    SELECT CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           count(*) AS n_rows
+    FROM documents
+    """,
+)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-text ingest: write gzip CSV, read it back through the
+    codec, checksum the content.  The operational point this op
+    documents: gzip is NOT splittable — one gzip file = one task no
+    matter its size, so a 100 TB drop of .csv.gz files parallelizes
+    only across files (size them ~100-500 MB upstream), and the first
+    job should transcode to zstd parquet (splittable, columnar,
+    ~3-5x smaller) rather than re-reading gzip per query.  The codec
+    itself is exercised for real: the written files are .csv.gz and
+    the read-back schema is declared, not inferred."""
+    path = scratch_dir(sf_dir, "scan_csv_gzip")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("doc_id", "n_chars").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.agg(
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
