@@ -1249,3 +1249,62 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - ((max(n) + 1) * 1000000) DIV max(n) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@op(
+    "agg_benford",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d)
+    SELECT digit,
+           count(*) AS n_values,
+           CAST((count(*) * 1000000) // max(tot.n) AS BIGINT) AS observed_ppm,
+           CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) AS BIGINT)
+               AS benford_ppm,
+           CAST((count(*) * 1000000) // max(tot.n)
+                - CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5)
+                       AS BIGINT) AS BIGINT) AS deviation_ppm
+    FROM d CROSS JOIN tot
+    GROUP BY digit
+    """,
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data detector (organic multiplicative quantities put
+    ~30.1% of leading digits at 1; uniform-random fakes put ~11.1%):
+    observed leading-digit shares vs the log10(1+1/d) expectation,
+    both in integer ppm, with the signed deviation per digit.  The
+    fixture's uniform-ish synthetic prices will FAIL Benford loudly —
+    which is the point: this op is the auditor that tells synthetic
+    from organic.  Leading digit extracted through an exact integer
+    rendering (floor to BIGINT, then first char — no scientific
+    notation risk); expectation quantized identically in both
+    engines.  Plan: one partial-agg groupBy over 9 digit groups +
+    a broadcast scalar total."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_values"))
+    bppm = "CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) AS BIGINT)"
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_values",
+            F.expr("CAST((n_values * 1000000) DIV n AS BIGINT)").alias(
+                "observed_ppm"
+            ),
+            F.expr(bppm).alias("benford_ppm"),
+            F.expr(
+                f"CAST((n_values * 1000000) DIV n - {bppm} AS BIGINT)"
+            ).alias("deviation_ppm"),
+        )
+    )
