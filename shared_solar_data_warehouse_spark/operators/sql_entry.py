@@ -555,3 +555,84 @@ _fn.__doc__ = (
     "dependent join; the hash compare proves the semantics equal."
 )
 op("sql_lateral_topk", oracle=_LATERAL_BODY)(_fn)
+
+
+#: SQL PIVOT clause (parser surface distinct from DataFrame .pivot()):
+#: order counts per priority pivoted across order-status columns.
+_PIVOT_BODY = """
+SELECT * FROM (
+    SELECT o_orderpriority, o_orderstatus FROM orders
+)
+PIVOT (
+    count(*) FOR o_orderstatus IN ('O' AS st_o, 'F' AS st_f, 'P' AS st_p)
+)
+"""
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_o,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_f,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+_fn = _sql_op(_PIVOT_BODY)
+_fn.__name__ = "sql_pivot_clause"
+_fn.__doc__ = (
+    "SQL PIVOT clause through spark.sql — the parser-level pivot "
+    "(vs the DataFrame .pivot() covered by agg_pivot); the oracle is "
+    "the equivalent conditional aggregation (DuckDB's PIVOT spells "
+    "differently, and conditional agg is the portable core both "
+    "compile to)."
+)
+op("sql_pivot_clause", oracle=_PIVOT_ORACLE)(_fn)
+
+
+#: GROUP BY ALL — modern-SQL sugar both engines accept verbatim.
+_GBALL_BODY = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS qty_cents
+FROM lineitem
+GROUP BY ALL
+"""
+
+_fn = _sql_op(_GBALL_BODY)
+_fn.__name__ = "sql_group_by_all"
+_fn.__doc__ = (
+    "GROUP BY ALL (Spark 3.4+/DuckDB, identical text): the engine "
+    "derives the grouping keys from the non-aggregate projections — "
+    "the analyst-ergonomics sugar that removes the classic "
+    "forgot-to-update-GROUP-BY bug."
+)
+op("sql_group_by_all", oracle=_GBALL_BODY)(_fn)
+
+
+#: SELECT * EXCEPT — projection-by-exclusion (Spark EXCEPT vs DuckDB
+#: EXCLUDE keyword; one semantic, two spellings).
+_STAR_EXCEPT_BODY = """
+SELECT * EXCEPT (n_comment_placeholder) FROM (
+    SELECT n_nationkey, n_name, n_regionkey,
+           'x' AS n_comment_placeholder
+    FROM nation
+)
+"""
+
+_STAR_EXCEPT_ORACLE = """
+SELECT * EXCLUDE (n_comment_placeholder) FROM (
+    SELECT n_nationkey, n_name, n_regionkey,
+           'x' AS n_comment_placeholder
+    FROM nation
+)
+"""
+
+_fn = _sql_op(_STAR_EXCEPT_BODY)
+_fn.__name__ = "sql_star_except"
+_fn.__doc__ = (
+    "SELECT * EXCEPT(...) through spark.sql — projection by exclusion "
+    "for wide tables (drop the blob/comment columns without naming "
+    "the other 200).  DuckDB spells the same semantic EXCLUDE; the "
+    "hash compare pins the two keywords equal."
+)
+op("sql_star_except", oracle=_STAR_EXCEPT_ORACLE)(_fn)
