@@ -569,3 +569,58 @@ def etl_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_max_cents"
         ),
     )
+
+
+@op(
+    "etl_gdpr_erasure",
+    oracle="""
+    WITH victims AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+    ), remaining AS (
+        SELECT e.* FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.user_id = e.user_id)
+    )
+    SELECT (SELECT count(*) FROM events) AS n_before,
+           (SELECT count(*) FROM events e
+            JOIN victims v ON e.user_id = v.user_id) AS n_erased,
+           count(*) AS n_after,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_after,
+           CAST(bit_xor(CAST(('0x' || substr(md5(
+                CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT)
+               AS survivor_checksum
+    FROM remaining
+    """,
+)
+def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure with an audit trail: drop every
+    record of the subjects on a deletion list (broadcast anti join),
+    and emit the audit row compliance wants — counts before/erased/
+    after plus an order-independent checksum over the SURVIVING
+    record ids (bit_xor of 60-bit md5 — the etl_table_checksum
+    primitive) so a re-run or a replica can prove byte-equivalent
+    erasure without exchanging data.  At 100 TB the anti join is a
+    broadcast Bloom/IN over the (always comparatively tiny) deletion
+    list, and the write side rewrites only the partitions that
+    contained a victim — this op is the semantics; the table format
+    supplies the selective rewrite."""
+    e = load_table(spark, sf_dir, "events")
+    victims = (
+        e.filter(F.expr("user_id % 37 = 0")).select("user_id").distinct()
+    )
+    remaining = e.join(F.broadcast(victims), "user_id", "left_anti")
+    n_before = e.count()
+    audit = remaining.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.countDistinct("user_id").alias("n_users_after"),
+        F.expr(
+            "CAST(bit_xor(CAST(conv(substr(md5(CAST(event_id AS STRING)),"
+            " 1, 15), 16, 10) AS BIGINT)) AS BIGINT)"
+        ).alias("survivor_checksum"),
+    )
+    return audit.select(
+        F.lit(n_before).cast("bigint").alias("n_before"),
+        (F.lit(n_before) - F.col("n_after")).cast("bigint").alias("n_erased"),
+        "n_after",
+        "n_users_after",
+        "survivor_checksum",
+    )
