@@ -1308,3 +1308,82 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation_ppm"),
         )
     )
+
+
+@op(
+    "agg_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), margins AS (
+        SELECT event_type, dow, o,
+               CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+               CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS col_n,
+               CAST(sum(o) OVER () AS BIGINT) AS n
+        FROM obs
+    ), cells AS (
+        SELECT CAST(floor(
+                   (CAST(o AS DOUBLE)
+                    - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * (CAST(o AS DOUBLE)
+                      - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT) AS cell_q6,
+               n
+        FROM margins
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           round(CAST(sum(cell_q6) AS DOUBLE) / 1e6, 4) AS chi_square_q4
+    FROM cells
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (record type × day-of-week):
+    is usage behavior uniform across the week, or do event types
+    cluster on days?  The hypothesis-testing entry of the statistics
+    family: observed contingency counts, margin-product expectations,
+    X² = Σ (o−e)²/e.  Each cell's contribution is one shared double
+    expression over identical integers, quantized to 1e-6 units
+    BEFORE the sum (order-independent, the standard trick), and the
+    final statistic is a single rounded division.  Plan: the
+    contingency table is tiny (5 types × 7 days); margins come from
+    windows over those 35 rows — the event scan's partial-agg
+    groupBy is the only real work at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    margins = obs.select(
+        "o",
+        F.sum("o").over(wr).alias("row_n"),
+        F.sum("o").over(wc).alias("col_n"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    exp = (
+        "CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    cells = margins.select(
+        F.expr(
+            f"CAST(floor((CAST(o AS DOUBLE) - {exp})"
+            f" * (CAST(o AS DOUBLE) - {exp}) / ({exp}) * 1e6 + 0.5)"
+            f" AS BIGINT)"
+        ).alias("cell_q6"),
+        "n",
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n").alias("n_rows"),
+        F.round(F.sum("cell_q6").cast("double") / F.lit(1e6), 4).alias(
+            "chi_square_q4"
+        ),
+    )

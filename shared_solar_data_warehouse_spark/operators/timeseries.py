@@ -2360,3 +2360,81 @@ def ts_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN n_readings * 2 < cadence THEN 1 ELSE 0 END"
         ).alias("is_degraded"),
     )
+
+
+@op(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH q AS (
+        SELECT user_id,
+               CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq
+        FROM events
+    ), med AS (
+        SELECT user_id,
+               CAST(floor(quantile_cont(vq, 0.5) + 0.5) AS BIGINT) AS med_q4
+        FROM q GROUP BY user_id
+    ), dev AS (
+        SELECT q.user_id, q.vq, m.med_q4,
+               abs(q.vq - m.med_q4) AS adev
+        FROM q JOIN med m ON q.user_id = m.user_id
+    ), mad AS (
+        SELECT user_id, med_q4,
+               CAST(floor(quantile_cont(adev, 0.5) + 0.5) AS BIGINT) AS mad_q4
+        FROM dev GROUP BY user_id, med_q4
+    )
+    SELECT d.user_id, m.med_q4, m.mad_q4,
+           CAST(count(CASE WHEN abs(d.vq - m.med_q4) > 3 * m.mad_q4
+                      THEN 1 END) AS BIGINT) AS n_outliers,
+           count(*) AS n_readings
+    FROM dev d JOIN mad m ON d.user_id = m.user_id
+    GROUP BY d.user_id, m.med_q4, m.mad_q4
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via Median Absolute Deviation — the
+    outlier rule that survives the outliers themselves (the z-score
+    op's mean/std are dragged by the very spikes they're hunting;
+    median/MAD have a 50% breakdown point).  Two-level exact median
+    over quantized readings (engine medians interpolate identically —
+    agg_percentile pins that — and the result floors to integer
+    units), then flag |x − med| > 3·MAD.  Plan: the readings shuffle
+    ONCE on user_id; the median/MAD tables are per-circuit rows,
+    broadcast back; at 100 TB you'd swap the exact medians for the
+    mergeable histogram sketch (agg_quantile_sketch) and keep the
+    same shape."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        F.expr("CAST(floor(value * 1e4 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    med = q.groupBy("user_id").agg(
+        F.expr(
+            "CAST(floor(percentile(vq, 0.5) + 0.5) AS BIGINT)"
+        ).alias("med_q4")
+    )
+    dev = q.join(F.broadcast(med), "user_id").select(
+        "user_id", "vq", "med_q4", F.abs(F.col("vq") - F.col("med_q4")).alias("adev")
+    )
+    mad = dev.groupBy("user_id", "med_q4").agg(
+        F.expr(
+            "CAST(floor(percentile(adev, 0.5) + 0.5) AS BIGINT)"
+        ).alias("mad_q4")
+    )
+    return (
+        dev.join(
+            F.broadcast(mad.select("user_id", "mad_q4")), "user_id"
+        )
+        .groupBy("user_id", "med_q4", "mad_q4")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("vq") - F.col("med_q4"))
+                    > 3 * F.col("mad_q4"),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+    )
