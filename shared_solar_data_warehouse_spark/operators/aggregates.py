@@ -1387,3 +1387,72 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi_square_q4"
         ),
     )
+
+
+@op(
+    "agg_ks_test",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wknd,
+               event_id
+        FROM events
+    ), counts AS (
+        SELECT CAST(sum(wknd) AS BIGINT) AS n2,
+               CAST(sum(1 - wknd) AS BIGINT) AS n1
+        FROM s
+    ), run AS (
+        SELECT CAST(sum(1 - wknd) OVER w AS BIGINT) AS c1,
+               CAST(sum(wknd) OVER w AS BIGINT) AS c2
+        FROM s
+        WINDOW w AS (ORDER BY vq, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT max(counts.n1) AS n_weekday,
+           max(counts.n2) AS n_weekend,
+           CAST(max(abs(run.c1 * counts.n2 - run.c2 * counts.n1) * 1000000
+                    // (counts.n1 * counts.n2)) AS BIGINT) AS ks_d_ppm
+    FROM run CROSS JOIN counts
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic, EXACT: does weekend
+    usage follow a different distribution than weekday usage?
+    D = max |F₁(x) − F₂(x)| over the merged sample — computed as
+    integer rationals: running per-sample counts c₁, c₂ over the
+    merged value order give |c₁·n₂ − c₂·n₁| / (n₁·n₂) at every step,
+    and the max is taken BEFORE any division loses exactness (one
+    ppm DIV at the very end, inside max since the denominator is
+    constant).  The continuous-distribution partner of
+    agg_chi_square's categorical test.  DuckDB dayofweek is
+    0=Sunday vs Spark 1=Sunday — the weekend set is written
+    per-engine ((0,6) vs (1,7)) to mean the same days.  Plan: one
+    global merged sort (the exact statistic needs it — the sketch
+    alternative is a quantile-bucket approximation of F₁−F₂);
+    weekday/weekend totals broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        F.expr("CAST(floor(value * 1e4 + 0.5) AS BIGINT)").alias("vq"),
+        F.expr(
+            "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END"
+        ).alias("wknd"),
+        "event_id",
+    )
+    counts = s.agg(
+        F.sum("wknd").alias("n2"), F.sum(F.expr("1 - wknd")).alias("n1")
+    )
+    w = Window.orderBy("vq", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = s.select(
+        F.sum(F.expr("1 - wknd")).over(w).alias("c1"),
+        F.sum("wknd").over(w).alias("c2"),
+    )
+    return run.crossJoin(F.broadcast(counts)).agg(
+        F.max("n1").alias("n_weekday"),
+        F.max("n2").alias("n_weekend"),
+        F.expr(
+            "CAST(max(abs(c1 * n2 - c2 * n1) * 1000000 DIV (n1 * n2))"
+            " AS BIGINT)"
+        ).alias("ks_d_ppm"),
+    )
