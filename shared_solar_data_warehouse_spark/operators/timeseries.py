@@ -2438,3 +2438,106 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_readings"),
         )
     )
+
+
+@op(
+    "ts_acf_profile",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   // 10000 AS yc
+        FROM events GROUP BY 1, 2
+    ), lags AS (
+        SELECT CAST(unnest(generate_series(1, 7)) AS INTEGER) AS k
+    ), pairs AS (
+        SELECT a.user_id, l.k, a.yc AS x, b.yc AS y
+        FROM daily a
+        CROSS JOIN lags l
+        JOIN daily b ON b.user_id = a.user_id AND b.day = a.day + CAST(l.k AS INTEGER)
+    ), m AS (
+        SELECT user_id, k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM pairs GROUP BY user_id, k
+    )
+    SELECT user_id, CAST(k AS INTEGER) AS lag_days, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN floor(
+                    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    * 10000.0 + 0.5) / 10000.0
+                ELSE NULL END AS acf_q4
+    FROM m
+    """,
+)
+def ts_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation profile over lags 1..7 days per circuit — the
+    periodicity fingerprint: a weekly routine shows as an acf bump
+    at lag 7, persistence as high lag 1 (ts_daily_acf generalized
+    from one lag to the profile).  Pair generation is an equi-join
+    of the daily rollup with itself on (user, day + k) after a 7×
+    lag fan-out — the daily table is tiny (users × days) so the fan
+    costs nothing; moments and the quantized Pearson follow the
+    exact scheme shared with agg_corr_exact/ts_daily_acf.  At
+    100 TB the pattern holds because the profile is computed on the
+    ROLLUP, never the raw readings."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) DIV 10000"
+            " AS BIGINT)"
+        ).alias("yc")
+    )
+    a = daily.alias("a").crossJoin(
+        F.broadcast(
+            daily.sparkSession.range(1, 8).select(F.col("id").alias("k"))
+        )
+    )
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.day") == F.expr("date_add(a.day, CAST(k AS INT))")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        "k",
+        F.col("a.yc").alias("x"),
+        F.col("b.yc").alias("y"),
+    )
+    m = pairs.groupBy("user_id", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    corr = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return m.select(
+        "user_id",
+        F.col("k").cast("int").alias("lag_days"),
+        F.col("n").alias("n_pairs"),
+        F.expr(
+            f"CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
+            f" THEN floor({corr} * 10000.0 + 0.5) / 10000.0"
+            f" ELSE NULL END"
+        ).alias("acf_q4"),
+    )
