@@ -779,3 +779,56 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_good_casts"),
     )
+
+
+@op(
+    "fn_unicode",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               lang,
+               CASE lang WHEN 'zh' THEN '电' WHEN 'de' THEN 'ü'
+                         WHEN 'fr' THEN 'é' WHEN 'es' THEN 'ñ'
+                         ELSE 'e' END
+                   || substr(text, 1, 3) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+           CAST(unicode(s) AS BIGINT) AS first_codepoint,
+           upper(s) AS upper_s,
+           reverse(s) AS reversed_s
+    FROM t
+    """,
+)
+def fn_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-correctness family: character length vs UTF-8 byte
+    length, first codepoint, case mapping, and reversal over strings
+    seeded with multibyte characters (电 ß é ñ by language).  The
+    contract this pins: both engines count CHARACTERS (not bytes) in
+    length(), reverse() never splits a multibyte sequence, and
+    upper() agrees on the 1:1 case mappings (电→电, ü→Ü, é→É, ñ→Ñ).
+    Deliberately EXCLUDED: ß — Spark full-maps upper('ß') to 'SS'
+    while DuckDB produces the capital sharp s 'ẞ' (found by this
+    op's first revision); locale-sensitive case mapping is exactly
+    the class of divergence a cross-engine pipeline must fence off.
+    A text pipeline that gets any of these wrong silently corrupts
+    every non-ASCII corpus it touches."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr(
+            "CASE lang WHEN 'zh' THEN '电' WHEN 'de' THEN 'ü'"
+            " WHEN 'fr' THEN 'é' WHEN 'es' THEN 'ñ'"
+            " ELSE 'e' END || substr(text, 1, 3)"
+        ).alias("s"),
+    )
+    return t.select(
+        "doc_id",
+        F.length("s").cast("bigint").alias("n_chars"),
+        F.octet_length(F.encode("s", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.expr("CAST(ascii(s) AS BIGINT)").alias("first_codepoint"),
+        F.upper("s").alias("upper_s"),
+        F.reverse("s").alias("reversed_s"),
+    )

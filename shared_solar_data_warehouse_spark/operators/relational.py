@@ -1646,3 +1646,37 @@ def join_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
         ).alias("rev_cents"),
     )
+
+
+@op(
+    "set_union_by_name",
+    oracle="""
+    SELECT c_custkey AS entity_key, c_acctbal AS balance,
+           c_mktsegment AS segment, NULL AS s_kind
+    FROM customer
+    UNION ALL BY NAME
+    SELECT s_suppkey AS entity_key, s_acctbal AS balance,
+           NULL AS segment, 'supplier' AS s_kind
+    FROM supplier
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union by COLUMN NAME with missing-column tolerance
+    (`unionByName(allowMissingColumns=True)`) — the schema-evolution
+    union: position-based UNION silently mismatches columns the
+    moment one branch adds a field, which is exactly what happens
+    when a 100 TB table's writers upgrade mid-stream.  Customers and
+    suppliers merge into one entity ledger; each side's missing
+    column nulls in.  DuckDB spells the same semantic UNION ALL BY
+    NAME — hash-pinned equal.  Plan: pure Union node, no exchange."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_acctbal").alias("balance"),
+        F.lit("supplier").alias("s_kind"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
