@@ -1456,3 +1456,61 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ks_d_ppm"),
     )
+
+
+@op(
+    "agg_hhi",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   // 10000 AS xc
+        FROM events GROUP BY user_id
+    ), tot AS (SELECT CAST(sum(xc) AS BIGINT) AS n FROM m),
+    shares AS (
+        SELECT CAST((xc * 1000000) // tot.n AS BIGINT) AS share_ppm,
+               row_number() OVER (ORDER BY xc DESC, user_id) AS rnk
+        FROM m CROSS JOIN tot
+    )
+    SELECT count(*) AS n_entities,
+           CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT) AS hhi_ppm,
+           CAST(sum(CASE WHEN rnk <= 4 THEN share_ppm ELSE 0 END) AS BIGINT)
+               AS cr4_ppm
+    FROM shares
+    """,
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration indexes over circuit consumption: Herfindahl-
+    Hirschman (Σ shareᵢ², the antitrust metric — 10,000 ppm-of-ppm =
+    monopoly) and CR4 (top-4 combined share) — "is the grid's load,
+    or a corpus's source mix, dominated by a few?"  Completes the
+    inequality toolkit next to Gini (Gini measures the whole curve's
+    skew; HHI punishes top-end dominance quadratically).  Shares
+    compute in integer ppm from centi-downscaled totals; HHI sums
+    ppm² then rescales by 1e6 — max Σ is 1e12, exact in BIGINT at
+    any entity count.  Plan: per-entity totals, broadcast scalar
+    total, one tiny rank window over the entity dimension."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) DIV 10000"
+            " AS BIGINT)"
+        ).alias("xc")
+    )
+    tot = m.agg(F.sum("xc").alias("n"))
+    wo = Window.orderBy(F.col("xc").desc(), "user_id")
+    shares = m.crossJoin(F.broadcast(tot)).select(
+        F.expr("CAST((xc * 1000000) DIV n AS BIGINT)").alias("share_ppm"),
+        F.row_number().over(wo).alias("rnk"),
+    )
+    return shares.agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.expr(
+            "CAST(sum(share_ppm * share_ppm) DIV 1000000 AS BIGINT)"
+        ).alias("hhi_ppm"),
+        F.sum(
+            F.when(F.col("rnk") <= 4, F.col("share_ppm")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cr4_ppm"),
+    )
