@@ -472,3 +472,35 @@ def test_zorder_tiles_bound_both_dimensions(spark, registry):
     for r in rows:
         assert r["px_max"] - r["px_min"] <= 31
         assert r["sy_max"] - r["sy_min"] <= 31
+
+
+def test_concentration_index_bounds(spark, registry):
+    """HHI is bounded below by 1/n (perfect equality) and above by 1
+    (monopoly), in ppm; CR4 <= 1e6 and >= 4/n for n >= 4."""
+    r = registry["agg_hhi"].builder(spark, SF_SMALL).collect()[0]
+    n = r["n_entities"]
+    assert 1_000_000 // n - 5 <= r["hhi_ppm"] <= 1_000_000
+    assert r["cr4_ppm"] <= 1_000_000
+    if n >= 4:
+        assert r["cr4_ppm"] >= (4 * 1_000_000) // n - 5
+
+
+def test_ks_statistic_in_unit_interval(spark, registry):
+    r = registry["agg_ks_test"].builder(spark, SF_SMALL).collect()[0]
+    assert 0 <= r["ks_d_ppm"] <= 1_000_000
+    assert r["n_weekday"] > 0 and r["n_weekend"] > 0
+
+
+def test_benford_deviations_sum_to_zero(spark, registry):
+    """Observed shares and expectations each total ~1e6 ppm, so the
+    signed deviations cancel (slack for 9 truncated divisions)."""
+    rows = registry["agg_benford"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 9
+    assert abs(sum(r["deviation_ppm"] for r in rows)) <= 18
+
+
+def test_gini_matches_hhi_direction(spark, registry):
+    """Both inequality measures must sit in [0, 1e6] ppm; the fixture's
+    near-uniform circuits imply LOW values for both."""
+    g = registry["agg_gini"].builder(spark, SF_SMALL).collect()[0]
+    assert 0 <= g["gini_ppm"] <= 1_000_000
