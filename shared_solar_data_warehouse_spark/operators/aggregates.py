@@ -1514,3 +1514,70 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cr4_ppm"),
     )
+
+
+@op(
+    "agg_lorenz_points",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                   // 10000 AS xc
+        FROM events GROUP BY user_id
+    ), r AS (
+        SELECT xc,
+               CAST(row_number() OVER (ORDER BY xc, user_id) AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(xc) OVER (ORDER BY xc, user_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(sum(xc) OVER () AS BIGINT) AS tot
+        FROM m
+    )
+    SELECT CAST((i * 10) // n AS BIGINT) AS decile,
+           CAST(max((i * 1000000) // n) AS BIGINT) AS pop_share_ppm,
+           CAST(max((cum * 1000000) // tot) AS BIGINT) AS value_share_ppm
+    FROM r
+    WHERE (i * 10) // n >= 1
+    GROUP BY 1
+    """,
+)
+def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve decile points — the PLOT behind the Gini number:
+    at each population decile (circuits ascending by consumption),
+    the cumulative share of total consumption ("the bottom 50% of
+    circuits draw X% of the energy").  Per decile the MAX of both
+    running shares is the decile's right-edge curve point; all
+    arithmetic is the integer-ppm running-share machinery shared
+    with win_cumulative_share, grouped to 10 rows.  Plan: entity
+    totals (one exchange), one small rank window over the entity
+    dimension, then a 10-group aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) DIV 10000"
+            " AS BIGINT)"
+        ).alias("xc")
+    )
+    wo = Window.orderBy("xc", "user_id")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    r = m.select(
+        "xc",
+        F.row_number().over(wo).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("xc").over(wrun).alias("cum"),
+        F.sum("xc").over(wall).alias("tot"),
+    )
+    return (
+        r.filter(F.expr("(i * 10) DIV n >= 1"))
+        .groupBy(F.expr("CAST((i * 10) DIV n AS BIGINT)").alias("decile"))
+        .agg(
+            F.expr("CAST(max((i * 1000000) DIV n) AS BIGINT)").alias(
+                "pop_share_ppm"
+            ),
+            F.expr("CAST(max((cum * 1000000) DIV tot) AS BIGINT)").alias(
+                "value_share_ppm"
+            ),
+        )
+    )
