@@ -1394,18 +1394,22 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq,
-               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wknd,
-               event_id
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wknd
         FROM events
+    ), g AS (
+        SELECT vq,
+               CAST(sum(wknd) AS BIGINT) AS d2,
+               CAST(sum(1 - wknd) AS BIGINT) AS d1
+        FROM s GROUP BY vq
     ), counts AS (
-        SELECT CAST(sum(wknd) AS BIGINT) AS n2,
-               CAST(sum(1 - wknd) AS BIGINT) AS n1
-        FROM s
+        SELECT CAST(sum(d2) AS BIGINT) AS n2,
+               CAST(sum(d1) AS BIGINT) AS n1
+        FROM g
     ), run AS (
-        SELECT CAST(sum(1 - wknd) OVER w AS BIGINT) AS c1,
-               CAST(sum(wknd) OVER w AS BIGINT) AS c2
-        FROM s
-        WINDOW w AS (ORDER BY vq, event_id
+        SELECT CAST(sum(d1) OVER w AS BIGINT) AS c1,
+               CAST(sum(d2) OVER w AS BIGINT) AS c2
+        FROM g
+        WINDOW w AS (ORDER BY vq
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT max(counts.n1) AS n_weekday,
@@ -1418,35 +1422,42 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic, EXACT: does weekend
     usage follow a different distribution than weekday usage?
-    D = max |F₁(x) − F₂(x)| over the merged sample — computed as
-    integer rationals: running per-sample counts c₁, c₂ over the
-    merged value order give |c₁·n₂ − c₂·n₁| / (n₁·n₂) at every step,
-    and the max is taken BEFORE any division loses exactness (one
-    ppm DIV at the very end, inside max since the denominator is
-    constant).  The continuous-distribution partner of
-    agg_chi_square's categorical test.  DuckDB dayofweek is
-    0=Sunday vs Spark 1=Sunday — the weekend set is written
-    per-engine ((0,6) vs (1,7)) to mean the same days.  Plan: one
-    global merged sort (the exact statistic needs it — the sketch
-    alternative is a quantile-bucket approximation of F₁−F₂);
-    weekday/weekend totals broadcast."""
+    D = max |F₁(x) − F₂(x)| over the merged sample.  Both empirical
+    CDFs are step functions that jump ONLY at distinct data values,
+    so the rows are first reduced to per-distinct-value weekday /
+    weekend counts (d₁, d₂) with a distributed groupBy — the global
+    running-count window then scans the bounded distinct-value
+    domain (≤ ~10⁶ quantized values regardless of row count), never
+    the raw events (VERDICT r03: the raw-row version moved the whole
+    table through one window task).  Computed as integer rationals:
+    running counts c₁, c₂ give |c₁·n₂ − c₂·n₁| / (n₁·n₂) at every
+    step, and the max is taken BEFORE any division loses exactness
+    (one ppm DIV at the very end, inside max since the denominator
+    is constant).  Evaluating at group boundaries (all ties of a
+    value included) is also the statistically-correct reading of
+    sup|F₁−F₂| — the prior row-at-a-time running max could peak
+    mid-tie-group, an artifact of event_id tie-break order.  DuckDB
+    dayofweek is 0=Sunday vs Spark 1=Sunday — the weekend set is
+    written per-engine ((0,6) vs (1,7)) to mean the same days.
+    Plan: one shuffle for the groupBy, one single-task window over
+    the compact value domain; weekday/weekend totals broadcast."""
     e = load_table(spark, sf_dir, "events")
     s = e.select(
         F.expr("CAST(floor(value * 1e4 + 0.5) AS BIGINT)").alias("vq"),
         F.expr(
             "CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END"
         ).alias("wknd"),
-        "event_id",
     )
-    counts = s.agg(
-        F.sum("wknd").alias("n2"), F.sum(F.expr("1 - wknd")).alias("n1")
+    g = s.groupBy("vq").agg(
+        F.sum("wknd").alias("d2"), F.sum(F.expr("1 - wknd")).alias("d1")
     )
-    w = Window.orderBy("vq", "event_id").rowsBetween(
+    counts = g.agg(F.sum("d2").alias("n2"), F.sum("d1").alias("n1"))
+    w = Window.orderBy("vq").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    run = s.select(
-        F.sum(F.expr("1 - wknd")).over(w).alias("c1"),
-        F.sum("wknd").over(w).alias("c2"),
+    run = g.select(
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
     )
     return run.crossJoin(F.broadcast(counts)).agg(
         F.max("n1").alias("n_weekday"),

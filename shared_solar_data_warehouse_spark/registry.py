@@ -197,31 +197,37 @@ def _bench_cost() -> dict[str, float]:
         return {}
 
 
-#: Ops to confirm FIRST in the next driver round: red rows fixed this
-#: round plus latent-defect ops whose oracles/outputs were repaired
-#: (VERDICT r02 items 1/3/6).  They sort ahead of the rest of the
-#: unverified band; prune entries once they turn driver-green.
+#: Ops to confirm FIRST in the next driver round: ops edited this
+#: round (their old green rows are fingerprint-invalidated), then the
+#: families VERDICT r03 asked to front-load — streaming state logic
+#: (one driver-green row so far) and the high-complexity custom ops
+#: whose answers carry the most risk if the local mirror missed
+#: something.  Prune entries once they turn driver-green.
 _FRONTLOAD: tuple[str, ...] = (
-    "agg_bool",
-    "text_source_quality",
-    "text_stopwords",
-    "fn_struct_shape",
-    "agg_collect",
-    "fn_array",
-    "fn_map",
-    "agg_histogram",
-    "etl_dq_report",
-    "sql_tpch_q12",
-    "ts_counter_reset",
-    "ts_credit_reconciliation",
-    "ts_downtime",
-    "ts_rollup_two_level",
-    "ts_capacity_factor",
-    "scan_csv_permissive",
-    # r4 oracle graduations (builder+oracle changed → must re-verify):
-    "mm_binary_file",
-    "dedup_near_minhash",
-    "sim_ann_lsh",
+    # r4 edits — must re-verify (VERDICT r03 items 2/5/6):
+    "agg_ks_test",
+    "win_cumulative_share",
+    "graph_bfs_layers",
+    # streaming state logic (VERDICT r03 item 4):
+    "stream_tumbling",
+    "stream_session",
+    "stream_ewma",
+    "stream_stateful",
+    "stream_sliding",
+    "stream_watermark",
+    "stream_dedup",
+    # high-complexity customs, riskiest-first (VERDICT r03 item 1):
+    "ts_gap_fill",
+    "ts_interp_linear",
+    "graph_pagerank",
+    "graph_connected_components",
+    "dedup_cluster",
+    "dedup_simhash",
+    "sim_ann_ivf",
+    "text_tfidf",
+    "graph_kcore",
+    "ts_resample",
+    "ts_sessionize",
 )
 
 

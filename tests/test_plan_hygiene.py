@@ -12,6 +12,14 @@ the operators whose CONTRACT is exactly that pattern:
   row-wise by API shape) may carry it.  Everything else must be
   JVM expressions or Arrow-batched (ArrowEvalPython, MapInPandas,
   FlatMapGroupsInPandas).
+* raw single-partition exchange — an ``Exchange SinglePartition,
+  ENSURE_REQUIREMENTS`` fed by a raw table scan (the shuffle under an
+  unpartitioned Window / global running total over ungrouped rows)
+  funnels the whole input through ONE task.  Unpartitioned windows
+  over per-key AGGREGATES are allowed — their input is bounded by the
+  key domain, with the two-pass distributed rank documented per op
+  (VERDICT r03: agg_ks_test was the one offender; fixed by
+  pre-aggregating on the quantized value domain).
 
 Streaming ops are excluded: building them drains a streaming query
 (covered by their own mirror/parity tests) and the returned memory
@@ -23,6 +31,10 @@ from __future__ import annotations
 import pytest
 
 from shared_solar_data_warehouse_spark.plans import explain_formatted
+from shared_solar_data_warehouse_spark.plans.inspect import (
+    raw_single_partition_exchanges,
+    simple_plan,
+)
 
 from tests.conftest import SF_SMALL
 
@@ -42,8 +54,34 @@ def _names():
 
 @pytest.mark.parametrize("name", _names())
 def test_plan_hygiene(spark, registry, name):
-    plan = explain_formatted(registry[name].builder(spark, SF_SMALL))
+    df = registry[name].builder(spark, SF_SMALL)
+    plan = explain_formatted(df)
     if name not in CARTESIAN_OK:
         assert "CartesianProduct" not in plan, f"{name}: non-broadcast cross join"
     if name not in ROWWISE_PY_OK:
         assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+    bad = raw_single_partition_exchanges(simple_plan(df))
+    assert not bad, f"{name}: single-partition shuffle over a raw scan: {bad}"
+
+
+def test_raw_single_partition_detector_positive(spark):
+    """The detector must actually fire on the anti-pattern it bans
+    (the pre-fix agg_ks_test shape: global running window over raw
+    rows) — guards against the sweep passing vacuously."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bad_df = e.select(F.sum("value").over(w).alias("c"))
+    assert raw_single_partition_exchanges(simple_plan(bad_df))
+    # …and must stay quiet when the window input is pre-aggregated
+    # (bounded by the key domain), the allowed shape.
+    g = e.groupBy("user_id").agg(F.sum("value").alias("s"))
+    wk = Window.orderBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    good_df = g.select(F.sum("s").over(wk).alias("c"))
+    assert not raw_single_partition_exchanges(simple_plan(good_df))
