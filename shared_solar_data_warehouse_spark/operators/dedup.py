@@ -104,6 +104,45 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_checkpoint(spark, ("shingle_sets", sf_dir), build)
 
 
+def _lane_minima(shingles_col, perms) -> F.Column:
+    """All affine-lane MinHash minima over a shingle array in ONE pass,
+    returned as an array<bigint> of ``len(perms)`` lane minima.
+
+    The naive per-lane ``array_min(transform(hs, ...))`` lets Catalyst
+    inline the md5-prefix hash transform into EVERY lane expression — a
+    silent |perms|× recompute of the expensive string hash (caught in
+    the r4 bench diagnosis: the dedup_near_minhash plan carried 25 md5
+    nodes).  Here the hash is bound once per shingle as a lambda
+    variable (the outer ``transform``'s element), each shingle fans out
+    to its |perms| integer lane values JVM-side, and a
+    ``aggregate``+``zip_with(least)`` fold takes the per-lane minima —
+    md5 runs exactly once per shingle regardless of lane count.
+    """
+    hashed = F.transform(
+        shingles_col,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+        % F.lit(_MH_P),
+    )
+    perm_arr = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in perms
+        ]
+    )
+    lane_vals = F.transform(
+        hashed,
+        lambda h: F.transform(
+            perm_arr, lambda ab: (ab["a"] * h + ab["b"]) % F.lit(_MH_P)
+        ),
+    )
+    init = F.expr(f"array_repeat(CAST({_MH_P} AS BIGINT), {len(perms)})")
+    return F.aggregate(
+        lane_vals,
+        init,
+        lambda acc, x: F.zip_with(acc, x, lambda m, v: F.least(m, v)),
+    )
+
+
 def exact_pairs(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     """All doc pairs (a<b) with shingle-set Jaccard >= tau — exact.
 
@@ -280,8 +319,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, exact-verified (the scale path).
 
     Signature: ONE portable md5-prefix hash per shingle (the expensive
-    string hash happens once), then 24 integer affine lanes
-    ((a*h+b) mod 2^31-1, `_LSH_PERMS`) folded with ``array_min`` —
+    string hash happens once — enforced by `_lane_minima`'s
+    single-pass fold, since per-lane ``array_min(transform(...))``
+    lets Catalyst inline the hash 24×), then 24 integer affine lanes
+    ((a*h+b) mod 2^31-1, `_LSH_PERMS`) reduced to per-lane minima —
     all JVM expression work, and bit-equal in DuckDB, which makes the
     ENTIRE pipeline (signatures, banding, bucket join, verification)
     hash-checkable against an independent engine — LSH recall < 1
@@ -298,35 +339,29 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification step discards false candidates).
     """
     s = shingle_sets(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
-    hashed = F.transform(
-        F.col("shingles"),
-        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
-        % F.lit(_MH_P),
-    )
-    def lane(a: int, b: int):
-        # Closure factory (NOT lambda defaults — PySpark reads lambda
-        # arity to decide the higher-order-function argument count).
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P)
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("hs"), lane(a, b))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_LSH_PERMS)
-    ]
-    signed = s.withColumn("hs", hashed).select(
-        "doc_id", "n_sh", "shingles", *sig_cols
-    )
     # Band keys: 'band:lane0:lane1' strings (portable across engines).
-    band_cols = [
-        F.concat_ws(
-            ":",
-            F.lit(band),
-            F.col(f"mh{band * MINHASH_ROWS}"),
-            F.col(f"mh{band * MINHASH_ROWS + 1}"),
+    # The signature array is bound ONCE as a lambda variable (transform
+    # over a single-element array) — referencing a `sig` alias from a
+    # separate select would let CollapseProject inline the whole
+    # hash+fold subtree into all 24 element_at band expressions.
+    sig = _lane_minima(F.col("shingles"), _LSH_PERMS)
+
+    def bands_of(sg) -> F.Column:
+        return F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(band),
+                    F.element_at(sg, band * MINHASH_ROWS + 1),
+                    F.element_at(sg, band * MINHASH_ROWS + 2),
+                )
+                for band in range(MINHASH_BANDS)
+            ]
         )
-        for band in range(MINHASH_BANDS)
-    ]
-    banded = signed.select(
-        "doc_id", "n_sh", "shingles", F.array(*band_cols).alias("bands")
+
+    bands = F.element_at(F.transform(F.array(sig), bands_of), 1)
+    banded = s.select(
+        "doc_id", "n_sh", "shingles", bands.alias("bands")
     )
     # Candidate pairs carry only ids: group each bucket's posting list
     # and emit its pairs JVM-side (same shape as exact_pairs) — the
@@ -807,27 +842,20 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`dedup_near_minhash`, rows-only because Spark's native hash has no
     DuckDB equivalent).  Here the shingle hash is the 60-bit md5 prefix
     (portable integer, verified bit-equal on both engines) pushed
-    through 4 affine permutations mod the Mersenne prime 2^31-1; each
-    signature lane is ``array_min(transform(...))`` over the doc's
-    shingle array — per-row vectorized JVM work, zero shuffles beyond
-    the memoized shingle build.  At 100 TB you'd swap md5 for xxhash64
-    (~5x cheaper) and keep the identical algebra; this op pins the
-    algebra itself against an independent engine."""
+    through 4 affine permutations mod the Mersenne prime 2^31-1; all
+    lane minima come out of `_lane_minima`'s single pass over the
+    doc's shingle array (md5 once per shingle, not once per lane) —
+    per-row vectorized JVM work, zero shuffles beyond the memoized
+    shingle build.  At 100 TB you'd swap md5 for xxhash64 (~5x
+    cheaper) and keep the identical algebra; this op pins the algebra
+    itself against an independent engine."""
     sh = shingle_sets(spark, sf_dir)
-    hashed = F.transform(
-        F.col("shingles"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-        % F.lit(_MH_P),
+    out = sh.select(
+        "doc_id", _lane_minima(F.col("shingles"), _MH_PERMS).alias("sig")
     )
-    out = sh.withColumn("hashed", hashed)
     cols = [
-        F.array_min(
-            F.transform(
-                F.col("hashed"),
-                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_P),
-            )
-        ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_MH_PERMS)
+        F.element_at("sig", i + 1).alias(f"mh{i}")
+        for i in range(len(_MH_PERMS))
     ]
     return out.select("doc_id", *cols)
 

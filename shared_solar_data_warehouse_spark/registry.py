@@ -204,8 +204,10 @@ def _bench_cost() -> dict[str, float]:
 #: whose answers carry the most risk if the local mirror missed
 #: something.  Prune entries once they turn driver-green.
 _FRONTLOAD: tuple[str, ...] = (
-    # r4 edits — must re-verify (VERDICT r03 items 2/5/6):
+    # r4 edits — must re-verify (VERDICT r03 items 2/3/5/6):
     "agg_ks_test",
+    "dedup_near_minhash",
+    "dedup_minhash_signature",
     "win_cumulative_share",
     "graph_bfs_layers",
     # streaming state logic (VERDICT r03 item 4):
