@@ -632,11 +632,16 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.lit(d).cast("int").alias("dist"))
         )
         if d < _BFS_DEPTH:
-            # Materialize rounds that later rounds re-consume (both as
-            # frontier and inside visited); the FINAL round is read
-            # exactly once by the output union — checkpointing it
-            # would only add a blocking pass.
-            nxt = nxt.localCheckpoint(eager=True)
+            # Lazily checkpoint rounds that later rounds re-consume
+            # (both as frontier and inside visited): first consumption
+            # materializes, later ones reuse — one fewer blocking pass
+            # per round than eager.  The FINAL round is read exactly
+            # once by the output union, so it isn't checkpointed at
+            # all.  (r4 measured: eager 2.03 s / lazy 1.96 s / none
+            # 2.38 s warm at sf0.1; fusing the distinct into the
+            # anti-join was flat — round job-overhead dominates at
+            # local scale, see PLANS.md.)
+            nxt = nxt.localCheckpoint(eager=False)
         visited = visited.unionAll(nxt)
         frontier = nxt
     return visited

@@ -19,6 +19,12 @@ from shared_solar_data_warehouse_spark.parity import DEC
 from shared_solar_data_warehouse_spark.registry import op
 from shared_solar_data_warehouse_spark.sources.io import load_table
 
+#: Row ceiling for computing a GLOBAL rank/running-sum in one
+#: unpartitioned window task (win_cumulative_share).  5M ranked rows ≈
+#: a few hundred MB of window state — comfortable for one task; above
+#: it the operator switches to the two-pass range-partitioned rank.
+RANK_SINGLE_TASK_MAX = 5_000_000
+
 
 @op(
     "win_row_number",
@@ -591,30 +597,31 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort inside the 80% mass.  Revenue quantizes to integer cents
     at the scan; rank, running sum, grand total, the ppm share and
     the 80% test (cross-multiplied, no division) are all integer —
-    zero float parity surface.  Plan note: the ranking windows are
-    UNPARTITIONED, which is correct here because the window input is
-    the per-customer aggregate, orders of magnitude smaller than the
-    fact table (same single-partition-vocabulary argument as
-    text_zipf_census); at 100 TB you'd two-pass it — distributed
-    sort + broadcast partition boundaries — only when the customer
-    dimension itself stops fitting one task."""
+    zero float parity surface.
+
+    Two regimes gated on the measured customer count (the
+    dedup_cluster hybrid pattern, VERDICT r03 item 5):
+
+    * ≤ `RANK_SINGLE_TASK_MAX`: unpartitioned window over the
+      per-customer AGGREGATE — bounded by dimension cardinality, the
+      single-partition-vocabulary argument of text_zipf_census.
+    * above it: **two-pass distributed rank** — range-repartition on
+      the sort key (global order preserved across partitions), local
+      rank + running sum per range partition, then per-partition
+      (count, sum) offsets — one tiny row per partition — prefix-
+      summed and broadcast back.  `rnk = local_rnk + rows_before`,
+      `cum = local_cum + cents_before`: exact, no single task ever
+      holds more than one range slice.
+
+    Both regimes emit identical values
+    (tests/test_plans.py::test_cumulative_share_two_pass_regime)."""
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy("o_custkey").agg(
         F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).alias(
             "rev_cents"
         )
     )
-    wo = Window.orderBy(F.col("rev_cents").desc(), "o_custkey")
-    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    r = m.select(
-        "o_custkey",
-        "rev_cents",
-        F.row_number().over(wo).cast("bigint").alias("rnk"),
-        F.sum("rev_cents").over(wrun).alias("cum_cents"),
-        F.sum("rev_cents").over(wall).alias("total_cents"),
-    )
-    return r.select(
+    share_cols = [
         "o_custkey",
         "rev_cents",
         "rnk",
@@ -624,7 +631,65 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 1 ELSE 0 END"
         ).alias("in_top80"),
+    ]
+    if m.count() <= RANK_SINGLE_TASK_MAX:
+        wo = Window.orderBy(F.col("rev_cents").desc(), "o_custkey")
+        wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wall = Window.partitionBy()
+        r = m.select(
+            "o_custkey",
+            "rev_cents",
+            F.row_number().over(wo).cast("bigint").alias("rnk"),
+            F.sum("rev_cents").over(wrun).alias("cum_cents"),
+            F.sum("rev_cents").over(wall).alias("total_cents"),
+        )
+        return r.select(*share_cols)
+
+    # Two-pass distributed rank.  pid is the RANGE partition id, read
+    # before the window's own hash exchange regroups rows by it; rank
+    # correctness needs only that range partition i holds keys sorted
+    # entirely before partition i+1's, which repartitionByRange on the
+    # full (unique) sort key guarantees wherever the sampled boundaries
+    # land.
+    nparts = spark.sparkContext.defaultParallelism
+    part = m.repartitionByRange(
+        nparts, F.col("rev_cents").desc(), F.col("o_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+    wloc = Window.partitionBy("pid").orderBy(
+        F.col("rev_cents").desc(), "o_custkey"
     )
+    local = part.select(
+        "o_custkey",
+        "rev_cents",
+        "pid",
+        F.row_number().over(wloc).cast("bigint").alias("lrnk"),
+        F.sum("rev_cents")
+        .over(wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("lcum"),
+    )
+    # Per-partition offsets: |partitions| rows — the unpartitioned
+    # prefix window here is over that tiny aggregate, never raw rows.
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("rev_cents").alias("psum"))
+        .select(
+            "pid",
+            F.coalesce(F.sum("pn").over(woff), F.lit(0)).alias("rows_before"),
+            F.coalesce(F.sum("psum").over(woff), F.lit(0)).alias(
+                "cents_before"
+            ),
+            F.sum("psum").over(Window.partitionBy()).alias("total_cents"),
+        )
+    )
+    r = local.join(F.broadcast(offs), "pid").select(
+        "o_custkey",
+        "rev_cents",
+        (F.col("lrnk") + F.col("rows_before")).alias("rnk"),
+        (F.col("lcum") + F.col("cents_before")).alias("cum_cents"),
+        "total_cents",
+    )
+    return r.select(*share_cols)
 
 
 @op(

@@ -282,6 +282,26 @@ def test_triangle_count_distributed_branch_when_nodes_exceed_gate(
     assert "array_intersect" in plan  # distributed per-edge intersection
 
 
+def test_cumulative_share_two_pass_regime(spark, registry, monkeypatch):
+    """VERDICT r03 item 5: force the customer-count gate shut and
+    assert the two-pass range-partitioned rank (local rank + broadcast
+    per-partition offsets) emits values identical to the single-window
+    regime, and that its plan carries no single-partition shuffle fed
+    by a raw scan."""
+    from shared_solar_data_warehouse_spark.operators import windows
+    from shared_solar_data_warehouse_spark.plans.inspect import (
+        raw_single_partition_exchanges,
+        simple_plan,
+    )
+
+    single = registry["win_cumulative_share"].builder(spark, SF_ORACLE)
+    single_rows = sorted(tuple(r) for r in single.collect())
+    monkeypatch.setattr(windows, "RANK_SINGLE_TASK_MAX", -1)
+    dist = registry["win_cumulative_share"].builder(spark, SF_ORACLE)
+    assert sorted(tuple(r) for r in dist.collect()) == single_rows
+    assert not raw_single_partition_exchanges(simple_plan(dist))
+
+
 def test_decontaminate_broadcasts_eval_side(spark, registry):
     """The eval split (~1%) must broadcast into the shingle join — the
     100 TB asymmetry: corpus side stays un-shuffled by the join."""
