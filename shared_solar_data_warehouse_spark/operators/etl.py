@@ -572,6 +572,101 @@ def etl_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "etl_compaction_plan",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(l_orderkey % 8 AS BIGINT) AS frag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(1 AS BIGINT) AS n_files
+        FROM lineitem GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(greatest(sum(n_rows) // 24, 1) AS BIGINT) AS target
+        FROM m
+    ), planned AS (
+        SELECT ship_year, frag, n_rows, n_files,
+               CAST(sum(n_rows) OVER (
+                   PARTITION BY ship_year ORDER BY frag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+        FROM m
+    )
+    SELECT p.ship_year, p.frag, p.n_rows, p.n_files,
+           CAST((p.cum - p.n_rows) // t.target AS BIGINT) AS compact_group
+    FROM planned p CROSS JOIN tot t
+    """,
+)
+def etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance job
+    (Delta OPTIMIZE / Iceberg rewrite_data_files) as explicit algebra.
+    The op materializes a deliberately FRAGMENTED layout (hive
+    partitions (ship_year, frag) with one parquet file each, frag =
+    orderkey mod 8 — the many-small-files shape streaming ingest
+    leaves behind), re-reads the physical manifest via
+    ``input_file_name()``, and greedily bin-packs files in layout
+    order into compaction groups: ``group = rows_before DIV target``
+    with target = total/24 — consecutive small files coalesce until
+    the target size is reached, large files stay alone.  Output is
+    the rewrite plan (file → compact_group) plus the per-file census;
+    ``n_files`` doubles as the one-file-per-partition-dir proof (the
+    oracle pins it to 1).
+
+    At 100 TB: the manifest census is metadata-sized (one row per
+    file), the prefix window partitions by table partition (bounded),
+    and the plan's groups are exactly the rewrite tasks a maintenance
+    scheduler would submit; only the rewrite itself (not planned
+    here) touches data bytes.  The same shape plans by byte size when
+    the manifest carries file sizes (Iceberg's) instead of row
+    counts."""
+    from shared_solar_data_warehouse_spark.sources.io import scratch_dir
+
+    path = scratch_dir(sf_dir, "etl_compaction_plan")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        F.expr("CAST(l_orderkey % 8 AS BIGINT)").alias("frag"),
+    )
+    li.repartition("ship_year", "frag").write.partitionBy(
+        "ship_year", "frag"
+    ).mode("overwrite").parquet(path)
+    m = (
+        spark.read.parquet(path)
+        .withColumn("_file", F.input_file_name())
+        .groupBy(
+            F.regexp_extract(F.col("_file"), r"ship_year=(\d+)", 1)
+            .cast("bigint")
+            .alias("ship_year"),
+            F.regexp_extract(F.col("_file"), r"frag=(\d+)", 1)
+            .cast("bigint")
+            .alias("frag"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("_file").alias("n_files"),
+        )
+    )
+    target = m.agg(
+        F.greatest(
+            F.expr("CAST(sum(n_rows) DIV 24 AS BIGINT)"), F.lit(1).cast("bigint")
+        ).alias("target")
+    )
+    w = Window.partitionBy("ship_year").orderBy("frag").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    planned = m.withColumn("cum", F.sum("n_rows").over(w))
+    return planned.crossJoin(F.broadcast(target)).select(
+        "ship_year",
+        "frag",
+        "n_rows",
+        "n_files",
+        F.expr("CAST((cum - n_rows) DIV target AS BIGINT)").alias(
+            "compact_group"
+        ),
+    )
+
+
+@op(
     "etl_gdpr_erasure",
     oracle="""
     WITH victims AS (

@@ -1366,15 +1366,21 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame algebra makes the mechanics visible and portable).
 
     Build side (orders with totalprice > 450k, ~10%): each key sets
-    k=3 bit positions from independent md5-prefix hashes; positions
-    bit-pack into 128 int64 words via ``bit_or(shiftleft(1, pos % 64))``
-    grouped by word index, then fold into ONE map<word, bits> row that
-    broadcasts to every probe task.  Probe side (lineitem) evaluates
-    membership map-side — three AND-mask lookups, no shuffle, no
-    fan-out — and only surviving candidates (true matches + Bloom
-    false positives) enter the exact semi join that removes the false
-    positives.  Result is therefore EXACTLY the plain semi join, which
-    is what the oracle checks.
+    k=3 bit positions via Kirsch–Mitzenmacher double hashing —
+    ``(h1 + i*h2) % m`` with h1/h2 cut from disjoint slices of ONE
+    md5 per key (the naive k independent hashes cost k·(DIV+MOD) = 6
+    md5 evaluations per PROBE row once projection collapse inlines
+    them — the r4 expensive-expression census caught 9 md5 nodes in
+    this plan).  Positions bit-pack into 128 int64 words via
+    ``bit_or(shiftleft(1, pos % 64))`` grouped by word index, then
+    fold into ONE map<word, bits> row that broadcasts to every probe
+    task.  Probe side (lineitem) evaluates membership map-side — one
+    md5, three AND-mask lookups inside a ``forall`` over the
+    lambda-bound position array, no shuffle, no fan-out — and only
+    surviving candidates (true matches + Bloom false positives) enter
+    the exact semi join that removes the false positives.  Result is
+    therefore EXACTLY the plain semi join, which is what the oracle
+    checks.
 
     100 TB story: the filter is O(m) bytes regardless of build
     cardinality (vs broadcasting the key set itself), the probe prunes
@@ -1386,22 +1392,29 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     build = orders.filter(F.col("o_totalprice") > 450000).select("o_orderkey")
 
-    def pos_sql(col: str, i: int) -> str:
-        # Spark spelling of the portable md5-prefix hash (DuckDB's
-        # equivalent is CAST('0x'||substr(...) AS BIGINT)); parity is
-        # irrelevant here anyway — the oracle checks the post-verify
-        # join result, not the filter internals.
-        return (
-            f"CAST(conv(substr(md5(concat(CAST({col} AS STRING), ':{i}')),"
-            f" 1, 15), 16, 10) AS BIGINT) % {_BLOOM_M}"
+    def positions_of(col) -> F.Column:
+        # All k positions from ONE md5: h1 = hex[1..15), h2 = hex
+        # [16..30) (60 bits each), pos_i = (h1 + i*h2) % m.  The md5
+        # column is bound once as a lambda variable so projection
+        # collapse cannot replicate it into the k position terms.
+        def pos_arr(m) -> F.Column:
+            h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint") % F.lit(
+                _BLOOM_M
+            )
+            h2 = F.conv(F.substring(m, 16, 15), 16, 10).cast("bigint") % F.lit(
+                _BLOOM_M
+            )
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
+                lambda i: (h1 + i * h2) % F.lit(_BLOOM_M),
+            )
+
+        return F.element_at(
+            F.transform(F.array(F.md5(col.cast("string"))), pos_arr), 1
         )
 
     positions = build.select(
-        F.explode(
-            F.array(
-                *[F.expr(pos_sql("o_orderkey", i)) for i in range(_BLOOM_K)]
-            )
-        ).alias("p")
+        F.explode(positions_of(F.col("o_orderkey"))).alias("p")
     )
     words = (
         positions.groupBy(F.expr("p DIV 64").alias("w"))
@@ -1416,14 +1429,17 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = li.select("l_orderkey", "l_returnflag", "l_quantity").join(
         F.broadcast(words)
     )
-    hit = None
-    for i in range(_BLOOM_K):
-        p = pos_sql("l_orderkey", i)
-        test = F.expr(
-            f"(coalesce(element_at(bloom, CAST(({p}) DIV 64 AS BIGINT)), 0L)"
-            f" & shiftleft(1L, CAST(({p}) % 64 AS INT))) != 0"
+    hit = F.forall(
+        positions_of(F.col("l_orderkey")),
+        lambda p: F.getbit(
+            F.coalesce(
+                F.element_at(F.col("bloom"), F.floor(p / 64).cast("bigint")),
+                F.lit(0).cast("bigint"),
+            ),
+            (p % 64).cast("int"),
         )
-        hit = test if hit is None else (hit & test)
+        == 1,
+    )
     candidates = probe.filter(hit).drop("bloom")
     exact = candidates.join(
         F.broadcast(build),
@@ -1472,6 +1488,73 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rkey")
         .limit(100)
+    )
+
+
+@op(
+    "sample_weighted",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, w_cents, priority
+    FROM (
+        SELECT o_orderkey, o_totalprice,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_cents,
+               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+                   * 1152921504606846976.0
+                   / CAST(CAST(('0x' || substr(md5(concat('wrs:',
+                         CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT)
+                         + 1 AS DOUBLE) AS priority
+        FROM orders
+    )
+    ORDER BY priority DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (k=50, weight = order value)
+    via **priority sampling** (Duffield–Lund–Thorup): each row gets
+    priority q = w / u with u uniform in (0,1], and the k largest
+    priorities win — high-value orders are proportionally more likely
+    to be kept, the estimator-friendly weighted twin of
+    `sample_reservoir`.
+
+    Portability is the design point: u derives from the md5-prefix
+    hash (u = (h+1)/2^60, the stateless portable-RNG move every
+    sampling op here uses), and the priority is computed ONLY with
+    correctly-rounded IEEE ops (one multiply, one divide — bit-equal
+    on any IEEE-754 engine), never a transcendental: the
+    Efraimidis–Spirakis formulation needs -ln(u)/w whose libm last-ulp
+    is engine-specific, while priority sampling is algebraically
+    equivalent in power and hash-stable.  Weights quantize to integer
+    cents first.
+
+    Plan: orderBy(priority).limit(k) -> TakeOrderedAndProject —
+    per-partition k-heaps, O(partitions × k) merge, no global sort;
+    identical comm bound to sample_reservoir at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    w_cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wrs:"), F.col("o_orderkey").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    priority = (
+        w_cents.cast("double")
+        * F.lit(1152921504606846976.0)
+        / (h + F.lit(1)).cast("double")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_totalprice",
+            w_cents.alias("w_cents"),
+            priority.alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "o_orderkey")
+        .limit(50)
     )
 
 

@@ -210,6 +210,10 @@ _FRONTLOAD: tuple[str, ...] = (
     "dedup_minhash_signature",
     "win_cumulative_share",
     "graph_bfs_layers",
+    # r4 brand-new ops — first driver look:
+    "sample_weighted",
+    "etl_compaction_plan",
+    "join_bloom_prefilter",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
     "stream_session",
