@@ -170,63 +170,99 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: fn_math checksum term: every member quantized to an exact BIGINT
+#: (transcendentals at 1e-6 via the dround floor identity), concat'd
+#: and folded through the 60-bit-md5 bit_xor checksum primitive.
+_MATH_Q = "CAST(floor(({x}) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _math_terms(dialect: str) -> str:
+    """The 14 math-family members as BIGINT-quantized SQL terms,
+    textually shared between engines except the named divergences."""
+    pmod = (
+        "((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7"
+        if dialect == "duck"
+        else "CAST(pmod(l_orderkey, 7) AS BIGINT)"
+    )
+    q = _MATH_Q.format
+    return ", ".join(
+        [
+            q(x="abs(l_extendedprice - 30000.0)"),
+            "CAST(ceil(l_extendedprice / 1000.0) AS BIGINT)",
+            "CAST(floor(l_extendedprice / 1000.0) AS BIGINT)",
+            q(x="sqrt(l_extendedprice)"),
+            q(x="pow(l_quantity, 2.0)"),
+            q(x="exp(l_discount)"),
+            q(x="ln(l_extendedprice)"),
+            q(x="log10(l_extendedprice)"),
+            "CAST(sign(l_extendedprice - 30000.0) AS BIGINT)",
+            pmod,
+            q(x="greatest(l_quantity, CAST(l_linenumber AS DOUBLE) * 10.0)"),
+            q(x="least(l_quantity, CAST(l_linenumber AS DOUBLE) * 10.0)"),
+            q(x="sin(l_discount)"),
+            q(x="cos(l_discount)"),
+        ]
+    )
+
+
 @op(
     "fn_math",
     oracle=f"""
-    SELECT l_orderkey, l_linenumber,
-           abs(l_extendedprice - 30000.0) AS abs_delta,
-           CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_ceil_k,
-           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_floor_k,
-           {sql_dround('sqrt(l_extendedprice)')} AS price_sqrt,
-           {sql_dround('pow(l_quantity, 2.0)')} AS qty_sq,
-           {sql_dround('exp(l_discount)')} AS disc_exp,
-           {sql_dround('ln(l_extendedprice)')} AS price_ln,
-           {sql_dround('log10(l_extendedprice)')} AS price_log10,
-           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS delta_sign,
-           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS key_mod7,
-           greatest(l_quantity, CAST(l_linenumber AS DOUBLE) * 10.0) AS g8t,
-           least(l_quantity, CAST(l_linenumber AS DOUBLE) * 10.0) AS l5t,
-           {sql_dround('sin(l_discount)')} AS disc_sin,
-           {sql_dround('cos(l_discount)')} AS disc_cos
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(CAST(('0x' || substr(md5(concat_ws(':',
+                CAST(l_orderkey AS BIGINT), CAST(l_linenumber AS BIGINT),
+                {_math_terms('duck')})), 1, 15)) AS BIGINT)) AS BIGINT)
+               AS math_checksum,
+           CAST(sum({_MATH_Q.format(x='sqrt(l_extendedprice)')}) AS BIGINT)
+               AS sqrt_micro_sum
     FROM lineitem
     """,
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math family.  Transcendentals (exp/ln/log10/sin/cos/pow) round to
-    6 via the parity.dround floor identity — libm vs JVM can differ in
-    the last ulp, and dround (unlike round()) is plain IEEE arithmetic
-    that stays in whole-stage codegen instead of allocating a
-    BigDecimal per value (measured ~2x cheaper on this projection; all
-    rounded members here are positive, where dround is exactly
-    half-up).  sqrt/abs are exact IEEE.  Spark ceil/floor return BIGINT
-    (oracle casts); pmod is emulated in the oracle as ((a % b) + b) % b.
+    """Math family.  Transcendentals (exp/ln/log10/sin/cos/pow)
+    quantize to exact 1e-6 BIGINTs via the parity.dround floor
+    identity — libm vs JVM can differ in the last ulp, and the floor
+    identity (unlike round()) is plain IEEE arithmetic that stays in
+    whole-stage codegen with no per-value BigDecimal.  sqrt/abs are
+    exact IEEE; pmod is emulated in the oracle as ((a % b) + b) % b.
+
+    Output follows the audit-summary rule (the fn_try_safe precedent):
+    every member is computed for EVERY row, but the op emits n_rows +
+    an order-independent bit_xor checksum over the 60-bit md5 of each
+    row's (keys + all 14 quantized values) — any single value changing
+    anywhere flips the checksum, so the oracle still pins per-row
+    per-column behavior exactly, while the bench measures the 600k×14
+    transcendental projection (the engine) instead of shipping 16
+    columns through Arrow (the driver): 3.4 s → ~0.4 s at sf0.1.  The
+    concat uses only BIGINT-rendered terms — double→string formatting
+    is engine-specific and never crosses the checksum boundary.
 
     Repartitioned after the scan: the fixture is a single-row-group
     parquet file, so the scan is one task no matter the split config —
     one narrow exchange of 4 input columns buys 32-way parallel
-    projection of the transcendental-heavy select; at real scale the
-    input is many files and this repartition is dropped."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_discount"
-    ).repartition(32)
-    price = F.col("l_extendedprice")
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.abs(price - 30000.0).alias("abs_delta"),
-        F.ceil(price / 1000.0).alias("price_ceil_k"),
-        F.floor(price / 1000.0).alias("price_floor_k"),
-        dround(F.sqrt(price)).alias("price_sqrt"),
-        dround(F.pow(F.col("l_quantity"), F.lit(2.0))).alias("qty_sq"),
-        dround(F.exp("l_discount")).alias("disc_exp"),
-        dround(F.log("l_extendedprice")).alias("price_ln"),
-        dround(F.log10("l_extendedprice")).alias("price_log10"),
-        F.signum(price - 30000.0).alias("delta_sign"),
-        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_mod7"),
-        F.greatest(F.col("l_quantity"), F.col("l_linenumber").cast("double") * 10.0).alias("g8t"),
-        F.least(F.col("l_quantity"), F.col("l_linenumber").cast("double") * 10.0).alias("l5t"),
-        dround(F.sin("l_discount")).alias("disc_sin"),
-        dround(F.cos("l_discount")).alias("disc_cos"),
+    evaluation; at real scale the input is many files and this
+    repartition is dropped."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_quantity",
+            "l_discount",
+        )
+        .repartition(32)
+    )
+    row_hash = F.expr(
+        "CAST(conv(substr(md5(concat_ws(':', CAST(l_orderkey AS BIGINT),"
+        f" CAST(l_linenumber AS BIGINT), {_math_terms('spark')})), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+    sqrt_q = F.expr(_MATH_Q.format(x="sqrt(l_extendedprice)"))
+    return li.select(row_hash.alias("h"), sqrt_q.alias("sq")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("CAST(bit_xor(h) AS BIGINT)").alias("math_checksum"),
+        F.sum("sq").cast("bigint").alias("sqrt_micro_sum"),
     )
 
 

@@ -1669,20 +1669,21 @@ def ts_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_session_window",
     oracle="""
     WITH q AS (
-        SELECT user_id,
+        SELECT user_id, ts, event_id,
                CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
                CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v_micro,
-               CASE WHEN CAST(epoch(date_trunc('second', ts)) AS BIGINT)
-                         - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+               CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                         - lag(CAST(epoch_us(ts) AS BIGINT))
                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         >= 1800
+                         >= 1800000000
                          OR lag(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
     ), isl AS (
         SELECT user_id, es, v_micro,
-               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY es
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS sid
         FROM q
@@ -1701,9 +1702,14 @@ def ts_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-rolled gaps-and-islands `ts_sessionize`: each event opens a
      30-min window and overlapping windows merge, so a session breaks
     exactly when a gap >= 30 min appears.  The oracle reproduces the
-    merge rule as islands (break on gap >= 1800 s), pinning that the
-    builtin's semantics equal the manual form: start = first event,
-    end = last event + gap.  The struct-typed window column is
+    merge rule as islands — breaking on the MICROSECOND gap
+    (epoch_us >= 1.8e9), because the builtin merges at full event-time
+    precision: an oracle that measured the gap on second-truncated
+    stamps misclassified a 1799.xx s gap as a break (caught by the
+    r4 sf0.1 mirror, one session off in 95k).  Outputs still truncate
+    to epoch seconds (floor(min ts) / floor(max ts)+1800 commute with
+    per-session min/max).  Pins that the builtin's semantics equal the
+    manual form: start = first event, end = last event + gap.  The struct-typed window column is
     flattened to epoch seconds on output (driver canon rejects
     structs).  Plan: session_window compiles to a single exchange on
     user_id + sort — state per key is one open window, the same shape

@@ -210,6 +210,8 @@ _FRONTLOAD: tuple[str, ...] = (
     "dedup_minhash_signature",
     "win_cumulative_share",
     "graph_bfs_layers",
+    "ts_session_window",
+    "fn_math",
     # r4 brand-new ops — first driver look:
     "sample_weighted",
     "etl_compaction_plan",
