@@ -37,6 +37,12 @@ GOLDEN_OPS = (
     "etl_zorder_key",
     "text_unigram_perplexity",
     "sql_recursive_cte",
+    # round-4 flagships:
+    "sample_weighted",
+    "etl_compaction_plan",
+    "agg_ks_test",
+    "win_cumulative_share",
+    "fn_math",
 )
 
 
