@@ -719,3 +719,66 @@ def etl_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_after",
         "survivor_checksum",
     )
+
+
+@op(
+    "etl_partition_skew_audit",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_suppkey AS join_key, count(*) AS cnt
+        FROM lineitem
+        GROUP BY l_suppkey
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(cnt) AS BIGINT) AS total_rows
+        FROM per_key
+    )
+    SELECT join_key, cnt,
+           cnt * 1000000 // total_rows AS share_ppm,
+           cnt * n_keys * 1000000 // total_rows AS skew_x_ppm,
+           (cnt * n_keys + total_rows - 1) // total_rows
+               AS recommended_salt
+    FROM per_key, tot
+    ORDER BY cnt DESC, join_key
+    LIMIT 10
+    """,
+)
+def etl_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the pre-flight check before any large
+    shuffle: per-key row counts on the prospective join/partition key,
+    each heavy hitter's share, its skew factor versus a perfectly
+    uniform distribution (cnt/avg, in ppm), and the per-key salt
+    fan-out that would level it (ceil(cnt/avg) — the number
+    `join_skew_salted` takes as its salting degree).  Top-10 heaviest
+    keys, deterministically tie-broken.
+
+    Shape: one partial+final count aggregate (the same shuffle the
+    audited join would pay, but carrying only (key, count) pairs), a
+    1-row total broadcast-NL rejoined, and TakeOrderedAndProject for
+    the top-k — at 100 TB this costs one pass over the fact's key
+    column and is exactly how AQE's skew statistics are gathered,
+    surfaced as a queryable table instead of a planner internal.  All
+    derived metrics are positive-domain integer DIV (floor == trunc,
+    hash-parity proof)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("join_key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+    )
+    j = per_key.crossJoin(F.broadcast(tot))
+    return (
+        j.select(
+            "join_key",
+            "cnt",
+            F.expr("cnt * 1000000 DIV total_rows").alias("share_ppm"),
+            F.expr("cnt * n_keys * 1000000 DIV total_rows").alias("skew_x_ppm"),
+            F.expr(
+                "(cnt * n_keys + total_rows - 1) DIV total_rows"
+            ).alias("recommended_salt"),
+        )
+        .orderBy(F.col("cnt").desc(), "join_key")
+        .limit(10)
+    )

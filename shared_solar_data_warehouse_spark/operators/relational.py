@@ -1763,3 +1763,72 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("s_kind"),
     )
     return c.unionByName(s, allowMissingColumns=True)
+
+
+@op(
+    "join_pit_features",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_purchase_value, n_prior_views, n_prior_errors
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'purchase'
+                               THEN value END IGNORE NULLS)
+                   OVER w AS last_purchase_value,
+               CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                    OVER w AS BIGINT) AS n_prior_views,
+               CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+                    OVER w AS BIGINT) AS n_prior_errors
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'click'
+    """,
+)
+def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time multi-feature enrichment — the feature-store
+    pattern: annotate every observation row ('click') with several
+    features computed STRICTLY from that user's earlier events (most
+    recent purchase value, running view and error counts), with no
+    future leakage (the frame ends at 1 PRECEDING, so a same-instant
+    purchase never leaks into its own click; event_id breaks ts ties
+    deterministically).
+
+    Where `join_asof` carries ONE stream forward, this op shows the
+    n-feature generalization at the same cost: because all feature
+    streams live in the event log, every feature is a conditional
+    aggregate over a SHARED window — one exchange on user_id, one
+    sort, one Window operator evaluating all three frames, zero
+    joins.  A separate as-of join per feature table would pay n
+    shuffles; the union-tag rewrite (join_asof's trick) collapses any
+    external feature tables into this exact plan.  At 100 TB the only
+    cost driver is the single (user_id) shuffle of the event log."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.last(purchase_val, ignorenulls=True).over(w).alias(
+                "last_purchase_value"
+            ),
+            F.count(F.when(F.col("event_type") == "view", 1)).over(w).alias(
+                "n_prior_views"
+            ),
+            F.count(F.when(F.col("event_type") == "error", 1)).over(w).alias(
+                "n_prior_errors"
+            ),
+        )
+        .filter(F.col("event_type") == "click")
+        .drop("event_type")
+    )

@@ -1293,3 +1293,135 @@ def report_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(*) AS BIGINT)"
         ).alias("dup_member_ppm"),
     )
+
+
+@op(
+    "text_chunk_windows",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n, toks,
+               unnest(generate_series(0,
+                   CASE WHEN n <= 8 THEN 0 ELSE (n - 8 + 5) // 6 END))
+                   AS chunk_id
+        FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(chunk_id * 6 AS INTEGER) AS start_token,
+           CAST(len(toks[chunk_id * 6 + 1 : chunk_id * 6 + 8])
+                AS INTEGER) AS n_chunk_tokens,
+           array_to_string(toks[chunk_id * 6 + 1 : chunk_id * 6 + 8],
+                           ' ') AS chunk_text,
+           chunk_id * 6 + 8 >= n AS is_last
+    FROM c
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the training-data prep step
+    that turns variable-length documents into fixed-size overlapping
+    token windows (window = 8 tokens, stride = 6, overlap = 2; the
+    miniature of a 2048/1792 production setting).  Each document emits
+    ceil((n - W)/S) + 1 chunks; the final chunk is allowed to be short
+    (no padding — the packer downstream owns that).
+
+    Shape: chunk count and boundaries are pure per-row arithmetic,
+    `sequence` + `explode` fans the document into its chunks, and
+    `slice` re-materializes each window from the one tokenization —
+    zero shuffle, zero join, whole-stage codegen end-to-end.  At
+    100 TB the op is a map over the corpus whose output feeds
+    straight into a partitioned write; chunk counts are integer DIV
+    arithmetic (positive domain, so Spark DIV == DuckDB //)."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    W, S = 8, 6
+    n = F.size("toks")
+    n_chunks = F.when(n <= W, F.lit(1)).otherwise(
+        F.expr(f"CAST((size(toks) - {W} + {S - 1}) DIV {S} AS INT) + 1")
+    )
+    c = d.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * S).cast("int").alias("start_token"),
+        F.size(F.slice("toks", F.col("chunk_id") * S + 1, W)).alias(
+            "n_chunk_tokens"
+        ),
+        F.array_join(F.slice("toks", F.col("chunk_id") * S + 1, W), " ").alias(
+            "chunk_text"
+        ),
+        (F.col("chunk_id") * S + W >= F.col("n")).alias("is_last"),
+    )
+
+
+@op(
+    "text_dataset_mixture",
+    oracle="""
+    WITH dom AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                   AS domain_tokens,
+               CAST(floor(sqrt(CAST(sum(len(string_split(text, ' ')))
+                                    AS DOUBLE))) AS BIGINT) AS w
+        FROM documents
+        GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(domain_tokens) AS BIGINT) AS corpus_tokens,
+               CAST(sum(w) AS BIGINT) AS sum_w
+        FROM dom
+    )
+    SELECT source, n_docs, domain_tokens,
+           domain_tokens * 1000000 // corpus_tokens AS natural_ppm,
+           w * 1000000 // sum_w AS target_ppm,
+           (w * 1000000 // sum_w) * corpus_tokens * 4
+               // domain_tokens AS epochs_ppm
+    FROM dom, tot
+    """,
+)
+def text_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture planning — the sampling-weight table a training
+    run consumes: per source, the natural token share and the
+    temperature-flattened target share (T=2 ⇒ weight ∝ sqrt(tokens),
+    the standard upweight-the-tail move), plus the implied epoch count
+    over each domain at a 4×-corpus token budget (epochs > 1e6 ppm ⇒
+    that domain repeats; the signal for dedup-aware repetition caps).
+
+    Parity design: temperature T=2 is deliberate — sqrt is IEEE-754
+    correctly rounded (identical bits on both engines), unlike pow(x,
+    1/T) for general T whose libm last-ulp is engine-specific.  After
+    floor(sqrt(...)) everything is BIGINT arithmetic (shares in ppm
+    via integer DIV on a positive domain), so the op is hash-parity
+    proof by construction.  Shape: one partial+final aggregate over
+    the corpus, a 1-row total, and a broadcast-NL rejoin — the
+    20-source output is driver-trivial but the plan is the 100 TB one
+    (no collect; the total rides as a crossJoin'd single row)."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    dom = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("bigint").alias("domain_tokens"),
+    )
+    dom = dom.withColumn(
+        "w", F.floor(F.sqrt(F.col("domain_tokens").cast("double"))).cast("bigint")
+    )
+    tot = dom.agg(
+        F.sum("domain_tokens").cast("bigint").alias("corpus_tokens"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+    )
+    j = dom.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        "n_docs",
+        "domain_tokens",
+        F.expr("domain_tokens * 1000000 DIV corpus_tokens").alias("natural_ppm"),
+        F.expr("w * 1000000 DIV sum_w").alias("target_ppm"),
+        F.expr(
+            "(w * 1000000 DIV sum_w) * corpus_tokens * 4 DIV domain_tokens"
+        ).alias("epochs_ppm"),
+    )

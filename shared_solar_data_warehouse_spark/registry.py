@@ -216,6 +216,10 @@ _FRONTLOAD: tuple[str, ...] = (
     "sample_weighted",
     "etl_compaction_plan",
     "join_bloom_prefilter",
+    "text_chunk_windows",
+    "text_dataset_mixture",
+    "etl_partition_skew_audit",
+    "join_pit_features",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
     "stream_session",
