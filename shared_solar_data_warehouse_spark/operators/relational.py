@@ -1393,24 +1393,30 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     build = orders.filter(F.col("o_totalprice") > 450000).select("o_orderkey")
 
     def positions_of(col) -> F.Column:
-        # All k positions from ONE md5: h1 = hex[1..15), h2 = hex
-        # [16..30) (60 bits each), pos_i = (h1 + i*h2) % m.  The md5
-        # column is bound once as a lambda variable so projection
-        # collapse cannot replicate it into the k position terms.
-        def pos_arr(m) -> F.Column:
-            h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint") % F.lit(
-                _BLOOM_M
-            )
-            h2 = F.conv(F.substring(m, 16, 15), 16, 10).cast("bigint") % F.lit(
-                _BLOOM_M
-            )
-            return F.transform(
-                F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
-                lambda i: (h1 + i * h2) % F.lit(_BLOOM_M),
-            )
-
+        # Kirsch–Mitzenmacher over TWO xxhash64 calls: pos_i =
+        # (h1 + i*h2) % m.  The Bloom hash needs no cross-engine
+        # portability — the exact semi join below erases false
+        # positives, so the result is identical for ANY filter
+        # contents — which frees the probe's hot path to use the
+        # JVM-native hash instead of md5 (the r4 scale smoke showed
+        # the md5 probe at 30 s/60M rows; xxhash64 is ~10x cheaper
+        # per row).  The (h1, h2) struct binds once as a lambda
+        # variable so projection collapse cannot replicate the hash
+        # calls into the k position terms.
+        m = F.lit(_BLOOM_M)
+        pair = F.struct(
+            F.pmod(F.xxhash64(col), m).alias("h1"),
+            F.pmod(F.xxhash64(col, F.lit(1)), m).alias("h2"),
+        )
         return F.element_at(
-            F.transform(F.array(F.md5(col.cast("string"))), pos_arr), 1
+            F.transform(
+                F.array(pair),
+                lambda s: F.transform(
+                    F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
+                    lambda i: (s["h1"] + i * s["h2"]) % m,
+                ),
+            ),
+            1,
         )
 
     positions = build.select(
