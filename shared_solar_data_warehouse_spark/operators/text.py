@@ -1425,3 +1425,99 @@ def text_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(w * 1000000 DIV sum_w) * corpus_tokens * 4 DIV domain_tokens"
         ).alias("epochs_ppm"),
     )
+
+
+@op(
+    "text_pack_sequences",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id, source,
+               unnest(generate_series(0,
+                   CASE WHEN len(string_split(text, ' ')) <= 8 THEN 0
+                        ELSE (len(string_split(text, ' ')) - 8 + 5) // 6
+                   END)) AS chunk_id,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), sized AS (
+        SELECT source, doc_id, chunk_id,
+               CASE WHEN chunk_id * 6 + 8 <= n THEN 8
+                    ELSE n - chunk_id * 6 END AS chunk_tokens
+        FROM chunks
+    ), binned AS (
+        SELECT source, chunk_tokens,
+               (CAST(sum(chunk_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id, chunk_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) - 1) // 64 AS seq_id
+        FROM sized
+    )
+    SELECT source, seq_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(chunk_tokens) AS BIGINT) * 1000000 // 64
+               AS fill_ppm
+    FROM binned
+    GROUP BY source, seq_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step after chunking in a training-data
+    pipeline: concatenate chunks into fixed-budget training sequences
+    (budget = 64 tokens here; the 2048/4096 miniature) and report each
+    sequence's fill.  Packing is prefix-sum binning, not first-fit:
+    within each source, chunks in deterministic (doc_id, chunk_id)
+    order are assigned seq_id = (running_tokens - 1) DIV budget — a
+    single window + aggregate, trading a few percent of fill
+    efficiency for a fully parallel, deterministic plan (first-fit
+    decreasing is inherently sequential and shuffles per bin).
+
+    Scale shape: the prefix sum partitions by source, so no global
+    window exists; at 100 TB the partition key widens to
+    (source, shard) with per-shard budgets — same plan, bounded
+    partitions.  Chunk sizes re-derive arithmetically from the
+    chunking parameters (W=8, S=6) rather than re-materializing
+    chunk text — packing needs only the sizes.  The trailing partial
+    sequence per source legitimately reports fill < 1e6 ppm; all
+    metrics are positive-domain integer DIV."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    W, S, BUDGET = 8, 6, 64
+    n = F.size("toks")
+    n_chunks = F.when(n <= W, F.lit(1)).otherwise(
+        F.expr(f"CAST((size(toks) - {W} + {S - 1}) DIV {S} AS INT) + 1")
+    )
+    chunks = d.select(
+        "doc_id",
+        "source",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "source",
+        "doc_id",
+        "chunk_id",
+        F.when(F.col("chunk_id") * S + W <= F.col("n"), F.lit(W))
+        .otherwise(F.col("n") - F.col("chunk_id") * S)
+        .alias("chunk_tokens"),
+    )
+    from pyspark.sql import Window as W_
+
+    w = (
+        W_.partitionBy("source")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(W_.unboundedPreceding, W_.currentRow)
+    )
+    binned = chunks.select(
+        "source",
+        "chunk_tokens",
+        F.expr(
+            f"(CAST(sum(chunk_tokens) OVER (PARTITION BY source "
+            f"ORDER BY doc_id, chunk_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND CURRENT ROW) AS BIGINT) - 1) DIV {BUDGET}"
+        ).alias("seq_id"),
+    )
+    return binned.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"CAST(sum(chunk_tokens) AS BIGINT) * 1000000 DIV {BUDGET}"
+        ).alias("fill_ppm"),
+    )

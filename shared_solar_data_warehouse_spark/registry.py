@@ -220,6 +220,7 @@ _FRONTLOAD: tuple[str, ...] = (
     "text_dataset_mixture",
     "etl_partition_skew_audit",
     "join_pit_features",
+    "text_pack_sequences",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
     "stream_session",
