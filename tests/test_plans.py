@@ -499,3 +499,44 @@ def test_role_playing_dim_reuses_broadcast(spark, registry):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("ReusedExchange") >= 1
+
+
+def test_chunk_windows_zero_shuffle(spark, registry):
+    # Chunking is a pure map over the corpus: explode + slice, no
+    # Exchange anywhere in the plan (the zero-shuffle claim).
+    plan = plan_of(registry, spark, "text_chunk_windows")
+    assert "Exchange" not in plan
+    assert "explode(sequence" in plan
+
+
+def test_pit_features_single_window_single_exchange(spark, registry):
+    # All three point-in-time features evaluate in ONE Window operator
+    # over ONE user_id exchange — the n-features-for-one-shuffle claim.
+    plan = plan_of(registry, spark, "join_pit_features")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Window") == 1
+    assert "Join" not in plan
+
+
+def test_dataset_mixture_total_is_broadcast_not_smj(spark, registry):
+    # The 1-row corpus total rejoins via broadcast; a SortMergeJoin
+    # here would shuffle the 20-row domain table for nothing.
+    plan = plan_of(registry, spark, "text_dataset_mixture")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_audit_topk_physical_operator(spark, registry):
+    # Top-10 heavy hitters must compile to per-partition k-heaps, not
+    # a global sort.
+    plan = plan_of(registry, spark, "etl_partition_skew_audit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, registry):
+    # Packing prefix-sums within source partitions — exactly one hash
+    # exchange (source window + (source, seq_id) agg share it via the
+    # key-prefix rule), and no single-partition global window.
+    plan = plan_of(registry, spark, "text_pack_sequences")
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
