@@ -513,7 +513,8 @@ def test_pit_features_single_window_single_exchange(spark, registry):
     # All three point-in-time features evaluate in ONE Window operator
     # over ONE user_id exchange — the n-features-for-one-shuffle claim.
     plan = plan_of(registry, spark, "join_pit_features")
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("+- Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
     assert plan.count("+- Window") == 1
     assert "Join" not in plan
 
