@@ -1521,3 +1521,47 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(sum(chunk_tokens) AS BIGINT) * 1000000 DIV {BUDGET}"
         ).alias("fill_ppm"),
     )
+
+
+@op(
+    "text_inverted_index",
+    oracle="""
+    WITH postings AS (
+        SELECT token, doc_id
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id))[1:20], ',')
+               AS postings_head
+    FROM postings
+    GROUP BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the search/retrieval artifact a
+    corpus pipeline materializes next to the TF table: per token, its
+    document frequency and the head of its sorted posting list
+    (capped at 20 doc ids here; production caps per-shard and chains
+    overflow blocks).  Built from the memoized (doc, token, tf)
+    artifact — no fresh explode over the corpus — with
+    sort_array(collect_list(...)) for deterministic postings and a
+    string round-trip for the driver canonicalizer (the r2 rule:
+    never ship raw array columns through the hash compare).
+
+    Scale shape: one (token) aggregate over the tf table; the
+    collect_list is bounded per group only by df, which is why real
+    indexes shard postings — the cap models that bound, and the
+    deterministic sort makes the head stable under any partitioning.
+    Skew note: stopword-grade tokens concentrate; at 100 TB the
+    (token) aggregate takes the salted two-phase shape (partial
+    collect per salt, merge-sort-truncate) — same output."""
+    tf = _tf_table(spark, sf_dir)
+    return tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+        ).alias("postings_head"),
+    )

@@ -2547,3 +2547,71 @@ def ts_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" ELSE NULL END"
         ).alias("acf_q4"),
     )
+
+
+@op(
+    "ts_yield_deviation",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT))
+                    AS BIGINT) AS e_q4
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, date_trunc('day', ts)
+    ), fleet AS (
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n_circuits,
+               CAST(sum(e_q4) AS BIGINT) AS fleet_q4
+        FROM daily GROUP BY day
+    )
+    SELECT d.user_id, d.day, d.e_q4, f.n_circuits,
+           d.e_q4 * f.n_circuits * 1000000 // f.fleet_q4 AS yield_ppm,
+           d.e_q4 * f.n_circuits * 1000000 // f.fleet_q4 < 500000
+               AS underperforming
+    FROM daily d JOIN fleet f USING (day)
+    WHERE f.fleet_q4 > 0
+    """,
+)
+def ts_yield_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-circuit daily yield vs fleet expectation — the solar-ops
+    underperformance screen: a circuit's share of the fleet's daily
+    energy, normalized by circuit count (1e6 ppm = exactly its equal
+    share; < 0.5e6 for a day flags soiling/shading/meter faults).
+    Fleet-relative normalization is the standard move because weather
+    divides out — every circuit sees the same irradiance day.
+
+    Shape: one (user, day) partial+final aggregate over the readings,
+    a day-level reduction of THAT aggregate (key-prefix groupBy — no
+    second scan of the fact), and a broadcast rejoin on day (the
+    fleet table is bounded by the calendar, KBs at any corpus size).
+    All metrics are positive-domain integer ppm (readings are
+    non-negative) — hash-parity proof.  At 100 TB the daily aggregate
+    is the only full-width shuffle; everything after touches
+    calendar-bounded rows."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = (
+        e.select(
+            "user_id",
+            F.to_date(F.date_trunc("day", "ts")).alias("day"),
+            F.floor(F.col("value") * 1e4 + 0.5).cast("bigint").alias("vq"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("vq").cast("bigint").alias("e_q4"))
+    )
+    fleet = daily.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_circuits"),
+        F.sum("e_q4").cast("bigint").alias("fleet_q4"),
+    )
+    j = daily.join(F.broadcast(fleet.filter(F.col("fleet_q4") > 0)), "day")
+    ratio = F.expr("e_q4 * n_circuits * 1000000 DIV fleet_q4")
+    return j.select(
+        "user_id",
+        "day",
+        "e_q4",
+        "n_circuits",
+        ratio.alias("yield_ppm"),
+        (ratio < 500000).alias("underperforming"),
+    )

@@ -751,3 +751,96 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0.0 END"
         ).alias("zscore_q4"),
     )
+
+
+@op(
+    "win_moving_slope",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                    AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+    ), s AS (
+        SELECT user_id, ts, event_id, x,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(sum(vq) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * vq) OVER w AS BIGINT) AS sxy
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY x
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id,
+           CASE WHEN n * sxy - sx * sy >= 0
+                THEN (n * sxy - sx * sy) * 1000000
+                     // (n * sxx - sx * sx)
+                ELSE -((-(n * sxy - sx * sy)) * 1000000
+                       // (n * sxx - sx * sx))
+           END AS slope_ppm_q4
+    FROM s WHERE n = 5
+    """,
+)
+def win_moving_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS trend slope — the windowed generalization of
+    `agg_linreg`: per circuit, the least-squares slope of the last 5
+    readings against their arrival rank, the local trend signal
+    behind ramp alarms (a sustained positive slope across circuits is
+    a fleet-wide ramp; one circuit alone is a local anomaly).
+
+    slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) evaluated entirely from
+    integer window sums over the quantized reading (x = per-user row
+    rank, y = 1e-4-quantized value), emitted as a sign-split
+    truncated-DIV ppm rational (the numerator CAN go negative — the
+    parity.py rule — while the denominator is a positive variance for
+    n=5 distinct ranks).  Partial windows (n < 5) are dropped: their
+    slope estimates are rank-deficient noise.
+
+    Shape: one (user_id) exchange serves the rank window and all
+    five moving sums (same Window operator, shared sort) — the
+    multi-aggregate-one-frame economics `join_pit_features` pins,
+    here with a bounded sliding frame, so state per row is O(1) and
+    the plan is scan → exchange → sort → window → filter."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    q = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1e4 + 0.5).cast("bigint").alias("vq"),
+    ).withColumn(
+        "x",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    s = q.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum("vq").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("vq")).over(w).cast("bigint").alias("sxy"),
+    )
+    # Sign-split truncated DIV mirrors the oracle exactly (parity.py
+    # signed-numerator rule: Spark DIV truncates, DuckDB // floors).
+    slope = F.expr(
+        "CASE WHEN n * sxy - sx * sy >= 0 "
+        "THEN (n * sxy - sx * sy) * 1000000 DIV (n * sxx - sx * sx) "
+        "ELSE -((-(n * sxy - sx * sy)) * 1000000 DIV (n * sxx - sx * sx)) "
+        "END"
+    )
+    return s.filter(F.col("n") == 5).select(
+        "user_id", "ts", "event_id", slope.alias("slope_ppm_q4")
+    )

@@ -221,6 +221,9 @@ _FRONTLOAD: tuple[str, ...] = (
     "etl_partition_skew_audit",
     "join_pit_features",
     "text_pack_sequences",
+    "ts_yield_deviation",
+    "text_inverted_index",
+    "win_moving_slope",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
     "stream_session",

@@ -541,3 +541,21 @@ def test_pack_sequences_window_is_partitioned(spark, registry):
     plan = plan_of(registry, spark, "text_pack_sequences")
     assert "SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_moving_slope_single_exchange_shared_window(spark, registry):
+    # Rank window + five moving sums share ONE user_id exchange; no
+    # join, no single-partition window.
+    plan = plan_of(registry, spark, "win_moving_slope")
+    assert plan.count("+- Exchange") == 1
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_yield_deviation_fleet_join_is_broadcast(spark, registry):
+    # The calendar-bounded fleet table must broadcast back onto the
+    # daily aggregate — a SortMergeJoin would reshuffle the fact-sized
+    # side on day for nothing.
+    plan = plan_of(registry, spark, "ts_yield_deviation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
