@@ -782,3 +782,82 @@ def etl_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "join_key")
         .limit(10)
     )
+
+
+@op(
+    "etl_orphan_fk_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphan,
+           CAST(coalesce((SELECT min(l_orderkey) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)), -1)
+                AS BIGINT) AS min_orphan_key
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST(coalesce((SELECT min(o_custkey) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)), -1)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST((SELECT count(*) FROM customer) AS BIGINT),
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST(coalesce((SELECT min(c_nationkey) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)), -1)
+                AS BIGINT)
+    """,
+)
+def etl_orphan_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's three FK
+    edges: child row count, orphan count (child keys with no parent),
+    and the smallest orphan key as the repro pointer (-1 = clean).
+    At 100 TB this is the ingest gate that catches a partial parent
+    load before a fact backfill fans out over it.
+
+    Shape: each FK edge is a left-anti join (the orphan set) reduced
+    to (count, min) — for the two dim-parent edges the anti join
+    broadcasts the parent key set; for lineitem->orders the parent is
+    fact-sized, so the anti join shuffles both sides on the key,
+    which is the irreducible cost of exact orphan detection (the
+    cheap screen at 100 TB is this op's Bloom variant: probe the
+    join_bloom_prefilter filter and only anti-join survivors).  The
+    three 1-row audits union into one report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def audit(child: DataFrame, key: str, parent: DataFrame, pkey: str, tag: str):
+        orphans = child.join(
+            parent.select(pkey), child[key] == parent[pkey], "left_anti"
+        )
+        return child.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child")
+        ).crossJoin(
+            orphans.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orphan"),
+                F.coalesce(F.min(key), F.lit(-1)).cast("bigint").alias(
+                    "min_orphan_key"
+                ),
+            )
+        ).select(F.lit(tag).alias("fk"), "n_child", "n_orphan", "min_orphan_key")
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"))
+        .unionAll(audit(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"))
+    )

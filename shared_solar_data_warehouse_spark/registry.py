@@ -224,6 +224,7 @@ _FRONTLOAD: tuple[str, ...] = (
     "ts_yield_deviation",
     "text_inverted_index",
     "win_moving_slope",
+    "etl_orphan_fk_audit",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
     "stream_session",
