@@ -38,6 +38,11 @@ GOLDEN_OPS = (
     "text_unigram_perplexity",
     "sql_recursive_cte",
     # round-4 flagships:
+    "text_chunk_windows",
+    "text_pack_sequences",
+    "join_pit_features",
+    "ts_yield_deviation",
+    "etl_orphan_fk_audit",
     "sample_weighted",
     "etl_compaction_plan",
     "agg_ks_test",
