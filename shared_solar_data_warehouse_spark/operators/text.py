@@ -1565,3 +1565,151 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
         ).alias("postings_head"),
     )
+
+
+@op(
+    "text_quality_composite",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               len(list_filter(string_split(text, ' '),
+                               t -> t = 'the' OR t = 'a')) AS n_stop
+        FROM documents
+    ), pm AS (
+        SELECT doc_id, n_tokens,
+               least(n_tokens, 200) * 1000 // 200 AS len_pm,
+               n_distinct * 1000 // n_tokens AS uniq_pm,
+               (n_tokens - n_stop) * 1000 // n_tokens AS content_pm
+        FROM f WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, len_pm, uniq_pm, content_pm,
+           (4 * len_pm + 4 * uniq_pm + 2 * content_pm) // 10 AS score_pm,
+           least((4 * len_pm + 4 * uniq_pm + 2 * content_pm) // 10 // 100,
+                 9) AS decile
+    FROM pm
+    """,
+)
+def text_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score — the miniature of model-based
+    quality filtering: three per-mille features (length saturation at
+    200 tokens, token uniqueness, content-vs-stopword ratio) folded
+    into one weighted integer score (40/40/20) with a fixed-boundary
+    decile bucket.  The deliberate design points: (1) the score is a
+    pure per-row expression — score once at ingest, filter many times
+    downstream at zero cost; (2) deciles come from fixed score
+    boundaries (score DIV 100), NOT ntile() — rank-based deciles need
+    a global sort and re-shuffle every corpus extension, while fixed
+    boundaries are stable, embarrassingly parallel, and comparable
+    across corpus versions; (3) all-integer per-mille arithmetic on a
+    positive domain (hash-parity proof, no float weights)."""
+    d = _tokens(load_table(spark, sf_dir, "documents"))
+    feats = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+    ).filter(F.col("n_tokens") > 0)
+    pm = feats.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("least(n_tokens, 200) * 1000 DIV 200").alias("len_pm"),
+        F.expr("n_distinct * 1000 DIV n_tokens").alias("uniq_pm"),
+        F.expr("(n_tokens - n_stop) * 1000 DIV n_tokens").alias("content_pm"),
+    )
+    score = F.expr("(4 * len_pm + 4 * uniq_pm + 2 * content_pm) DIV 10")
+    return pm.select(
+        "doc_id",
+        "n_tokens",
+        "len_pm",
+        "uniq_pm",
+        "content_pm",
+        score.alias("score_pm"),
+        F.expr(
+            "least((4 * len_pm + 4 * uniq_pm + 2 * content_pm) DIV 10 DIV 100, 9)"
+        ).alias("decile"),
+    )
+
+
+@op(
+    "dedup_cross_source_overlap",
+    oracle="""
+    WITH norm AS (
+        SELECT DISTINCT source,
+               md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nh
+        FROM documents
+    ), src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_norm FROM norm
+        GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           count(*) * 1000000
+               // least(sa.n_norm, sb.n_norm) AS overlap_ppm
+    FROM norm a
+    JOIN norm b ON a.nh = b.nh AND a.source < b.source
+    JOIN src sa ON sa.source = a.source
+    JOIN src sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n_norm, sb.n_norm
+    """,
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — which data sources mirror
+    each other: for every source pair, the count of shared
+    normalized-text documents and the containment ratio against the
+    smaller source (1e6 ppm = one source's normalized content is a
+    subset of the other's — the signal to drop a mirror before
+    mixture weighting double-counts it).
+
+    Shape: the (nh, source) distinct is the only corpus-width
+    shuffle; per-hash source lists collect (bounded by the source
+    count, ~20) and pair-generate row-locally via the posting-list
+    transform — the same algebra as the shingle pair ops, but over a
+    catalog-bounded value domain, so the pair aggregate output is at
+    most |sources|² rows.  Per-source totals broadcast back onto the
+    pair table.  At 100 TB the nh census is a reusable artifact
+    shared with text_dedup_normalized / report_corpus_quality."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "source",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""),
+                    " +",
+                    " ",
+                )
+            )
+        ).alias("nh"),
+    ).distinct()
+    src = norm.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_norm")
+    )
+    pair_expr = (
+        "flatten(transform(srcs, (x, i) ->"
+        " transform(slice(srcs, i + 2, size(srcs) - i - 1),"
+        " y -> struct(x AS source_a, y AS source_b))))"
+    )
+    pairs = (
+        norm.groupBy("nh")
+        .agg(F.sort_array(F.collect_list("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.source_a", "p.source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = src.select(
+        F.col("source").alias("source_a"), F.col("n_norm").alias("na")
+    )
+    sb = src.select(
+        F.col("source").alias("source_b"), F.col("n_norm").alias("nb")
+    )
+    j = pairs.join(F.broadcast(sa), "source_a").join(F.broadcast(sb), "source_b")
+    return j.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.expr("n_shared * 1000000 DIV least(na, nb)").alias("overlap_ppm"),
+    )

@@ -225,6 +225,8 @@ _FRONTLOAD: tuple[str, ...] = (
     "text_inverted_index",
     "win_moving_slope",
     "etl_orphan_fk_audit",
+    "text_quality_composite",
+    "dedup_cross_source_overlap",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
     "stream_session",
