@@ -85,3 +85,40 @@ def test_raw_single_partition_detector_positive(spark):
     )
     good_df = g.select(F.sum("s").over(wk).alias("c"))
     assert not raw_single_partition_exchanges(simple_plan(good_df))
+
+
+#: Expensive per-row hash calls allowed in ONE operator line.  The
+#: round-4 bug class: projection collapse INLINES a shared md5 column
+#: reference into every consumer expression, silently multiplying
+#: per-row hash cost (dedup_near_minhash carried 25 md5 nodes in one
+#: Project; join_bloom_prefilter 6).  The fix pattern is binding the
+#: hash once as a higher-order-function lambda variable; this sweep
+#: keeps the class fixed.  Registry max after the r4 fixes is 3
+#: (sample_split_train_test's legitimate split-bound pair).
+MAX_MD5_PER_LINE = 4
+
+
+@pytest.mark.parametrize("name", _names())
+def test_no_inlined_hash_multiplication(spark, registry, name):
+    plan = explain_formatted(registry[name].builder(spark, SF_SMALL))
+    worst = max((ln.count("md5(") for ln in plan.splitlines()), default=0)
+    assert worst <= MAX_MD5_PER_LINE, (
+        f"{name}: {worst} md5 calls in one plan operator — a shared hash "
+        "column was inlined into its consumers; bind it once via a "
+        "transform/lambda variable (see dedup._lane_minima)"
+    )
+
+
+def test_inlined_hash_detector_positive(spark):
+    """The census must fire on the anti-pattern (a shared md5 column
+    consumed by many expressions after projection collapse)."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    h = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+    df = e.select(
+        *[((h.cast("bigint") + F.lit(i)) % 97).alias(f"p{i}") for i in range(6)]
+    )
+    plan = explain_formatted(df)
+    worst = max((ln.count("md5(") for ln in plan.splitlines()), default=0)
+    assert worst > MAX_MD5_PER_LINE
