@@ -909,10 +909,10 @@ def agg_geomean_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer in 1e-12 units so NO float crosses the engine boundary:
     each ln() term is quantized pre-sum (libm-ulp-proof, same pattern
     as text_char_entropy) and the mean is truncated integer division
-    (sign-split in the oracle: quantities in (0,1) make ln terms
-    negative, where DuckDB // floors but Spark DIV truncates — the
-    fixture's quantities are >= 1 today, but the contract shouldn't
-    lean on that).
+    (the oracle's sign-split spelling is the identity under
+    truncation — round-4 measurement showed DuckDB's integer //
+    truncates exactly like Spark DIV, see parity.py — kept as
+    belt-and-suspenders).
     One map-side-combinable groupBy; at 100 TB this is as cheap as
     sum/count."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)

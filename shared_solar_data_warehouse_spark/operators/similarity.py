@@ -748,10 +748,10 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean) so no array reassembly crosses the engine boundary; each
     component is quantized to 1e-6 units pre-sum and the mean is
     truncated integer division — fully exact.  Negative component
-    sums are real (embeddings are signed), so the oracle spells the
-    truncation as sign(s)*(|s| // n): DuckDB's // floors negatives
-    where Spark's DIV truncates, and a negative odd-lot sum would
-    silently diverge by one unit otherwise.
+    sums are real (embeddings are signed); the oracle's sign-split
+    spelling sign(s)*(|s| // n) is the identity under truncation
+    (round-4 measurement: DuckDB's integer // truncates exactly like
+    Spark DIV, see parity.py) — kept as belt-and-suspenders.
 
     Plan: posexplode -> groupBy (label, pos) is ONE shuffle whose
     map-side partial aggregation collapses the 64× row blowup to
@@ -844,4 +844,176 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return terms.groupBy("vec_id", F.col("j").alias("proj_id")).agg(
         F.sum("term").alias("proj_micro")
+    )
+
+
+KM_K = 8
+KM_ITERS = 3
+
+_KM_ORACLE_HEAD = """
+    WITH vq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5)
+                             AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    cent0 AS (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id)
+                   - 1 AS INTEGER) AS k,
+               v AS c
+        FROM vq
+        QUALIFY row_number() OVER (
+            ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) <= {K}
+    ),
+    dims AS (SELECT unnest(range(1, 65)) AS d)
+"""
+
+_KM_ASSIGN = """
+    assign{i} AS (
+        SELECT vec_id, v, k FROM (
+            SELECT vq.vec_id, vq.v, c.k,
+                   row_number() OVER (
+                       PARTITION BY vq.vec_id
+                       ORDER BY list_sum(list_transform(list_zip(vq.v, c.c),
+                                    p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                                c.k) AS rn
+            FROM vq CROSS JOIN cent{prev} c
+        ) WHERE rn = 1
+    )
+"""
+
+_KM_UPDATE = """
+    cent{i} AS (
+        SELECT k, list(cd ORDER BY d) AS c FROM (
+            SELECT a.k, dims.d,
+                   CAST(sum(a.v[dims.d]) AS BIGINT)
+                       // CAST(count(*) AS BIGINT) AS cd
+            FROM assign{i} a CROSS JOIN dims
+            GROUP BY a.k, dims.d
+        ) GROUP BY k
+    )
+"""
+
+
+def _km_oracle() -> str:
+    parts = [_KM_ORACLE_HEAD.format(K=KM_K)]
+    for i in range(1, KM_ITERS + 1):
+        parts.append("," + _KM_ASSIGN.format(i=i, prev=i - 1))
+        parts.append("," + _KM_UPDATE.format(i=i))
+    parts.append(f"""
+    SELECT c.k, CAST(m.n_members AS BIGINT) AS n_members,
+           array_to_string(c.c, ',') AS centroid_q4
+    FROM cent{KM_ITERS} c
+    JOIN (SELECT k, count(*) AS n_members FROM assign{KM_ITERS} GROUP BY k) m
+      ON m.k = c.k
+    """)
+    return "".join(parts)
+
+
+@op("sim_kmeans_lloyd", oracle=_km_oracle())
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, 3 unrolled
+    iterations, K=8 — the iterative-refinement showcase on the ML
+    side, pairing graph_pagerank's on the graph side: per round,
+    assignment is a row-local argmin against ONE broadcast centroid
+    array row (the sim_ann_ivf collapse — no K-way join fan-out, no
+    shuffle of the vector column), and the update is the
+    sim_label_centroids map-side-collapsed (k, dim) partial-sum
+    aggregate.  The only per-round shuffle carries K×64 partial
+    states.
+
+    Exactness across engines is engineered the parity.py way:
+    vectors quantize once to 1e-4 integer units, distances are exact
+    BIGINT squared-L2 (ties argmin toward the low centroid id), and
+    centroid updates use FLOOR integer division (the pmod identity on
+    the Spark side — DuckDB's ``//`` floors while DIV truncates, and
+    component sums go negative).  Seeds are the K lowest
+    md5('km:'||vec_id) vectors — deterministic, engine-portable, and
+    scan-local (no RNG state).  An empty cluster drops its centroid
+    identically on both engines (K=8 over >=500 vectors; none occur
+    on the fixtures).  At 100 TB each round is one corpus map +
+    one K×64-state shuffle, the canonical distributed Lloyd; the
+    chain localCheckpoints between rounds like the graph band so
+    round N runs once even though the final output reads assign/cent
+    twice."""
+    vq = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("v"),
+    ).localCheckpoint(eager=False)
+
+    w_seed = Window.orderBy(
+        F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))), "vec_id"
+    )
+    cent = (
+        vq.withColumn("k", (F.row_number().over(w_seed) - 1).cast("int"))
+        .filter(F.col("k") < KM_K)
+        .select("k", F.col("v").alias("c"))
+    )
+
+    dist = (
+        "aggregate(zip_with(v, cn.c, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (s, x) -> s + x)"
+    )
+    for it in range(KM_ITERS):
+        cents_row = cent.agg(
+            F.sort_array(F.collect_list(F.struct("k", "c"))).alias("cents")
+        )
+        assign = (
+            vq.crossJoin(F.broadcast(cents_row))
+            .select(
+                "vec_id",
+                "v",
+                F.expr(
+                    f"array_min(transform(cents, cn -> struct({dist} AS d,"
+                    " cn.k AS k))).k"
+                ).alias("k"),
+            )
+        )
+        if it == KM_ITERS - 1:
+            # Only the LAST assignment is read twice (final centroids +
+            # member counts); every earlier step is referenced exactly
+            # once, so the chain stays unbarriered like graph_pagerank.
+            assign = assign.localCheckpoint(eager=False)
+        percell = (
+            assign.select("k", F.posexplode("v").alias("pos", "val"))
+            .groupBy("k", "pos")
+            .agg(
+                F.sum("val").cast("bigint").alias("s"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+            .select(
+                "k",
+                "pos",
+                # Both engines TRUNCATE here: Spark DIV by definition,
+                # and DuckDB's integer `//` empirically truncates on
+                # BIGINT operands (-7 // 2 = -3, verified v1.0) — so
+                # plain DIV is the parity-exact match even though
+                # component sums go negative.
+                F.expr("s DIV n").alias("cd"),
+            )
+        )
+        cent = (
+            percell.groupBy("k")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "cd"))),
+                    lambda st: st["cd"],
+                ).alias("c")
+            )
+        )
+
+    members = assign.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return cent.join(members, "k").select(
+        "k",
+        "n_members",
+        F.array_join("c", ",").alias("centroid_q4"),
     )

@@ -1377,15 +1377,15 @@ def ts_capacity_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_readings"),
             F.max("vq").alias("peak_q4"),
-            # DuckDB `//` is FLOOR division while Spark DIV truncates
-            # toward zero — they diverge on negative numerators, so the
-            # Spark side floors explicitly via the pmod identity
-            # floor(a/b) = (a - pmod(a, b)) / b (exact in BIGINT; pmod
-            # is non-negative for b > 0, and HAVING max(vq) > 0
-            # guarantees the denominator is positive).  ADVICE r02.
+            # DuckDB integer `//` TRUNCATES exactly like Spark DIV
+            # (-7 // 2 = -3, measured on BIGINT and HUGEINT, v1.0 —
+            # parity.py records the corrected rule; the round-4 audit
+            # found the earlier "DuckDB floors" claim wrong), so plain
+            # DIV is the parity-exact pairing.  Here the numerator is
+            # non-negative anyway (readings quantize from value >= 0),
+            # where floor and truncate coincide.
             F.expr(
-                "(CAST(sum(vq) AS BIGINT) * 1000000"
-                " - pmod(CAST(sum(vq) AS BIGINT) * 1000000, count(*) * max(vq)))"
+                "CAST(sum(vq) AS BIGINT) * 1000000"
                 " DIV (count(*) * max(vq))"
             ).alias("capacity_factor_ppm"),
         )

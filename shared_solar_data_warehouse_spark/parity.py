@@ -29,11 +29,18 @@ Other pinned rules (enforced by convention in each operator module):
   truncates (epoch/900 bucketing diverged a whole bucket this way).
   Either divide in integers (``DIV`` / ``//`` on BIGINTs) or make
   the rounding explicit with floor()/round() before the cast.
-- Integer division of a POSSIBLY-NEGATIVE numerator: DuckDB ``//``
-  floors (-7//2 = -4) but Spark ``DIV`` truncates (-7 DIV 2 = -3).
-  Spell the oracle as ``CASE WHEN s >= 0 THEN s // n ELSE -((-s) //
-  n) END`` (sign-split truncation) whenever the numerator can go
-  negative — signed sums, regression moments, embedding components.
+- Integer division semantics (rule CORRECTED in round 4 after direct
+  measurement): DuckDB's ``//`` on INTEGER/BIGINT/HUGEINT operands
+  TRUNCATES toward zero exactly like Spark's ``DIV`` (-7 // 2 = -3 on
+  both, verified DuckDB 1.0) — plain ``DIV`` ↔ ``//`` is
+  parity-exact even for signed numerators.  The REAL trap is DuckDB's
+  ``//`` on DOUBLE operands: it is plain division (-7.5 // 2 =
+  -3.75), neither floor nor truncation — never let an oracle's ``//``
+  see a DOUBLE operand; cast to BIGINT first.  The sign-split
+  spelling ``CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END``
+  used by several oracles is the identity function under truncation,
+  so existing sign-split oracles remain exactly equivalent to DIV —
+  harmless belt-and-suspenders, kept where written.
 """
 
 from __future__ import annotations

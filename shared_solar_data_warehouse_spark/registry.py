@@ -227,6 +227,8 @@ _FRONTLOAD: tuple[str, ...] = (
     "etl_orphan_fk_audit",
     "text_quality_composite",
     "dedup_cross_source_overlap",
+    "sim_kmeans_lloyd",
+    "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
     "stream_session",

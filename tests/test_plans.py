@@ -559,3 +559,12 @@ def test_yield_deviation_fleet_join_is_broadcast(spark, registry):
     plan = plan_of(registry, spark, "ts_yield_deviation")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_broadcasts_centroids_no_smj(spark, registry):
+    # Every Lloyd round must broadcast the 1-row centroid array
+    # (BroadcastNestedLoopJoin) — a SortMergeJoin anywhere means the
+    # vector column got shuffled for assignment.
+    plan = plan_of(registry, spark, "sim_kmeans_lloyd")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
