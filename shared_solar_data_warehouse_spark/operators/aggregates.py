@@ -1592,3 +1592,169 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@op(
+    "agg_mann_whitney",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ), g AS (
+        SELECT vq,
+               CAST(sum(is_a) AS BIGINT) AS ca,
+               CAST(sum(1 - is_a) AS BIGINT) AS cb
+        FROM q GROUP BY vq
+    ), r AS (
+        SELECT ca, cb,
+               CAST(coalesce(sum(ca + cb) OVER (
+                   ORDER BY vq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS lt
+        FROM g
+    ), s AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b,
+               CAST(sum(ca * (2 * lt + ca + cb + 1)) AS BIGINT) AS rank2_a
+        FROM r
+    )
+    SELECT n_a, n_b, rank2_a,
+           CAST(rank2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(2 * n_a * n_b - (rank2_a - n_a * (n_a + 1)) AS BIGINT) AS u2_b
+    FROM s
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Mann-Whitney U (Wilcoxon rank-sum) comparing
+    the `value` distribution of click vs purchase events — the
+    nonparametric A/B answer to "did the distribution shift?" that,
+    unlike the KS statistic, weights the whole distribution rather
+    than the single worst CDF gap.  Tie handling is the textbook
+    midrank, kept EXACT in integers by carrying 2x the rank sum
+    (every midrank over a tie group of size ct starting after lt
+    smaller items is (2*lt + ct + 1) / 2, so doubling clears the
+    half).  U2_a + U2_b == 2 * n_a * n_b is the built-in self-check.
+
+    Scale shape (the agg_ks_test pattern): values are quantized to
+    integer micro-units and COUNTED per distinct value first, so the
+    one unpartitioned running window ranks the bounded distinct-value
+    domain (<= ~3e8 for bounded sensor ranges), never raw rows; at
+    100 TB the pre-aggregate is the only full-width shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    )
+    q = e.select(
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("vq"),
+        F.when(F.col("event_type") == "click", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+    )
+    g = q.groupBy("vq").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("cb"),
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("lt"),
+    )
+    s = r.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("ca")
+            * (F.lit(2) * F.col("lt") + F.col("ca") + F.col("cb") + F.lit(1))
+        )
+        .cast("bigint")
+        .alias("rank2_a"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "rank2_a",
+        F.expr("CAST(rank2_a - n_a * (n_a + 1) AS BIGINT)").alias("u2_a"),
+        F.expr(
+            "CAST(2 * n_a * n_b - (rank2_a - n_a * (n_a + 1)) AS BIGINT)"
+        ).alias("u2_b"),
+    )
+
+
+@op(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type, vq,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY vq, event_id
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+               CAST(sum(vq) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS sum_all
+        FROM q
+    )
+    SELECT event_type,
+           max(n) AS n_rows,
+           CAST(max(n) // 10 AS BIGINT) AS k_trimmed,
+           count(*) AS n_kept,
+           CAST(CAST(sum(vq) AS BIGINT) // count(*) AS BIGINT)
+               AS trimmed_mean_micro,
+           CAST(max(sum_all) // max(n) AS BIGINT) AS raw_mean_micro
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% rank-trimmed mean of event value per event type — the
+    robust-center estimate that survives the fat tails and sentinel
+    garbage (-999, 1e9) that poison a raw mean in field telemetry.
+    The trim is by EXACT rank (drop the bottom and top n DIV 10 rows
+    under a (value, event_id) total order), not by percentile
+    thresholds, so both engines cut at the identical row and the
+    result is fully hash-stable: values are quantized to micro-units
+    BEFORE ranking and the kept-row mean is an integer DIV — no float
+    accumulation anywhere.  raw_mean_micro rides along from a window
+    total so the trim's effect is visible without a second scan.
+
+    Scale: the rank window partitions by event_type — fine while the
+    type dimension is the partition bound; for a hot single type the
+    documented two-pass variant range-partitions on vq and computes
+    per-range offsets from a count-by-range broadcast (the gated
+    win_cumulative_share pattern)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = e.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    wp = Window.partitionBy("event_type")
+    wr = wp.orderBy("vq", "event_id")
+    r = q.select(
+        "event_type",
+        "vq",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+        F.sum("vq").over(wp).cast("bigint").alias("sum_all"),
+    )
+    kept = r.filter(F.expr("rn > n DIV 10 AND rn <= n - n DIV 10"))
+    return kept.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        F.expr("CAST(max(n) DIV 10 AS BIGINT)").alias("k_trimmed"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("CAST(sum(vq) DIV count(1) AS BIGINT)").alias(
+            "trimmed_mean_micro"
+        ),
+        F.expr("CAST(max(sum_all) DIV max(n) AS BIGINT)").alias(
+            "raw_mean_micro"
+        ),
+    )

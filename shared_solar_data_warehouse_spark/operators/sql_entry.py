@@ -636,3 +636,43 @@ _fn.__doc__ = (
     "hash compare pins the two keywords equal."
 )
 op("sql_star_except", oracle=_STAR_EXCEPT_ORACLE)(_fn)
+
+
+#: Correlated scalar subqueries — the third classic subquery shape
+#: after EXISTS (join_mark_exists) and IN (q18/q20's semi forms): an
+#: aggregate subquery in the SELECT list correlated on the outer row,
+#: plus a correlated EXISTS gate in WHERE.  Catalyst decorrelates the
+#: scalar aggregate into a left outer join on the equality key (one
+#: shuffle, no per-row re-execution) — the plan a hand-written join
+#: would produce, which is the point of the declarative spelling.
+#: All-integer cents/ppm arithmetic; {div} abstracts Spark DIV vs
+#: DuckDB // (truncating integer division on both, parity.py rule).
+_SCALAR_SUBQ_TEMPLATE = """
+SELECT o.o_orderkey,
+       o.o_custkey,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+       (SELECT CAST(sum(CAST(floor(o2.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+           AS cust_total_cents,
+       CAST(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) * 1000000
+            {div} (SELECT CAST(sum(CAST(floor(o2.o_totalprice * 100 + 0.5)
+                                        AS BIGINT)) AS BIGINT)
+                   FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+            AS BIGINT) AS share_of_customer_ppm
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+"""
+
+_fn = _sql_op(_SCALAR_SUBQ_TEMPLATE.replace("{div}", "DIV"))
+_fn.__name__ = "sql_scalar_subquery"
+_fn.__doc__ = (
+    "Correlated scalar subquery in SELECT (customer total, order "
+    "share-of-customer in ppm) gated by a correlated EXISTS — "
+    "decorrelated by Catalyst into outer-join + semi-join; integer "
+    "cents keep the division hash-exact."
+)
+op("sql_scalar_subquery", oracle=_SCALAR_SUBQ_TEMPLATE.replace("{div}", "//"))(
+    _fn
+)

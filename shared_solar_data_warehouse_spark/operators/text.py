@@ -1713,3 +1713,52 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         F.expr("n_shared * 1000000 DIV least(na, nb)").alias("overlap_ppm"),
     )
+
+
+@op(
+    "text_bpe_pair_freq",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    )
+    SELECT a.tok AS left_token, b.tok AS right_token,
+           count(*) AS pair_count
+    FROM toks a
+    JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2
+    """,
+)
+def text_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequency census — the candidate table a
+    byte-pair-encoding trainer consults for its next merge (the most
+    frequent adjacent pair IS the next BPE merge rule), and the
+    bigram statistics behind collocation mining.  The Spark plan is a
+    ZERO-JOIN pure map: `transform(sequence(0, n-2), i -> (toks[i],
+    toks[i+1]))` fans each document into its adjacent pairs inside
+    one projection (no window, no self-join — the oracle's pos+1
+    self-join is the relational spelling of the same pairing), then
+    one hash aggregate counts pairs.  At 100 TB that is one scan +
+    one shuffle of (pair, partial_count) rows — the mergeable
+    map-side combine keeps the shuffle at vocabulary² not corpus
+    size.  Single-token docs are filtered before pairing (sequence(0,
+    -1) would descend)."""
+    d = _tokens(load_table(spark, sf_dir, "documents")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS left_token,"
+                " toks[i + 1] AS right_token))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.left_token").alias("left_token"),
+        F.col("p.right_token").alias("right_token"),
+    ).agg(F.count(F.lit(1)).alias("pair_count"))

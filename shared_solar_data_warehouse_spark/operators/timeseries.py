@@ -2615,3 +2615,64 @@ def ts_yield_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("yield_ppm"),
         (ratio < 500000).alias("underperforming"),
     )
+
+
+@op(
+    "ts_interarrival_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               - lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           count(*) + 1 AS n_events,
+           count(gap_s) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(CAST(sum(gap_s) AS BIGINT) // count(gap_s) AS BIGINT)
+               AS avg_gap_s,
+           CAST(sum(CASE WHEN gap_s < 3600 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rapid_1h
+    FROM g
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile: min/max/mean gap between
+    consecutive events plus the count of sub-hour ("rapid-fire")
+    gaps — the upstream signal for cadence drift, dead sensors (max
+    gap explodes), and duplicate-burst ingestion (rapid count spikes)
+    that ts_gap_detect only sees once a fixed threshold is crossed.
+    Gaps are integer floor-seconds (unix_timestamp <-> DuckDB
+    epoch(date_trunc('second', ts)), the module-wide epoch rule), the
+    mean an integer DIV — hash-exact with no float path.  Single-row
+    users contribute no gaps and drop out (the pre-agg filter removes
+    their NULL lag row).
+
+    Scale: one lag window + one aggregate, both partitioned by
+    user_id (high-cardinality) — a single user_id Exchange that the
+    aggregate reuses; no global ordering anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch_s = F.unix_timestamp("ts")
+    g = e.select(
+        "user_id",
+        (epoch_s - F.lag(epoch_s).over(w)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + F.lit(1)).alias("n_events"),
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.expr("CAST(sum(gap_s) DIV count(gap_s) AS BIGINT)").alias(
+            "avg_gap_s"
+        ),
+        F.sum(F.when(F.col("gap_s") < 3600, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rapid_1h"),
+    )

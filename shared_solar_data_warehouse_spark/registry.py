@@ -228,6 +228,11 @@ _FRONTLOAD: tuple[str, ...] = (
     "text_quality_composite",
     "dedup_cross_source_overlap",
     "sim_kmeans_lloyd",
+    "agg_mann_whitney",
+    "agg_trimmed_mean",
+    "ts_interarrival_stats",
+    "text_bpe_pair_freq",
+    "sql_scalar_subquery",
     "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
