@@ -1758,3 +1758,80 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_mean_micro"
         ),
     )
+
+
+@op(
+    "agg_binomial_ci",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type IN ('click', 'purchase')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+        FROM events GROUP BY 1
+    ), p AS (
+        SELECT dow, n_purchase, n_total,
+               CAST(n_purchase * 1000000 // n_total AS BIGINT) AS p_ppm
+        FROM c WHERE n_total > 0
+    )
+    SELECT dow, n_purchase, n_total, p_ppm,
+           CAST(floor(1.96 * sqrt(
+               CAST(p_ppm AS DOUBLE) * CAST(1000000 - p_ppm AS DOUBLE)
+               / (1000000.0 * 1000000.0 * CAST(n_total AS DOUBLE))
+           ) * 1000000.0) AS BIGINT) AS half_width_ppm,
+           greatest(p_ppm - CAST(floor(1.96 * sqrt(
+               CAST(p_ppm AS DOUBLE) * CAST(1000000 - p_ppm AS DOUBLE)
+               / (1000000.0 * 1000000.0 * CAST(n_total AS DOUBLE))
+           ) * 1000000.0) AS BIGINT), 0) AS lo_ppm,
+           least(p_ppm + CAST(floor(1.96 * sqrt(
+               CAST(p_ppm AS DOUBLE) * CAST(1000000 - p_ppm AS DOUBLE)
+               / (1000000.0 * 1000000.0 * CAST(n_total AS DOUBLE))
+           ) * 1000000.0) AS BIGINT), 1000000) AS hi_ppm
+    FROM p
+    """,
+)
+def agg_binomial_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wald confidence interval on the purchase share among
+    click/purchase events per day-of-week — the "is Tuesday really
+    better?" interval an experimenter needs before reading a
+    conversion table.  Parity design: the point estimate is integer
+    ppm (counts only), and the half-width is ONE textually identical
+    IEEE expression on exact integer inputs — casts of BIGINT are
+    exact, and /, *, sqrt are all correctly rounded, so both engines
+    walk the same float path bit-for-bit before the final floor; no
+    engine-library rounding (no round(), no pow()) is involved.
+    Bounds clamp to [0, 1e6] ppm.
+
+    Scale: one partial-agg groupBy over 7 dow groups — nothing else."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(F.expr("CAST(dayofweek(ts) AS BIGINT)").alias("dow")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchase"),
+        F.sum(
+            F.when(F.col("event_type").isin("click", "purchase"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_total"),
+    )
+    p = c.filter(F.col("n_total") > 0).withColumn(
+        "p_ppm", F.expr("CAST(n_purchase * 1000000 DIV n_total AS BIGINT)")
+    )
+    half = (
+        "CAST(floor(1.96 * sqrt("
+        "CAST(p_ppm AS DOUBLE) * CAST(1000000 - p_ppm AS DOUBLE)"
+        " / (1000000.0 * 1000000.0 * CAST(n_total AS DOUBLE))"
+        ") * 1000000.0) AS BIGINT)"
+    )
+    return p.select(
+        "dow",
+        "n_purchase",
+        "n_total",
+        "p_ppm",
+        F.expr(half).alias("half_width_ppm"),
+        F.expr(f"greatest(p_ppm - {half}, CAST(0 AS BIGINT))").alias("lo_ppm"),
+        F.expr(f"least(p_ppm + {half}, CAST(1000000 AS BIGINT))").alias(
+            "hi_ppm"
+        ),
+    )

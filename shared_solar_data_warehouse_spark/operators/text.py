@@ -1762,3 +1762,72 @@ def text_bpe_pair_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.left_token").alias("left_token"),
         F.col("p.right_token").alias("right_token"),
     ).agg(F.count(F.lit(1)).alias("pair_count"))
+
+
+@op(
+    "text_rare_token_ratio",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok AS token, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT token, CAST(sum(tf) AS BIGINT) AS ctot FROM tf GROUP BY 1
+    ), s AS (
+        SELECT CAST(sum(ctot) AS BIGINT) AS corpus_total,
+               count(*) AS vocab
+        FROM tot
+    ), rare AS (
+        SELECT token FROM tot CROSS JOIN s
+        WHERE ctot * vocab * 2 < corpus_total
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN rare.token IS NOT NULL THEN tf.tf ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(CAST(sum(CASE WHEN rare.token IS NOT NULL THEN tf.tf
+                              ELSE 0 END) AS BIGINT) * 1000000
+                // CAST(sum(tf.tf) AS BIGINT) AS BIGINT) AS rare_ppm
+    FROM tf LEFT JOIN rare ON tf.token = rare.token
+    GROUP BY tf.doc_id
+    """,
+)
+def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-rarity screen: per document, the token-mass share in
+    RARE vocabulary (corpus frequency below half the mean token
+    frequency) — high rare-mass flags OCR noise, codes/IDs, and
+    boilerplate-free jargon that perplexity filters misprice; near
+    zero flags templated filler.  The rarity threshold is relative
+    (ctot * vocab * 2 < corpus_total, all-integer cross-multiplied),
+    so the op needs no tuned constant and is stable across corpus
+    sizes.  Built on the memoized (doc, token, tf) artifact — no new
+    explode — with the rare-token set broadcast (vocab-bounded
+    forever: it is a DISTINCT-token table).
+
+    Scale: token totals are one mergeable aggregate of the tf
+    artifact; the per-doc pass is one broadcast-semi flag + one
+    doc_id aggregate — a single full-width shuffle on doc_id that
+    the tf artifact's grouping already established."""
+    tf = _tf_table(spark, sf_dir)
+    tot = tf.groupBy("token").agg(F.sum("tf").cast("bigint").alias("ctot"))
+    s = tot.agg(
+        F.sum("ctot").cast("bigint").alias("corpus_total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    rare = (
+        tot.crossJoin(F.broadcast(s))
+        .filter(F.expr("ctot * vocab * 2 < corpus_total"))
+        .select("token", F.lit(1).alias("is_rare"))
+    )
+    flagged = tf.join(F.broadcast(rare), "token", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("is_rare").isNotNull(), F.col("tf")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rare"),
+        F.expr(
+            "CAST(CAST(sum(CASE WHEN is_rare IS NOT NULL THEN tf ELSE 0 END)"
+            " AS BIGINT) * 1000000 DIV CAST(sum(tf) AS BIGINT) AS BIGINT)"
+        ).alias("rare_ppm"),
+    )

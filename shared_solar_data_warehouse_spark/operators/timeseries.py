@@ -2676,3 +2676,58 @@ def ts_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rapid_1h"),
     )
+
+
+@op(
+    "ts_clock_phase_audit",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) % 3600
+                   AS phase_s,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           count(*) AS n_distinct_phases,
+           CAST(3600 - (max(cnt * 4096 + (3600 - phase_s)) % 4096)
+                AS BIGINT) AS dominant_phase_s,
+           CAST((max(cnt * 4096 + (3600 - phase_s)) // 4096) * 1000000
+                // CAST(sum(cnt) AS BIGINT) AS BIGINT)
+               AS dominant_share_ppm
+    FROM p
+    GROUP BY user_id
+    """,
+)
+def ts_clock_phase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meter clock-discipline audit: a healthy meter on a fixed
+    reporting cadence lands every reading at the SAME second-of-hour
+    phase (epoch mod 3600); clock drift, reboots, or NTP-less
+    gateways smear the phase.  Output per circuit: distinct phases
+    observed, the dominant phase, and its share — share near 1e6 ppm
+    means a disciplined clock, near (1e6 / 3600) means uniform smear.
+    The argmax rides the packed-BIGINT trick (cnt * 4096 + (3600 -
+    phase)): one max() yields count AND phase with the deterministic
+    smallest-phase tie-break, sidestepping engine-specific max_by
+    composite-key support (the ts_demand_charge pattern).
+
+    Scale: two hash aggregates keyed by (user, phase) then user —
+    both high-cardinality, no windows, no joins."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy(
+        "user_id",
+        (F.unix_timestamp("ts") % 3600).alias("phase_s"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    packed = "max(cnt * 4096 + (3600 - phase_s))"
+    return p.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_distinct_phases"),
+        F.expr(f"CAST(3600 - ({packed} % 4096) AS BIGINT)").alias(
+            "dominant_phase_s"
+        ),
+        F.expr(
+            f"CAST(({packed} DIV 4096) * 1000000"
+            " DIV CAST(sum(cnt) AS BIGINT) AS BIGINT)"
+        ).alias("dominant_share_ppm"),
+    )

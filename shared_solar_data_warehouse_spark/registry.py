@@ -233,6 +233,9 @@ _FRONTLOAD: tuple[str, ...] = (
     "ts_interarrival_stats",
     "text_bpe_pair_freq",
     "sql_scalar_subquery",
+    "agg_binomial_ci",
+    "ts_clock_phase_audit",
+    "text_rare_token_ratio",
     "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
