@@ -601,3 +601,77 @@ def test_kmeans_broadcasts_centroids_no_smj(spark, registry):
     plan = explain_formatted(one_round)
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mann_whitney_window_input_is_preaggregated(spark, registry):
+    # The running-rank window must see the quantized value DOMAIN,
+    # never raw rows — the agg_ks_test scale shape: exactly two
+    # exchanges (the vq groupBy, then the bounded-domain window's
+    # gather), and ranks need no join.  The registry-wide hygiene
+    # sweep separately proves the single-partition exchange's child
+    # is the aggregate, not a raw scan.
+    plan = plan_of(registry, spark, "agg_mann_whitney")
+    assert "Join" not in plan
+    assert _n_exchanges(plan) == 2
+
+
+def test_trimmed_mean_windows_and_agg_share_one_exchange(spark, registry):
+    # rank window, partition totals, and the final event_type groupBy
+    # all key on event_type — exactly one hash exchange, no global
+    # sort, no join.
+    plan = plan_of(registry, spark, "agg_trimmed_mean")
+    assert _n_exchanges(plan) == 1
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_interarrival_lag_and_agg_share_user_exchange(spark, registry):
+    plan = plan_of(registry, spark, "ts_interarrival_stats")
+    assert _n_exchanges(plan) == 1
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+
+
+def test_bpe_pair_freq_zero_join_one_exchange(spark, registry):
+    # The adjacent-pair fan-out is a pure map (transform/sequence
+    # inside one projection); the only shuffle is the pair count's
+    # partial->final exchange.
+    plan = plan_of(registry, spark, "text_bpe_pair_freq")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert _n_exchanges(plan) == 1
+
+
+def test_scalar_subquery_decorrelates_to_joins(spark, registry):
+    # Catalyst must rewrite the correlated EXISTS into a semi join and
+    # the SELECT-list scalar aggregates into joins — no per-row
+    # re-execution artifact (no CartesianProduct; hygiene sweep also
+    # pins this registry-wide).
+    plan = plan_of(registry, spark, "sql_scalar_subquery")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_binomial_ci_single_partial_agg(spark, registry):
+    plan = plan_of(registry, spark, "agg_binomial_ci")
+    assert _n_exchanges(plan) == 1
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_clock_phase_two_hash_aggs_no_window(spark, registry):
+    # (user, phase) census then per-user packed argmax — two hash
+    # aggregates, no window, no join, nothing single-partition.
+    plan = plan_of(registry, spark, "ts_clock_phase_audit")
+    assert _n_exchanges(plan) <= 2
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_rare_token_flag_join_is_broadcast(spark, registry):
+    # The rare-token set is vocab-bounded and must broadcast onto the
+    # tf artifact — an SMJ would reshuffle the corpus-sized side.
+    plan = plan_of(registry, spark, "text_rare_token_ratio")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
