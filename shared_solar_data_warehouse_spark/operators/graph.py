@@ -84,6 +84,26 @@ _EDGES_SQL = """
 """
 
 
+def _co_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct oriented (u < v) supplier co-occurrence pairs — the
+    shared edge list behind graph_triangle_count and
+    graph_local_clustering (memoized under one key so the census and
+    the per-node profile pay the order self-join once)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+
+
+
 @op(
     "graph_degree_dist",
     oracle=f"""
@@ -233,24 +253,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       JVM array ops with NO wedge shuffle.  At 100 TB you'd
       additionally orient by degree so hub neighborhoods stay short,
       and bucket the edge list on u."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-
-    def build_pairs() -> DataFrame:
-        return (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-            )
-            .select(
-                F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-            )
-            .distinct()
-        )
-
-    pairs = memo_checkpoint(spark, ("co_supplier_pairs", sf_dir), build_pairs)
+    pairs = memo_checkpoint(
+        spark,
+        ("co_supplier_pairs", sf_dir),
+        lambda: _co_supplier_pairs(spark, sf_dir),
+    )
 
     from shared_solar_data_warehouse_spark.operators.dedup import (
         DRIVER_CC_MAX_EDGES,
@@ -764,4 +771,181 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN floor({corr} * 10000.0 + 0.5) / 10000.0"
             f" ELSE NULL END"
         ).alias("assortativity_q4"),
+    )
+
+
+@op(
+    "graph_local_clustering",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), tri AS (
+        SELECT e1.u AS u, e1.v AS v, e2.v AS w
+        FROM pairs e1
+        JOIN pairs e2 ON e2.u = e1.v
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), pernode AS (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri
+    ), t AS (
+        SELECT node, count(*) AS n_tri FROM pernode GROUP BY node
+    ), deg AS (
+        SELECT node, count(*) AS degree
+        FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+        GROUP BY node
+    )
+    SELECT deg.node AS supp_node,
+           CAST(degree AS BIGINT) AS degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST(coalesce(t.n_tri, 0) * 2 * 1000000
+                // (degree * (degree - 1)) AS BIGINT) AS clustering_ppm
+    FROM deg LEFT JOIN t ON deg.node = t.node
+    WHERE degree >= 2
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the supplier
+    co-occurrence graph — triangles(n) / (deg(n) choose 2) in integer
+    ppm: THE node-level cohesion metric (a supplier whose partners
+    all co-supply each other sits in a closed community; a broker
+    bridging disjoint groups scores near zero).  Complements
+    graph_triangle_count's single global census with the full
+    per-node profile.
+
+    Spark avoids the oracle's wedge join (Σ deg² rows — quadratic in
+    density) with the neighborhood-intersection shape of
+    triangle_count's distributed regime, made PER-NODE attributable:
+    for each oriented edge (u,v), |N(u) ∩ N(v)| counts the triangles
+    through that edge; summing per endpoint counts each triangle at a
+    node via exactly its two incident edges, so t2(n) = Σ_edges |∩|
+    is 2·triangles(n) with no halving loss (clustering_ppm = t2 ·
+    1e6 DIV deg(deg−1) — the 2s cancel).  Neighbor sets build once
+    (one groupBy over the memoized co-supplier pairs, shared with
+    triangle_count), and the per-edge intersect is a JVM array op.
+    At 100 TB: orient by degree so hub arrays stay short, bucket
+    edges and neighbor tables on the join key.
+
+    Two regimes, the triangle_count split verbatim (the fixture's
+    co-occurrence graph is DENSE — ~every supplier pair co-occurs at
+    sf0.1, so per-edge array intersects cost E·d̄ ≈ |V|³ element ops):
+    small graphs (edge + node gates) run a driver popcount over the
+    UNDIRECTED packed adjacency with per-edge counts scattered onto
+    both endpoints; large graphs run the distributed
+    neighborhood-intersection plan (forced in tests via the gate)."""
+    pairs = memo_checkpoint(
+        spark,
+        ("co_supplier_pairs", sf_dir),
+        lambda: _co_supplier_pairs(spark, sf_dir),
+    )
+    from shared_solar_data_warehouse_spark.operators.dedup import (
+        DRIVER_CC_MAX_EDGES,
+    )
+
+    n_edges = pairs.count()
+    if n_edges <= DRIVER_CC_MAX_EDGES:
+        import numpy as np
+
+        import pandas as pd
+
+        edges_pd = pairs.toPandas()
+        node_ids = np.unique(
+            np.concatenate([edges_pd["u"].to_numpy(), edges_pd["v"].to_numpy()])
+        )
+        n = len(node_ids)
+        if n <= DENSE_MAX_NODES:
+            idx = pd.Series(np.arange(n), index=node_ids)
+            ui = idx[edges_pd["u"].to_numpy()].to_numpy()
+            vi = idx[edges_pd["v"].to_numpy()].to_numpy()
+            nbytes = (n + 7) // 8
+            und = np.zeros((n, nbytes), dtype=np.uint8)
+            for rows, cols in ((ui, vi), (vi, ui)):
+                np.bitwise_or.at(
+                    und,
+                    (rows, cols >> 3),
+                    np.left_shift(
+                        np.uint8(1), (7 - (cols & 7)).astype(np.uint8)
+                    ),
+                )
+            pop = np.unpackbits(
+                np.arange(256, dtype=np.uint8)[:, None], axis=1
+            ).sum(1).astype(np.uint8)
+            t2 = np.zeros(n, dtype=np.int64)
+            chunk = max(1, (64 << 20) // max(1, nbytes))
+            for lo in range(0, len(ui), chunk):
+                sl = slice(lo, lo + chunk)
+                c = pop[und[ui[sl]] & und[vi[sl]]].sum(
+                    axis=1, dtype=np.int64
+                )
+                np.add.at(t2, ui[sl], c)
+                np.add.at(t2, vi[sl], c)
+            deg = np.bincount(
+                np.concatenate([ui, vi]), minlength=n
+            ).astype(np.int64)
+            keep = deg >= 2
+            out = pd.DataFrame(
+                {
+                    "supp_node": node_ids[keep],
+                    "degree": deg[keep],
+                    "n_triangles": t2[keep] // 2,
+                    "clustering_ppm": t2[keep]
+                    * 1_000_000
+                    // (deg[keep] * (deg[keep] - 1)),
+                }
+            )
+            return spark.createDataFrame(
+                out,
+                "supp_node long, degree long, n_triangles long,"
+                " clustering_ppm long",
+            )
+
+    und = pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    nbrs = und.groupBy("node").agg(
+        F.collect_set("nbr").alias("nbr_set"),
+        F.count(F.lit(1)).cast("bigint").alias("degree"),
+    )
+    e = (
+        pairs.join(
+            nbrs.select(
+                F.col("node").alias("u"), F.col("nbr_set").alias("nu")
+            ),
+            "u",
+        )
+        .join(
+            nbrs.select(
+                F.col("node").alias("v"), F.col("nbr_set").alias("nv")
+            ),
+            "v",
+        )
+        .select(
+            "u",
+            "v",
+            F.size(F.array_intersect("nu", "nv")).cast("bigint").alias("c"),
+        )
+    )
+    t2 = (
+        e.select(F.col("u").alias("node"), "c")
+        .unionAll(e.select(F.col("v").alias("node"), "c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("t2"))
+    )
+    return (
+        nbrs.select("node", "degree")
+        .filter(F.col("degree") >= 2)
+        .join(t2, "node", "left")
+        .select(
+            F.col("node").alias("supp_node"),
+            "degree",
+            F.expr("CAST(coalesce(t2, 0) DIV 2 AS BIGINT)").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CAST(coalesce(t2, 0) * 1000000"
+                " DIV (degree * (degree - 1)) AS BIGINT)"
+            ).alias("clustering_ppm"),
+        )
     )

@@ -278,3 +278,63 @@ def mm_content_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sniffed_mime"),
         F.expr("CAST(length(hex_bytes) / 2 AS BIGINT)").alias("n_bytes"),
     )
+
+
+@op(
+    "mm_blob_dedup",
+    oracle="""
+    WITH assets AS (
+        SELECT doc_id,
+               md5(substr(text, 1, 64)) AS content_md5,
+               CAST(octet_length(encode(substr(text, 1, 64))) AS BIGINT)
+                   AS byte_len
+        FROM documents
+    )
+    SELECT content_md5,
+           count(*) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id,
+           CAST(min(byte_len) AS BIGINT) AS byte_len,
+           CAST((count(*) - 1) * min(byte_len) AS BIGINT) AS wasted_bytes
+    FROM assets
+    GROUP BY content_md5
+    HAVING count(*) >= 2
+    """,
+)
+def mm_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blob deduplication by content hash — the first pass of
+    every multimodal ingest (identical images re-uploaded thousands
+    of times dominate raw crawls): hash the payload BYTES, group,
+    keep the smallest id as canonical, and report the reclaimable
+    bytes per duplicate cluster.  The payload here is the CANONICAL
+    RENDITION — the first 64 chars' UTF-8 bytes, standing in for the
+    normalized thumbnail a perceptual-dedup pipeline hashes (raw
+    re-encodes differ byte-wise; the canonicalized rendition is what
+    collides) — md5 of the string IS md5 of those bytes in both
+    engines, so the report is hash-verified end-to-end while the
+    byte accounting runs on octet_length of the real binary cell.
+
+    Scale: one shuffle on the 16-byte digest (uniformly distributed
+    by construction — no skew, no salting needed), map-side partial
+    counts; the blobs themselves never move, only (digest, id, len)
+    triples — dedup of a 100 TB asset store shuffles GBs."""
+    d = load_table(spark, sf_dir, "documents")
+    thumb = F.substring("text", 1, 64)
+    assets = d.select(
+        "doc_id",
+        F.md5(F.encode(thumb, "UTF-8")).alias("content_md5"),
+        F.octet_length(F.encode(thumb, "UTF-8")).cast("bigint").alias(
+            "byte_len"
+        ),
+    )
+    return (
+        assets.groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+            F.min("byte_len").alias("byte_len"),
+            F.expr(
+                "CAST((count(1) - 1) * min(byte_len) AS BIGINT)"
+            ).alias("wasted_bytes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

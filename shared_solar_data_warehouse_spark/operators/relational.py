@@ -1838,3 +1838,80 @@ def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .drop("event_type")
     )
+
+
+@op(
+    "join_band",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type = 'error'
+    ), b AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT a.user_id,
+           count(*) AS n_pairs,
+           CAST(sum(abs(a.vq - b.vq)) AS BIGINT) AS sum_abs_diff_micro,
+           CAST(min(abs(a.vq - b.vq)) AS BIGINT) AS min_abs_diff_micro
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND abs(a.vq - b.vq) <= 5000000
+    GROUP BY a.user_id
+    """,
+)
+def join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join — |a.value − b.value| ≤ δ between two event streams
+    of the same circuit (error readings vs view readings within 5
+    units): the numeric cousin of the temporal tolerance join, and
+    the shape naive SQL writes as an inequality-only join (a scan of
+    the cross product).  The Spark plan is the BUCKETED band-join
+    decomposition: quantize to integer micro-units, bucket by δ
+    (bucket = vq DIV δ), explode the probe side into its three
+    candidate buckets {b−1, b, b+1} — any in-band partner must land
+    there — and run a plain EQUI-join on (user_id, bucket) with the
+    exact band predicate as residual filter.  3× probe fan-out buys
+    a hash join instead of an O(n·m) per-key nested loop; the oracle
+    spells the declarative inequality join and the hash compare
+    proves the decomposition exact (half-open overlaps de-duplicated
+    by joining each candidate bucket exactly once).
+
+    At 100 TB: δ-bucketing composes with the user_id key exactly like
+    the day-bucket interval join — one shuffle each side, AQE splits
+    skewed buckets; fan-out stays a constant 3."""
+    e = load_table(spark, sf_dir, "events")
+    vq = F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)")
+    delta = 5_000_000
+    a = e.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", vq.alias("vq_a")
+    )
+    b = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", vq.alias("vq_b")
+    )
+    probes = a.select(
+        "user_id",
+        "vq_a",
+        F.explode(
+            F.expr(
+                f"array(vq_a DIV {delta} - 1, vq_a DIV {delta},"
+                f" vq_a DIV {delta} + 1)"
+            )
+        ).alias("bucket"),
+    )
+    build = b.select(
+        "user_id", "vq_b", F.expr(f"vq_b DIV {delta}").alias("bucket")
+    )
+    pairs = probes.join(build, ["user_id", "bucket"]).filter(
+        F.expr(f"abs(vq_a - vq_b) <= {delta}")
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.expr("abs(vq_a - vq_b)")).cast("bigint").alias(
+            "sum_abs_diff_micro"
+        ),
+        F.min(F.expr("abs(vq_a - vq_b)")).cast("bigint").alias(
+            "min_abs_diff_micro"
+        ),
+    )

@@ -236,6 +236,9 @@ _FRONTLOAD: tuple[str, ...] = (
     "agg_binomial_ci",
     "ts_clock_phase_audit",
     "text_rare_token_ratio",
+    "graph_local_clustering",
+    "join_band",
+    "mm_blob_dedup",
     "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",

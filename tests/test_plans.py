@@ -675,3 +675,41 @@ def test_rare_token_flag_join_is_broadcast(spark, registry):
     plan = plan_of(registry, spark, "text_rare_token_ratio")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_band_join_is_equi_on_user_bucket(spark, registry):
+    # The band predicate must ride a hash-join on (user, bucket) with
+    # the exact |diff| <= delta as residual — no CartesianProduct, no
+    # BroadcastNestedLoop carrying the inequality.
+    plan = plan_of(registry, spark, "join_band")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan  # 3-bucket fan-out
+
+
+def test_blob_dedup_single_digest_shuffle(spark, registry):
+    plan = plan_of(registry, spark, "mm_blob_dedup")
+    assert _n_exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+def test_local_clustering_regimes_agree(spark, registry, monkeypatch):
+    # Same split as triangle_count: dense driver popcount at fixture
+    # scale, distributed neighborhood-intersection beyond the node
+    # gate — force the gate shut and assert the per-node profiles are
+    # identical, and that the distributed plan runs the wedge-free
+    # array_intersect shape (no CartesianProduct).
+    from shared_solar_data_warehouse_spark.operators import graph
+
+    dense = sorted(
+        tuple(r)
+        for r in registry["graph_local_clustering"]
+        .builder(spark, SF_ORACLE)
+        .collect()
+    )
+    monkeypatch.setattr(graph, "DENSE_MAX_NODES", 0)
+    dist_df = registry["graph_local_clustering"].builder(spark, SF_ORACLE)
+    assert sorted(tuple(r) for r in dist_df.collect()) == dense
+    plan = explain_formatted(dist_df)
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
