@@ -2731,3 +2731,63 @@ def ts_clock_phase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV CAST(sum(cnt) AS BIGINT) AS BIGINT)"
         ).alias("dominant_share_ppm"),
     )
+
+
+@op(
+    "ts_event_transitions",
+    oracle="""
+    WITH nxt AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ), c AS (
+        SELECT from_type, to_type, count(*) AS n_transitions
+        FROM nxt WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                AS BIGINT) AS from_total,
+           CAST(n_transitions * 1000000
+                // CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                        AS BIGINT) AS BIGINT) AS p_ppm
+    FROM c
+    """,
+)
+def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    P(next event type | current), estimated per user sequence and
+    pooled — the behavioral fingerprint behind session simulation,
+    anomaly scoring ("error→error mass doubled"), and the funnel
+    generalization to ALL type pairs at once.  Transition extraction
+    is one lead() per user sequence; the matrix is a (from, to)
+    count aggregate, and the row-normalized probability is integer
+    ppm over a from_type-partitioned window (bounded by the type
+    dimension squared — a 25-row table here, KBs at any scale).
+
+    Scale: the lead window and nothing else touches the fact — one
+    user_id exchange; the matrix aggregate and its row totals run on
+    type-pair cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = nxt.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wr = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wr).cast("bigint").alias("from_total"),
+        F.expr(
+            "CAST(n_transitions * 1000000 DIV"
+            " (sum(n_transitions) OVER (PARTITION BY from_type))"
+            " AS BIGINT)"
+        ).alias("p_ppm"),
+    )

@@ -239,6 +239,8 @@ _FRONTLOAD: tuple[str, ...] = (
     "graph_local_clustering",
     "join_band",
     "mm_blob_dedup",
+    "ts_event_transitions",
+    "scan_xml",
     "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",

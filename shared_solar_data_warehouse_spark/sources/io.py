@@ -652,3 +652,45 @@ def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("chars_sum"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@op(
+    "scan_xml",
+    oracle="""
+    SELECT CAST(i AS BIGINT) AS reading_id,
+           concat('site_', i % 7) AS site,
+           CAST(i * 37 % 5000 AS BIGINT) AS wh,
+           CAST(CASE WHEN i % 11 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS flagged
+    FROM (SELECT unnest(generate_series(0, 49)) AS i)
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML ingest (Spark 4's built-in ``xml`` source — no
+    external package): gateway telemetry exports and vendor feeds
+    still arrive as XML, and the rowTag reader turns each element
+    into a row with schema inference.  The fixture file is written
+    deterministically (fields are integer formulas of the row index),
+    so the oracle RECONSTRUCTS the expected relation from
+    generate_series and the hash compare verifies the parse
+    bit-for-bit — same pattern as mm_binary_file.
+
+    Scale: XML is splittable by rowTag scan in Spark's reader;
+    schema should be DECLARED (as here) not inferred at 100 TB —
+    inference is a second full read."""
+    path = scratch_dir(sf_dir, "scan_xml")
+    rows = "".join(
+        f"<reading><reading_id>{i}</reading_id>"
+        f"<site>site_{i % 7}</site><wh>{i * 37 % 5000}</wh>"
+        f"<flagged>{1 if i % 11 == 0 else 0}</flagged></reading>"
+        for i in range(50)
+    )
+    with open(os.path.join(path, "readings.xml"), "w") as fh:
+        fh.write(f"<readings>{rows}</readings>")
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "reading")
+        .schema("reading_id long, site string, wh long, flagged long")
+        .load(os.path.join(path, "readings.xml"))
+        .select("reading_id", "site", "wh", "flagged")
+    )
