@@ -1835,3 +1835,92 @@ def agg_binomial_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi_ppm"
         ),
     )
+
+
+@op(
+    "agg_mutual_info",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS nij
+        FROM events GROUP BY 1, 2
+    ), m AS (
+        SELECT event_type, dow, nij,
+               CAST(sum(nij) OVER (PARTITION BY event_type) AS BIGINT) AS ni,
+               CAST(sum(nij) OVER (PARTITION BY dow) AS BIGINT) AS nj,
+               CAST(sum(nij) OVER () AS BIGINT) AS n
+        FROM obs
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_events,
+           count(*) AS n_cells,
+           round(CAST(sum(CAST(floor(
+               (CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
+               * log2((CAST(nij AS DOUBLE) * CAST(n AS DOUBLE))
+                      / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
+               * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12, 6)
+               AS mi_bits,
+           round(CAST(-sum(CAST(floor(
+               CASE WHEN nij = ni
+                    THEN (CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
+                         * log2(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
+                    ELSE 0.0 END * 1e12 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1e12, 6) AS h_type_partial_bits
+    FROM m
+    """,
+)
+def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and day-of-week, in bits
+    — the strength-of-dependence companion to agg_chi_square's
+    significance test (chi-square says "dependent", MI says "by how
+    many bits").  The agg_cat_entropy parity pattern: every per-cell
+    float term is one textually shared IEEE expression (exact BIGINT
+    counts cast to double; /, *, log2 on identical inputs) quantized
+    to 1e-12 units BEFORE the sum, so the accumulation is exact
+    integer math with no float-order sensitivity; one final rounded
+    display division.  The h_type_partial_bits rider (entropy terms
+    where a type concentrates on one dow cell, i.e. nij == ni) is a
+    degenerate-distribution canary: it is 0 unless some type is
+    perfectly predicted by dow — the case MI must then equal that
+    type's entropy contribution.
+
+    Scale: the (type, dow) census is the only fact-width aggregate;
+    margins ride windows over the 35-cell matrix.  Note the dow
+    bucket itself never crosses engines (both sides derive margins
+    from their own bucketing; the cell/margin COUNTS are engine-local
+    and identical because the underlying instants are)."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(dayofweek(ts) AS BIGINT)").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("nij"))
+    wi = Window.partitionBy("event_type")
+    wj = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    m = obs.select(
+        "nij",
+        F.sum("nij").over(wi).cast("bigint").alias("ni"),
+        F.sum("nij").over(wj).cast("bigint").alias("nj"),
+        F.sum("nij").over(wall).cast("bigint").alias("n"),
+    )
+    term = (
+        "CAST(floor((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * log2((CAST(nij AS DOUBLE) * CAST(n AS DOUBLE))"
+        " / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))"
+        " * 1e12 + 0.5) AS BIGINT)"
+    )
+    hterm = (
+        "CAST(floor(CASE WHEN nij = ni"
+        " THEN (CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * log2(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))"
+        " ELSE 0.0D END * 1e12 + 0.5) AS BIGINT)"
+    )
+    return m.agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.expr(f"CAST(sum({term}) AS DOUBLE) / 1e12"), 6).alias(
+            "mi_bits"
+        ),
+        F.round(F.expr(f"CAST(-sum({hterm}) AS DOUBLE) / 1e12"), 6).alias(
+            "h_type_partial_bits"
+        ),
+    )

@@ -1017,3 +1017,97 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         F.array_join("c", ",").alias("centroid_q4"),
     )
+
+
+@op(
+    "sim_embedding_drift",
+    oracle="""
+    WITH x AS (
+        SELECT label,
+               CAST(vec_id % 2 AS BIGINT) AS half,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings
+    ), comp AS (
+        SELECT label, i,
+               CAST(sum(CASE WHEN half = 0 THEN vq ELSE 0 END) AS BIGINT)
+                   AS sa,
+               CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(sum(CASE WHEN half = 1 THEN vq ELSE 0 END) AS BIGINT)
+                   AS sb,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM x GROUP BY label, i
+    ), d AS (
+        SELECT label, na, nb,
+               (CASE WHEN sa >= 0 THEN sa // na ELSE -((-sa) // na) END
+                - CASE WHEN sb >= 0 THEN sb // nb ELSE -((-sb) // nb) END)
+                   AS delta_q6
+        FROM comp WHERE na > 0 AND nb > 0
+    )
+    SELECT label,
+           CAST(max(na) AS BIGINT) AS n_vec_a,
+           CAST(max(nb) AS BIGINT) AS n_vec_b,
+           CAST(sum(delta_q6 * delta_q6) AS BIGINT) AS drift_sq_q12,
+           CAST(sum(abs(delta_q6)) AS BIGINT) AS drift_l1_q6
+    FROM d GROUP BY label
+    """,
+)
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: squared-L2 and L1
+    distance between per-label centroids of two data halves (vec_id
+    parity stands in for the before/after time windows a production
+    monitor compares) — the "did the encoder or the corpus move?"
+    alarm that triggers re-indexing an ANN store or re-training a
+    probe.  All arithmetic is exact: components quantize to 1e-6
+    units pre-sum (the sim_label_centroids rule), centroid means are
+    truncated DIV, and the distances are integer sums of squared /
+    absolute BIGINT deltas (|Δ| ≤ 2e6 ⇒ Δ² ≤ 4e12, ×64 dims well
+    inside BIGINT).
+
+    Plan: one posexplode → (label, pos) aggregate with BOTH halves
+    as conditional sums (no self-join of halves), then a label-level
+    reduce — two shuffles total, the second on label cardinality."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label",
+        F.expr("CAST(vec_id % 2 AS BIGINT)").alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label",
+        "half",
+        "pos",
+        F.expr("CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").alias(
+            "vq"
+        ),
+    )
+    comp = x.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("vq")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("half") == 1, F.col("vq")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    d = comp.filter("na > 0 AND nb > 0").select(
+        "label",
+        "na",
+        "nb",
+        F.expr("(sa DIV na) - (sb DIV nb)").alias("delta_q6"),
+    )
+    return d.groupBy("label").agg(
+        F.max("na").alias("n_vec_a"),
+        F.max("nb").alias("n_vec_b"),
+        F.sum(F.expr("delta_q6 * delta_q6")).cast("bigint").alias(
+            "drift_sq_q12"
+        ),
+        F.sum(F.abs(F.col("delta_q6"))).cast("bigint").alias("drift_l1_q6"),
+    )

@@ -241,6 +241,8 @@ _FRONTLOAD: tuple[str, ...] = (
     "mm_blob_dedup",
     "ts_event_transitions",
     "scan_xml",
+    "sim_embedding_drift",
+    "agg_mutual_info",
     "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
