@@ -48,6 +48,13 @@ GOLDEN_OPS = (
     "agg_ks_test",
     "win_cumulative_share",
     "fn_math",
+    # round-4 second-half flagships:
+    "agg_mann_whitney",
+    "graph_local_clustering",
+    "join_band",
+    "agg_mutual_info",
+    "ts_event_transitions",
+    "mm_blob_dedup",
 )
 
 
