@@ -1924,3 +1924,267 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h_type_partial_bits"
         ),
     )
+
+
+@op(
+    "agg_tukey_outliers",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type, vq,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY vq, event_id
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM q
+    ), f AS (
+        SELECT event_type, vq, n,
+               CAST(max(CASE WHEN rn = (n + 3) // 4 THEN vq END)
+                    OVER (PARTITION BY event_type) AS BIGINT) AS q1,
+               CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN vq END)
+                    OVER (PARTITION BY event_type) AS BIGINT) AS q3
+        FROM r
+    )
+    SELECT event_type,
+           max(n) AS n_rows,
+           max(q1) AS q1_micro,
+           max(q3) AS q3_micro,
+           CAST(max(q3) - max(q1) AS BIGINT) AS iqr_micro,
+           CAST(sum(CASE WHEN vq < q1 - (3 * (q3 - q1)) // 2
+                          OR vq > q3 + (3 * (q3 - q1)) // 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM f GROUP BY event_type
+    """,
+)
+def agg_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier census per event type: exact type-1
+    (rank-selected) quartiles, the 1.5×IQR fences, and the count of
+    points beyond them — the boxplot's outlier rule as a single
+    engine pass, and the robust alternative to z-score screens whose
+    mean/σ the outliers themselves poison.  Quartiles are the values
+    at ranks ceil(n/4) / ceil(3n/4) under the (value, event_id)
+    total order — no interpolation semantic to reconcile across
+    engines, all arithmetic in integer micro-units (fence halves use
+    (3·IQR) DIV 2, truncating identically on both sides).
+
+    Plan: rank + two quartile-pick windows + the outlier test all
+    partition by event_type and collapse into one aggregate — ONE
+    exchange total (the trimmed-mean shape, and the same documented
+    two-pass range-partitioned variant for a hot single type)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = e.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    wp = Window.partitionBy("event_type")
+    wr = wp.orderBy("vq", "event_id")
+    r = q.select(
+        "event_type",
+        "vq",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    f = r.select(
+        "event_type",
+        "vq",
+        "n",
+        F.max(F.expr("CASE WHEN rn = (n + 3) DIV 4 THEN vq END"))
+        .over(wp)
+        .cast("bigint")
+        .alias("q1"),
+        F.max(F.expr("CASE WHEN rn = (3 * n + 3) DIV 4 THEN vq END"))
+        .over(wp)
+        .cast("bigint")
+        .alias("q3"),
+    )
+    return f.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        F.max("q1").alias("q1_micro"),
+        F.max("q3").alias("q3_micro"),
+        F.expr("CAST(max(q3) - max(q1) AS BIGINT)").alias("iqr_micro"),
+        F.expr(
+            "CAST(sum(CASE WHEN vq < q1 - (3 * (q3 - q1)) DIV 2"
+            " OR vq > q3 + (3 * (q3 - q1)) DIV 2 THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_outliers"),
+    )
+
+
+@op(
+    "report_experiment_health",
+    oracle="""
+    WITH armed AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               event_type, value
+        FROM events
+    ), users AS (
+        SELECT CAST(count(DISTINCT CASE WHEN arm = 0 THEN user_id END)
+                    AS BIGINT) AS n_users_a,
+               CAST(count(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+                    AS BIGINT) AS n_users_b
+        FROM armed
+    ), conv AS (
+        SELECT arm,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type IN ('click', 'purchase')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+        FROM armed GROUP BY arm
+    ), cvr AS (
+        SELECT CAST(max(CASE WHEN arm = 0
+                             THEN n_purchase * 1000000 // n_total END)
+                    AS BIGINT) AS cvr_a_ppm,
+               CAST(max(CASE WHEN arm = 1
+                             THEN n_purchase * 1000000 // n_total END)
+                    AS BIGINT) AS cvr_b_ppm
+        FROM conv
+    ), g AS (
+        SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+        FROM armed
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+        GROUP BY 1
+    ), rr AS (
+        SELECT ca, cb,
+               CAST(coalesce(sum(ca + cb) OVER (
+                   ORDER BY vq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS lt
+        FROM g
+    ), mw AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS mw_n_a,
+               CAST(sum(cb) AS BIGINT) AS mw_n_b,
+               CAST(sum(ca * (2 * lt + ca + cb + 1))
+                    - sum(ca) * (sum(ca) + 1) AS BIGINT) AS mw_u2_a
+        FROM rr
+    )
+    SELECT users.n_users_a, users.n_users_b,
+           CAST((users.n_users_a - users.n_users_b)
+                * (users.n_users_a - users.n_users_b) * 1000000
+                // (users.n_users_a + users.n_users_b) AS BIGINT)
+               AS srm_chi2_q6,
+           cvr.cvr_a_ppm, cvr.cvr_b_ppm,
+           CAST(cvr.cvr_a_ppm - cvr.cvr_b_ppm AS BIGINT) AS delta_cvr_ppm,
+           mw.mw_n_a, mw.mw_n_b, mw.mw_u2_a
+    FROM users CROSS JOIN cvr CROSS JOIN mw
+    """,
+)
+def report_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B experiment-health readout an analyst wants as ONE row
+    before trusting any lift number — composing this round's
+    statistics ladder: (1) sample-ratio-mismatch χ² on the USER
+    assignment split (the silent killer of experiment validity —
+    traffic imbalance means broken bucketing, not treatment effect);
+    (2) conversion per arm and the raw delta in ppm; (3) the exact
+    Mann-Whitney 2U between arm purchase-value distributions (did
+    the spend DISTRIBUTION shift, not just the mean).  Arms are the
+    deterministic user_id parity split.  Every column is integer
+    (counts, ppm DIVs, doubled midranks) — fully hash-stable.
+
+    Plan: three independent single-row aggregates (distinct-user
+    census, conversion counts, the pre-aggregated quantized value
+    domain for ranks) broadcast-crossed into the report row — the
+    fact is scanned once per statistic family, never joined
+    row-wise."""
+    e = load_table(spark, sf_dir, "events")
+    armed = e.select(
+        "user_id",
+        F.expr("CAST(user_id % 2 AS BIGINT)").alias("arm"),
+        "event_type",
+        "value",
+    )
+    users = armed.agg(
+        F.countDistinct(
+            F.when(F.col("arm") == 0, F.col("user_id"))
+        ).cast("bigint").alias("n_users_a"),
+        F.countDistinct(
+            F.when(F.col("arm") == 1, F.col("user_id"))
+        ).cast("bigint").alias("n_users_b"),
+    )
+    conv = armed.groupBy("arm").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchase"),
+        F.sum(
+            F.when(
+                F.col("event_type").isin("click", "purchase"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_total"),
+    )
+    cvr = conv.agg(
+        F.max(
+            F.expr(
+                "CASE WHEN arm = 0 THEN n_purchase * 1000000 DIV n_total END"
+            )
+        )
+        .cast("bigint")
+        .alias("cvr_a_ppm"),
+        F.max(
+            F.expr(
+                "CASE WHEN arm = 1 THEN n_purchase * 1000000 DIV n_total END"
+            )
+        )
+        .cast("bigint")
+        .alias("cvr_b_ppm"),
+    )
+    g = (
+        armed.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy(
+            F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("vq")
+        )
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+    rr = g.select(
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("lt"),
+    )
+    mw = rr.agg(
+        F.sum("ca").cast("bigint").alias("mw_n_a"),
+        F.sum("cb").cast("bigint").alias("mw_n_b"),
+        F.expr(
+            "CAST(sum(ca * (2 * lt + ca + cb + 1))"
+            " - sum(ca) * (sum(ca) + 1) AS BIGINT)"
+        ).alias("mw_u2_a"),
+    )
+    return (
+        users.crossJoin(F.broadcast(cvr))
+        .crossJoin(F.broadcast(mw))
+        .select(
+            "n_users_a",
+            "n_users_b",
+            F.expr(
+                "CAST((n_users_a - n_users_b) * (n_users_a - n_users_b)"
+                " * 1000000 DIV (n_users_a + n_users_b) AS BIGINT)"
+            ).alias("srm_chi2_q6"),
+            "cvr_a_ppm",
+            "cvr_b_ppm",
+            F.expr("CAST(cvr_a_ppm - cvr_b_ppm AS BIGINT)").alias(
+                "delta_cvr_ppm"
+            ),
+            "mw_n_a",
+            "mw_n_b",
+            "mw_u2_a",
+        )
+    )

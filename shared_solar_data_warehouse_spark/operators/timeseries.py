@@ -2791,3 +2791,103 @@ def ts_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("p_ppm"),
     )
+
+
+@op(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400
+                   AS day_x,
+               CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS day_y
+        FROM events GROUP BY 1, 2
+    ), p AS (
+        SELECT a.user_id,
+               (CAST(b.day_y AS DOUBLE) - CAST(a.day_y AS DOUBLE))
+               / (CAST(b.day_x AS DOUBLE) - CAST(a.day_x AS DOUBLE))
+                   AS slope,
+               a.day_x AS x1, b.day_x AS x2
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.day_x < b.day_x
+    ), r AS (
+        SELECT user_id, slope,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY slope, x1, x2
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_pairs
+        FROM p
+    )
+    SELECT user_id, max(n_pairs) AS n_pairs,
+           CAST(max(CASE WHEN rn = (n_pairs + 1) // 2
+                         THEN CAST(floor(slope + 0.5) AS BIGINT) END)
+                AS BIGINT) AS ts_slope_micro_per_day
+    FROM r GROUP BY user_id
+    """,
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per circuit: the MEDIAN of all pairwise
+    slopes of the daily consumption series — up to ~29% corrupted
+    days cannot move it (agg_linreg / win_moving_slope's OLS answers
+    move with a single bad meter-day).  The median is an exact RANK
+    SELECTION (lower median at rank (n+1) DIV 2) under a total order
+    of (slope, x1, x2): slope doubles are each ONE shared IEEE
+    division of exact integers — identical bits in both engines —
+    so the ordering and the selected element agree exactly; the
+    selected slope is emitted floor-rounded in micro-units/day.
+
+    Scale: the pair fan-out is per-user over the DAILY aggregate, so
+    it is calendar-bounded (k days → k(k−1)/2 pairs, ~66k/user·year
+    — bounded state, the classic Theil–Sen windowing); the daily
+    rollup is the only fact-width shuffle, and pairs/rank/selection
+    all stay inside the user_id partition."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) DIV 86400 AS BIGINT)").alias("day_x"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("day_y")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.day_x") < F.col("b.day_x")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.day_y").cast("double") - F.col("a.day_y").cast("double"))
+            / (
+                F.col("b.day_x").cast("double")
+                - F.col("a.day_x").cast("double")
+            )
+        ).alias("slope"),
+        F.col("a.day_x").alias("x1"),
+        F.col("b.day_x").alias("x2"),
+    )
+    wp = Window.partitionBy("user_id")
+    wr = wp.orderBy("slope", "x1", "x2")
+    r = p.select(
+        "user_id",
+        "slope",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_pairs"),
+    )
+    return r.groupBy("user_id").agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.max(
+            F.expr(
+                "CASE WHEN rn = (n_pairs + 1) DIV 2"
+                " THEN CAST(floor(slope + 0.5) AS BIGINT) END"
+            )
+        )
+        .cast("bigint")
+        .alias("ts_slope_micro_per_day"),
+    )

@@ -243,6 +243,9 @@ _FRONTLOAD: tuple[str, ...] = (
     "scan_xml",
     "sim_embedding_drift",
     "agg_mutual_info",
+    "agg_tukey_outliers",
+    "ts_theil_sen_slope",
+    "report_experiment_health",
     "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
