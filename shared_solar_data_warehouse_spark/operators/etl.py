@@ -16,12 +16,14 @@ side via broadcast.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shared_solar_data_warehouse_spark.parity import davg, sql_davg
 from shared_solar_data_warehouse_spark.registry import op
-from shared_solar_data_warehouse_spark.sources.io import load_table
+from shared_solar_data_warehouse_spark.sources.io import load_table, scratch_dir
 
 #: Offset applied to event user_ids to form merge keys: the fixture's
 #: user domain is a low prefix of the customer key domain, so shifting
@@ -860,4 +862,176 @@ def etl_orphan_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
         .unionAll(audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"))
         .unionAll(audit(c, "c_nationkey", n, "n_nationkey", "customer.c_nationkey->nation"))
+    )
+
+
+@op(
+    "etl_k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               count(*) AS group_size
+        FROM customer
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, group_size,
+           CAST(5 - group_size AS BIGINT) AS k_deficit
+    FROM g WHERE group_size < 5
+    """,
+)
+def etl_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity gate (k=5) on the quasi-identifier pair
+    (market segment, nation): every QI combination carried by fewer
+    than k individuals is a re-identification risk — the release
+    blocker privacy review runs BEFORE exporting any "anonymized"
+    extract, and the quantitative sibling of etl_gdpr_erasure's
+    deletion audit.  Output is the violation worklist: each unsafe
+    QI cell with its size and how many synthetic/suppressed records
+    would be needed to reach k.
+
+    Scale: one partial-agg groupBy over QI-cell cardinality (bounded
+    by the dimension product, not the fact); generalization ladders
+    (nation → region) re-run the same aggregate on coarser keys."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_mktsegment", F.col("c_nationkey").cast("bigint").alias("c_nationkey")
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return g.filter(F.col("group_size") < 5).select(
+        "c_mktsegment",
+        "c_nationkey",
+        "group_size",
+        F.expr("CAST(5 - group_size AS BIGINT)").alias("k_deficit"),
+    )
+
+
+@op(
+    "etl_schema_drift_audit",
+    oracle="""
+    WITH b1 AS (
+        SELECT CAST(i AS BIGINT) AS reading_id,
+               CAST(i * 13 % 997 AS BIGINT) AS wh,
+               concat('fw_1.', i % 3) AS firmware,
+               CAST(NULL AS BIGINT) AS temp_c
+        FROM (SELECT unnest(generate_series(0, 39)) AS i)
+    ), b2 AS (
+        SELECT CAST(100 + i AS BIGINT) AS reading_id,
+               CAST(i * 13 % 997 AS BIGINT) AS wh,
+               CAST(NULL AS VARCHAR) AS firmware,
+               CAST(i % 45 AS BIGINT) AS temp_c
+        FROM (SELECT unnest(generate_series(0, 59)) AS i)
+    ), u AS (
+        SELECT 'batch_1' AS batch, * FROM b1
+        UNION ALL
+        SELECT 'batch_2' AS batch, * FROM b2
+    ), census AS (
+        SELECT field,
+               CAST(sum(CASE WHEN batch = 'batch_1' AND present THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_b1,
+               CAST(sum(CASE WHEN batch = 'batch_2' AND present THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_b2
+        FROM (
+            SELECT batch, 'reading_id' AS field,
+                   reading_id IS NOT NULL AS present FROM u
+            UNION ALL
+            SELECT batch, 'wh', wh IS NOT NULL FROM u
+            UNION ALL
+            SELECT batch, 'firmware', firmware IS NOT NULL FROM u
+            UNION ALL
+            SELECT batch, 'temp_c', temp_c IS NOT NULL FROM u
+        ) GROUP BY field
+    )
+    SELECT field, n_b1, n_b2,
+           CASE WHEN n_b1 > 0 AND n_b2 = 0 THEN 'dropped'
+                WHEN n_b1 = 0 AND n_b2 > 0 THEN 'added'
+                ELSE 'stable' END AS drift_status
+    FROM census
+    """,
+)
+def etl_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detector between two NDJSON ingest batches — the
+    upstream-broke-the-contract alarm (a gateway firmware update adds
+    temp_c and silently drops firmware): read BOTH batches under the
+    UNION schema (declared, never inferred — absent fields surface as
+    NULL columns), census per-field non-null presence per batch, and
+    classify added / dropped / stable.  The fixture batches are
+    deterministic integer formulas, so the oracle reconstructs both
+    from generate_series and the classification is hash-verified.
+
+    Scale: presence counts are one long-form unpivot + one aggregate
+    over (field × batch) cardinality; at 100 TB this runs as a
+    per-ingest-batch metadata job whose output feeds the
+    quarantine-or-evolve decision (scan_parquet_schema_evolution is
+    the evolve path)."""
+    import json as _json
+
+    path = scratch_dir(sf_dir, "etl_schema_drift_audit")
+    b1 = os.path.join(path, "batch_1")
+    b2 = os.path.join(path, "batch_2")
+    os.makedirs(b1, exist_ok=True)
+    os.makedirs(b2, exist_ok=True)
+    with open(os.path.join(b1, "part.json"), "w") as fh:
+        for i in range(40):
+            fh.write(
+                _json.dumps(
+                    {
+                        "reading_id": i,
+                        "wh": i * 13 % 997,
+                        "firmware": f"fw_1.{i % 3}",
+                    }
+                )
+                + "\n"
+            )
+    with open(os.path.join(b2, "part.json"), "w") as fh:
+        for i in range(60):
+            fh.write(
+                _json.dumps(
+                    {"reading_id": 100 + i, "wh": i * 13 % 997,
+                     "temp_c": i % 45}
+                )
+                + "\n"
+            )
+    union_schema = (
+        "reading_id long, wh long, firmware string, temp_c long"
+    )
+    u = (
+        spark.read.schema(union_schema)
+        .json(b1)
+        .withColumn("batch", F.lit("batch_1"))
+        .unionByName(
+            spark.read.schema(union_schema)
+            .json(b2)
+            .withColumn("batch", F.lit("batch_2"))
+        )
+    )
+    long = None
+    for field in ("reading_id", "wh", "firmware", "temp_c"):
+        part = u.select(
+            "batch",
+            F.lit(field).alias("field"),
+            F.col(field).isNotNull().alias("present"),
+        )
+        long = part if long is None else long.unionAll(part)
+    census = long.groupBy("field").agg(
+        F.sum(
+            F.when((F.col("batch") == "batch_1") & F.col("present"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_b1"),
+        F.sum(
+            F.when((F.col("batch") == "batch_2") & F.col("present"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_b2"),
+    )
+    return census.select(
+        "field",
+        "n_b1",
+        "n_b2",
+        F.expr(
+            "CASE WHEN n_b1 > 0 AND n_b2 = 0 THEN 'dropped'"
+            " WHEN n_b1 = 0 AND n_b2 > 0 THEN 'added'"
+            " ELSE 'stable' END"
+        ).alias("drift_status"),
     )

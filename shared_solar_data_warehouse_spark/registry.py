@@ -246,6 +246,8 @@ _FRONTLOAD: tuple[str, ...] = (
     "agg_tukey_outliers",
     "ts_theil_sen_slope",
     "report_experiment_health",
+    "etl_k_anonymity_audit",
+    "etl_schema_drift_audit",
     "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
