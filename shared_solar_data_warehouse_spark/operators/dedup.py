@@ -934,3 +934,150 @@ def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_len"),
     )
+
+
+_CALIBRATION_ORACLE = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    hashed AS (
+        SELECT doc_id, shingles,
+               list_transform(shingles, s -> {_PORTABLE_H.format(s='s')}) AS hs
+        FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id, shingles,
+               [{{lane_list}}] AS sig
+        FROM hashed
+    ),
+    buckets AS (
+        SELECT doc_id, unnest({{bucket_list}}) AS bucket FROM hashed
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+           CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2]))
+                * 1000000 // {len(_LSH_PERMS)} AS BIGINT) AS est_jaccard_ppm,
+           CAST(len(list_intersect(x.shingles, y.shingles)) * 1000000
+                // (len(x.shingles) + len(y.shingles)
+                    - len(list_intersect(x.shingles, y.shingles)))
+               AS BIGINT) AS exact_jaccard_ppm,
+           CAST(len(list_filter(list_zip(x.sig, y.sig), p -> p[1] = p[2]))
+                * 1000000 // {len(_LSH_PERMS)}
+                - len(list_intersect(x.shingles, y.shingles)) * 1000000
+                  // (len(x.shingles) + len(y.shingles)
+                      - len(list_intersect(x.shingles, y.shingles)))
+               AS BIGINT) AS err_ppm
+    FROM cand c
+    JOIN sigs x ON x.doc_id = c.doc_a
+    JOIN sigs y ON y.doc_id = c.doc_b
+"""
+
+
+def _duck_lane_list() -> str:
+    lane = (
+        "list_min(list_transform(hs, h -> ({a} * h + {b}) % "
+        + str(_MH_P)
+        + "))"
+    )
+    return ", ".join(lane.format(a=a, b=b) for a, b in _LSH_PERMS)
+
+
+@op(
+    "dedup_minhash_calibration",
+    oracle=_CALIBRATION_ORACLE.format(
+        bucket_list=_lsh_bucket_sql(), lane_list=_duck_lane_list()
+    ),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration over the LSH candidate set: for
+    every banding candidate pair, the sketch's Jaccard ESTIMATE
+    (matching lanes / 24) next to the EXACT shingle Jaccard and their
+    signed error — the measurement that tells an operator whether 24
+    lanes suffice for the corpus at hand (E[matching/K] = J, σ =
+    sqrt(J(1−J)/K) ≈ 0.10 at J=0.35, K=24) before trusting the
+    sketch at a scale where exact verification is rationed.  Both
+    metrics are integer ppm (lane-match count and set sizes are
+    integers), so the whole calibration table hash-verifies.
+
+    Plan shape: signatures and shingles come from the SAME memoized
+    artifact and one `_lane_minima` fold (md5 once per shingle); the
+    candidate ids travel alone through the bucket shuffle, and the
+    small candidate table broadcasts back for the array comparisons
+    — the dedup_near_minhash skeleton with the verification step
+    swapped for the estimator/exact comparison."""
+    s = shingle_sets(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
+    sig = _lane_minima(F.col("shingles"), _LSH_PERMS)
+
+    def bands_of(sg) -> F.Column:
+        return F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(band),
+                    F.element_at(sg, band * MINHASH_ROWS + 1),
+                    F.element_at(sg, band * MINHASH_ROWS + 2),
+                )
+                for band in range(MINHASH_BANDS)
+            ]
+        )
+
+    with_sig = s.select(
+        "doc_id",
+        "n_sh",
+        "shingles",
+        F.element_at(F.transform(F.array(sig), lambda g: g), 1).alias("sig"),
+    )
+    banded = with_sig.select(
+        "doc_id",
+        F.element_at(
+            F.transform(F.array(F.col("sig")), bands_of), 1
+        ).alias("bands"),
+    )
+    buckets = banded.select("doc_id", F.explode("bands").alias("bucket"))
+    pair_expr = (
+        "flatten(transform(docs, (x, i) ->"
+        " transform(slice(docs, i + 2, size(docs) - i - 1), y -> struct("
+        "   least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+    )
+    candidates = (
+        buckets.groupBy("bucket")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    side = with_sig.select("doc_id", "n_sh", "shingles", "sig")
+    j = side.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    ).join(F.broadcast(candidates), "doc_a")
+    j = side.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    ).join(F.broadcast(j), "doc_b")
+    n_lanes = len(_LSH_PERMS)
+    est = (
+        "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+        f" m -> m)) * 1000000 DIV {n_lanes} AS BIGINT)"
+    )
+    exact = (
+        "CAST(size(array_intersect(sh_a, sh_b)) * 1000000"
+        " DIV (n_a + n_b - size(array_intersect(sh_a, sh_b))) AS BIGINT)"
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "n_shared_bands",
+        F.expr(est).alias("est_jaccard_ppm"),
+        F.expr(exact).alias("exact_jaccard_ppm"),
+        F.expr(f"CAST({est} - {exact} AS BIGINT)").alias("err_ppm"),
+    )

@@ -1111,3 +1111,104 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.abs(F.col("delta_q6"))).cast("bigint").alias("drift_l1_q6"),
     )
+
+
+def _ann_recall_oracle() -> str:
+    lsh = _sim_ann_lsh_oracle()
+    return f"""
+    WITH lsh_top AS ({lsh}),
+    qe AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    exact_scored AS (
+        SELECT qe.query_id, e.vec_id AS neighbor_id,
+               {_DUCK_DOT.format(a='qe.q_emb', b='e.embedding')} AS dot
+        FROM embeddings e CROSS JOIN qe
+        WHERE e.vec_id != qe.query_id
+    ),
+    exact_top AS (
+        SELECT query_id, neighbor_id
+        FROM (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY dot DESC, neighbor_id)
+                         AS rank
+              FROM exact_scored)
+        WHERE rank <= {KNN_K}
+    ),
+    hits AS (
+        SELECT e.query_id, CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
+        FROM exact_top e
+        LEFT JOIN lsh_top l
+          ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    )
+    SELECT query_id, n_hits,
+           CAST(n_hits * 1000000 // {KNN_K} AS BIGINT) AS recall_ppm
+    FROM hits
+    """
+
+
+@op("sim_ann_recall_eval", oracle=_ann_recall_oracle())
+def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation AS AN OPERATOR: per-query recall@5 of
+    the sign-LSH index against exact brute force — the measurement a
+    retrieval team runs on every index rebuild (pytest asserts a
+    recall floor once; this op makes the per-query table a queryable,
+    schedulable artifact, so regressions localize to specific queries
+    instead of a global average).  Self-matches are excluded from
+    BOTH sides before ranking (no rank-1 freebie inflating recall);
+    recall is integer ppm of the intersection count.
+
+    Scale: both pipelines are the registry's own (bucketed LSH; the
+    broadcast-query exact scorer standing in for the block-matmul
+    tier at real scale) — the evaluation join itself touches only
+    (query, neighbor) id pairs, never vectors."""
+    from shared_solar_data_warehouse_spark.registry import REGISTRY
+
+    lsh_top = REGISTRY["sim_ann_lsh"].builder(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(_DOT.format(a="q_emb", b="c_emb")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id")
+    )
+    exact_top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact_top.alias("e")
+        .join(
+            lsh_top.alias("l"),
+            (F.col("e.query_id") == F.col("l.query_id"))
+            & (F.col("e.neighbor_id") == F.col("l.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(F.count(F.col("l.neighbor_id")).cast("bigint").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"CAST(n_hits * 1000000 DIV {KNN_K} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )

@@ -248,6 +248,8 @@ _FRONTLOAD: tuple[str, ...] = (
     "report_experiment_health",
     "etl_k_anonymity_audit",
     "etl_schema_drift_audit",
+    "dedup_minhash_calibration",
+    "sim_ann_recall_eval",
     "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
