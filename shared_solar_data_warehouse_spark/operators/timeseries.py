@@ -2891,3 +2891,89 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ts_slope_micro_per_day"),
     )
+
+
+@op(
+    "ts_alert_debounce",
+    oracle="""
+    WITH a AS (
+        SELECT user_id, event_id,
+               CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE value > 250
+    ), g AS (
+        SELECT user_id, es, vq,
+               CASE WHEN es - lag(es) OVER (
+                        PARTITION BY user_id ORDER BY es, event_id
+                    )  >= 604800
+                    OR lag(es) OVER (
+                        PARTITION BY user_id ORDER BY es, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS fires
+        FROM a
+    ), s AS (
+        SELECT user_id, es, vq,
+               CAST(sum(fires) OVER (
+                   PARTITION BY user_id ORDER BY es, vq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS alert_seq
+        FROM g
+    )
+    SELECT user_id, alert_seq,
+           CAST(min(es) AS BIGINT) AS fired_epoch_s,
+           count(*) - 1 AS n_suppressed,
+           CAST(max(vq) AS BIGINT) AS peak_value_micro
+    FROM s GROUP BY user_id, alert_seq
+    """,
+)
+def ts_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing with a 1-hour cooldown: a threshold breach
+    (value > 300) FIRES only if no breach fired within the preceding
+    hour; everything inside the cooldown is suppressed into the open
+    alert — the difference between a pager that says "circuit 7
+    overloaded, 42 readings" and 42 pages.  Classic hysteresis as
+    pure window algebra: the fire flag is a lag-gap test, the running
+    sum of fires numbers the alert episodes (the ts_sessionize
+    trick), and one aggregate per episode carries first-fire time,
+    suppressed count, and the peak.  All integer epoch-seconds /
+    micro-units.
+
+    Note the episode rule is greedy from the FIRST breach (a breach
+    6 days after the previous breach extends the episode even if the
+    first fired weeks ago) — gap-based debounce, the alerting-system
+    default.  Scale: breaches are a pushed-down filter of the fact;
+    both windows and the aggregate share one user_id exchange."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 250)
+    a = e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("es"),
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    g = a.select(
+        "user_id",
+        "es",
+        "vq",
+        F.expr(
+            "CASE WHEN es - lag(es) OVER ("
+            " PARTITION BY user_id ORDER BY es, event_id)  >= 604800"
+            " OR lag(es) OVER ("
+            " PARTITION BY user_id ORDER BY es, event_id) IS NULL"
+            " THEN 1 ELSE 0 END"
+        ).alias("fires"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("es", "vq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = g.select(
+        "user_id",
+        "es",
+        "vq",
+        F.sum("fires").over(ws).cast("bigint").alias("alert_seq"),
+    )
+    return s.groupBy("user_id", "alert_seq").agg(
+        F.min("es").cast("bigint").alias("fired_epoch_s"),
+        (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+        F.max("vq").alias("peak_value_micro"),
+    )

@@ -250,6 +250,7 @@ _FRONTLOAD: tuple[str, ...] = (
     "etl_schema_drift_audit",
     "dedup_minhash_calibration",
     "sim_ann_recall_eval",
+    "ts_alert_debounce",
     "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
