@@ -593,3 +593,23 @@ def test_ann_recall_eval_consistent_with_recall_floor(spark, registry):
     for r in rows:
         assert 0 <= r.recall_ppm <= 1_000_000
         assert r.recall_ppm == r.n_hits * 1_000_000 // 5
+
+
+def test_alert_debounce_episode_accounting(spark, registry):
+    """Episodes partition the breach set: sum(1 + n_suppressed) over
+    episodes == total breach rows; episode numbers are dense per
+    user starting at 1."""
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["ts_alert_debounce"].builder(spark, SF_SMALL).collect()
+    n_breaches = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("value") > 250)
+        .count()
+    )
+    assert sum(1 + r.n_suppressed for r in rows) == n_breaches
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.alert_seq)
+    for seqs in by_user.values():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1))
