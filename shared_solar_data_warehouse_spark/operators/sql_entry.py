@@ -676,3 +676,39 @@ _fn.__doc__ = (
 op("sql_scalar_subquery", oracle=_SCALAR_SUBQ_TEMPLATE.replace("{div}", "//"))(
     _fn
 )
+
+
+#: DISTINCT ON — latest order per customer: DuckDB spells the pick
+#: natively (DISTINCT ON (key) ... ORDER BY key, sort), Spark spells
+#: it as a row_number window; one semantic, two idioms, hash-pinned
+#: equal (the star_except pattern).  Deterministic tie-break on
+#: o_orderkey after o_orderdate.
+_DISTINCT_ON_SPARK = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC
+           ) AS rn
+    FROM orders
+) WHERE rn = 1
+"""
+
+_DISTINCT_ON_ORACLE = """
+SELECT DISTINCT ON (o_custkey)
+       o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM orders
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+"""
+
+_fn = _sql_op(_DISTINCT_ON_SPARK)
+_fn.__name__ = "sql_distinct_on"
+_fn.__doc__ = (
+    "Latest-order-per-customer through spark.sql's row_number idiom, "
+    "hash-pinned against DuckDB's native DISTINCT ON — the top-1-per-"
+    "group semantic in its two standard spellings."
+)
+op("sql_distinct_on", oracle=_DISTINCT_ON_ORACLE)(_fn)

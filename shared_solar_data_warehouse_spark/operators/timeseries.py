@@ -2977,3 +2977,69 @@ def ts_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - 1).alias("n_suppressed"),
         F.max("vq").alias("peak_value_micro"),
     )
+
+
+@op(
+    "ts_peak_valley",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq,
+               lag(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+               lead(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN vq > prev AND vq > nxt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_peaks,
+           CAST(sum(CASE WHEN vq < prev AND vq < nxt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valleys,
+           CAST(max(CASE WHEN vq > prev AND vq > nxt THEN vq END)
+                AS BIGINT) AS highest_peak_micro,
+           CAST(min(CASE WHEN vq < prev AND vq < nxt THEN vq END)
+                AS BIGINT) AS lowest_valley_micro
+    FROM s
+    WHERE prev IS NOT NULL AND nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ts_peak_valley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-extrema census per circuit: strict peaks (greater than
+    both neighbors) and valleys in the reading sequence — the cycle
+    counter feeding battery-wear models and duty-cycle estimation
+    (n_peaks ≈ charge cycles), and the oscillation detector that
+    separates a hunting control loop (many shallow extrema) from
+    clean diurnal swings (few deep ones).  Strict inequalities on
+    integer micro-units make plateau points neither peak nor valley
+    — deterministic, no tie ambiguity.  Endpoints (no both-side
+    neighbors) are excluded.
+
+    Plan: one lag+lead window and the per-user aggregate share a
+    single user_id exchange; nothing else touches the fact."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vq = F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)")
+    s = e.select(
+        "user_id",
+        vq.alias("vq"),
+        F.lag(vq).over(w).alias("prev"),
+        F.lead(vq).over(w).alias("nxt"),
+    ).filter(F.col("prev").isNotNull() & F.col("nxt").isNotNull())
+    peak = "vq > prev AND vq > nxt"
+    valley = "vq < prev AND vq < nxt"
+    return s.groupBy("user_id").agg(
+        F.expr(
+            f"CAST(sum(CASE WHEN {peak} THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_peaks"),
+        F.expr(
+            f"CAST(sum(CASE WHEN {valley} THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_valleys"),
+        F.expr(
+            f"CAST(max(CASE WHEN {peak} THEN vq END) AS BIGINT)"
+        ).alias("highest_peak_micro"),
+        F.expr(
+            f"CAST(min(CASE WHEN {valley} THEN vq END) AS BIGINT)"
+        ).alias("lowest_valley_micro"),
+    )

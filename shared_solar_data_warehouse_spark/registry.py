@@ -251,6 +251,8 @@ _FRONTLOAD: tuple[str, ...] = (
     "dedup_minhash_calibration",
     "sim_ann_recall_eval",
     "ts_alert_debounce",
+    "ts_peak_valley",
+    "sql_distinct_on",
     "ts_capacity_factor",
     # streaming state logic (VERDICT r03 item 4):
     "stream_tumbling",
