@@ -2188,3 +2188,107 @@ def report_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mw_u2_a",
         )
     )
+
+
+@op(
+    "agg_welch_ttest",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS vq,
+               CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wknd
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(sum(1 - wknd) AS BIGINT) AS n1,
+               CAST(sum(wknd) AS BIGINT) AS n2,
+               CAST(sum(vq * (1 - wknd)) AS BIGINT) AS s1,
+               CAST(sum(vq * wknd) AS BIGINT) AS s2,
+               sum(CAST(vq * vq * (1 - wknd) AS DECIMAL(25,8))) AS q1,
+               sum(CAST(vq * vq * wknd AS DECIMAL(25,8))) AS q2
+        FROM s GROUP BY event_type
+    )
+    SELECT event_type,
+           n1 AS n_weekday, n2 AS n_weekend,
+           floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / sqrt(((CAST(q1 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                            / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
+                        / CAST(n1 AS DOUBLE)
+                        + ((CAST(q2 AS DOUBLE)
+                            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                              / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))
+                          / CAST(n2 AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS t_welch,
+           floor(power(((CAST(q1 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
+                       / CAST(n1 AS DOUBLE)
+                       + ((CAST(q2 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                             / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))
+                         / CAST(n2 AS DOUBLE), 2.0)
+                 / (power(((CAST(q1 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                              / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
+                          / CAST(n1 AS DOUBLE), 2.0) / CAST(n1 - 1 AS DOUBLE)
+                    + power(((CAST(q2 AS DOUBLE)
+                              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))
+                            / CAST(n2 AS DOUBLE), 2.0) / CAST(n2 - 1 AS DOUBLE))
+                 * 10000.0 + 0.5) / 10000.0 AS df_welch
+    FROM g
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t per event_type: does the
+    value distribution differ between weekend and weekday traffic?  The
+    sufficient statistics (counts, sums, sums-of-squares on the
+    1e-4-quantized integer value) accumulate EXACTLY — BIGINT for the
+    linear terms, DECIMAL for the squares that would overflow — in one
+    map-side-combined hash aggregate; t and the Welch–Satterthwaite df
+    are then each ONE shared IEEE expression over those exact inputs,
+    floor-rounded (t to 1e-6, df to 1e-4).  Same scheme as the Pearson
+    op: identical exact inputs → identical IEEE ops → identical bits.
+    Weekend membership is written per-engine (Spark dayofweek Sun=1,
+    DuckDB Sun=0) to denote the same calendar days.  At 100 TB this is
+    a 5-group aggregate: partials merge associatively, nothing
+    re-scans, no window, no second pass."""
+    from shared_solar_data_warehouse_spark.parity import DEC
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "event_type",
+        F.expr("CAST(floor(value * 1e4 + 0.5) AS BIGINT)").alias("vq"),
+        F.expr("CASE WHEN dayofweek(ts) IN (1, 7) THEN 1 ELSE 0 END").alias("wknd"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.sum(F.expr("1 - wknd")).cast("long").alias("n1"),
+        F.sum("wknd").cast("long").alias("n2"),
+        F.sum(F.expr("vq * (1 - wknd)")).cast("long").alias("s1"),
+        F.sum(F.expr("vq * wknd")).cast("long").alias("s2"),
+        F.sum(F.expr("vq * vq * (1 - wknd)").cast(DEC)).alias("q1"),
+        F.sum(F.expr("vq * vq * wknd").cast(DEC)).alias("q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    q1 = F.col("q1").cast("double")
+    q2 = F.col("q2").cast("double")
+    v1n = ((q1 - s1 * s1 / n1) / (F.col("n1") - 1).cast("double")) / n1
+    v2n = ((q2 - s2 * s2 / n2) / (F.col("n2") - 1).cast("double")) / n2
+    t = (s1 / n1 - s2 / n2) / F.sqrt(v1n + v2n)
+    df = F.pow(v1n + v2n, 2.0) / (
+        F.pow(v1n, 2.0) / (F.col("n1") - 1).cast("double")
+        + F.pow(v2n, 2.0) / (F.col("n2") - 1).cast("double")
+    )
+    return g.select(
+        "event_type",
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        (F.floor(t * 1000000.0 + 0.5) / 1000000.0).alias("t_welch"),
+        (F.floor(df * 10000.0 + 0.5) / 10000.0).alias("df_welch"),
+    )

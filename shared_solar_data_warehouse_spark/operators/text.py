@@ -1831,3 +1831,261 @@ def text_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) * 1000000 DIV CAST(sum(tf) AS BIGINT) AS BIGINT)"
         ).alias("rare_ppm"),
     )
+
+
+@op(
+    "text_readability",
+    oracle=r"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_words,
+               greatest(
+                   CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+                   1) AS n_sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllables
+        FROM documents
+        WHERE length(text) > 0
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           floor((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE))) * 10000.0 + 0.5)
+               / 10000.0 AS flesch,
+           CASE
+               WHEN floor((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE))) * 10000.0 + 0.5)
+               / 10000.0 >= 90.0 THEN 'very_easy'
+               WHEN floor((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE))) * 10000.0 + 0.5)
+               / 10000.0 >= 60.0 THEN 'standard'
+               WHEN floor((206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE))) * 10000.0 + 0.5)
+               / 10000.0 >= 30.0 THEN 'difficult'
+               ELSE 'very_difficult'
+           END AS band
+    FROM c
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three regex counts: words
+    (non-space runs), sentences (terminal-punctuation runs, floored at
+    1 for fragment rows), and syllables approximated as vowel-group
+    runs — the standard dictionary-free estimator.  The score is one
+    shared IEEE expression over the three exact integer counts, rounded
+    with the portable floor identity, and the CASE banding compares the
+    already-rounded double so both engines bucket identically.  At
+    100 TB this is a pure per-row map (three regex passes, zero
+    shuffle); the counts are the expensive part and each is one
+    codegen'd regexp_extract_all."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_words = F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long")
+    n_sent = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syl = F.size(
+        F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    c = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double"))
+    )
+    flesch = F.floor(score * 10000.0 + 0.5) / 10000.0
+    return c.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        flesch.alias("flesch"),
+        F.when(flesch >= 90.0, F.lit("very_easy"))
+        .when(flesch >= 60.0, F.lit("standard"))
+        .when(flesch >= 30.0, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+        .alias("band"),
+    )
+
+
+@op(
+    "text_vocab_growth",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(doc_id) AS lo,
+               max(doc_id) - min(doc_id) + 1 AS span
+        FROM documents
+    ),
+    toks AS (
+        SELECT DISTINCT d.doc_id, t.tok
+        FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+        WHERE length(d.text) > 0
+    ),
+    firsts AS (
+        SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+    ),
+    doc_buckets AS (
+        SELECT CAST(((d.doc_id - b.lo) * 50) // b.span AS BIGINT) AS bucket,
+               count(DISTINCT d.doc_id) AS n_docs
+        FROM documents d CROSS JOIN bounds b
+        GROUP BY 1
+    ),
+    new_buckets AS (
+        SELECT CAST(((f.first_doc - b.lo) * 50) // b.span AS BIGINT) AS bucket,
+               count(*) AS n_new_tokens
+        FROM firsts f CROSS JOIN bounds b
+        GROUP BY 1
+    )
+    SELECT d.bucket,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(n.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+           CAST(sum(coalesce(n.n_new_tokens, 0))
+                OVER (ORDER BY d.bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_vocab
+    FROM doc_buckets d LEFT JOIN new_buckets n ON d.bucket = n.bucket
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth census: the corpus in doc_id order,
+    bucketed into 50 equal-width position bins; per bin the number of
+    vocabulary terms FIRST seen there, plus the running distinct-vocab
+    size.  "Is this corpus still yielding new tokens, or has the
+    tokenizer's working set saturated?" — the curve flattening is the
+    signal.  Each term's first appearance is one min(doc_id) hash
+    aggregate; the cumulative window runs over the FIXED 50-bin
+    domain, never over docs, so the plan is two vocabulary-bounded
+    aggregates + one 50-row window at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    bounds = d.agg(
+        F.min("doc_id").alias("lo"),
+        (F.max("doc_id") - F.min("doc_id") + F.lit(1)).alias("span"),
+    )
+    toks = (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    doc_b = (
+        d.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("CAST((doc_id - lo) * 50 DIV span AS BIGINT)").alias("bucket"),
+            "doc_id",
+        )
+        .groupBy("bucket")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
+    new_b = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .select(F.expr("CAST((first_doc - lo) * 50 DIV span AS BIGINT)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_new_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        doc_b.join(new_b, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("n_new_tokens", F.lit(0)).cast("long").alias("n_new_tokens"),
+        )
+        .withColumn("cum_vocab", F.sum("n_new_tokens").over(w).cast("long"))
+    )
+
+
+@op(
+    "text_cooccurrence_pmi",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT d.doc_id, t.tok
+        FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+        WHERE length(d.text) > 0
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    df AS (SELECT tok, count(*) AS dfreq FROM toks GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS token_a, b.tok AS token_b, count(*) AS n_docs_both
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT p.token_a, p.token_b,
+           CAST(p.n_docs_both AS BIGINT) AS n_docs_both,
+           floor(ln(CAST(p.n_docs_both AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                    / (CAST(da.dfreq AS DOUBLE) * CAST(db.dfreq AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pmi
+    FROM pairs p
+    JOIN df da ON p.token_a = da.tok
+    JOIN df db ON p.token_b = db.tok
+    CROSS JOIN n
+    """,
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence PMI over documents: for every ordered vocab
+    pair sharing at least one document, ln(N·c_ab / (c_a·c_b)) — the
+    classic collocation / market-basket association measure.  The
+    pair generation is a doc-keyed self-join of the DISTINCT
+    (doc, token) table, so pair volume is bounded by docs × per-doc
+    vocab², and the OUTPUT is vocabulary² at most — at 100 TB the
+    (doc, token) distinct is the only corpus-sized shuffle, and real
+    deployments first prune to a broadcast top-V vocabulary (the df
+    table here is exactly that dimension, broadcast onto the pairs).
+    One shared IEEE ln per output row, floor-rounded to 1e-6."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    a = toks.select("doc_id", F.col("tok").alias("token_a"))
+    b = toks.select("doc_id", F.col("tok").alias("token_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).alias("n_docs_both"))
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(df_t.select(F.col("tok").alias("token_a"), F.col("dfreq").alias("df_a"))),
+            "token_a",
+        )
+        .join(
+            F.broadcast(df_t.select(F.col("tok").alias("token_b"), F.col("dfreq").alias("df_b"))),
+            "token_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    pmi = F.log(
+        F.col("n_docs_both").cast("double")
+        * F.col("n_docs").cast("double")
+        / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+    )
+    return joined.select(
+        "token_a",
+        "token_b",
+        F.col("n_docs_both").cast("long").alias("n_docs_both"),
+        (F.floor(pmi * 1000000.0 + 0.5) / 1000000.0).alias("pmi"),
+    )

@@ -3043,3 +3043,123 @@ def ts_peak_valley(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(min(CASE WHEN {valley} THEN vq END) AS BIGINT)"
         ).alias("lowest_valley_micro"),
     )
+
+
+@op(
+    "ts_survival_km",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+    per_user AS (
+        SELECT e.user_id,
+               CAST(count(DISTINCT CAST(e.ts AS DATE)) AS BIGINT) AS dur,
+               CASE WHEN max(e.ts) >= max(m.max_ts) - INTERVAL 2 DAY
+                    THEN 1 ELSE 0 END AS censored
+        FROM events e CROSS JOIN mx m
+        GROUP BY e.user_id
+    ),
+    by_dur AS (
+        SELECT dur,
+               CAST(sum(1 - censored) AS BIGINT) AS n_deaths,
+               CAST(sum(censored) AS BIGINT) AS n_censored
+        FROM per_user GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, n_deaths, n_censored,
+               CAST(sum(n_deaths + n_censored)
+                    OVER (ORDER BY dur
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS at_risk
+        FROM by_dur
+    ),
+    terms AS (
+        SELECT *,
+               CASE WHEN n_deaths >= at_risk THEN 0.0
+                    ELSE ln(CAST(at_risk - n_deaths AS DOUBLE)
+                            / CAST(at_risk AS DOUBLE)) END AS term,
+               max(CASE WHEN n_deaths >= at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS dead_flag
+        FROM risk
+    )
+    SELECT dur AS dur_days, n_deaths, n_censored, at_risk,
+           CASE WHEN dead_flag = 1 THEN 0.0
+                ELSE floor(exp(sum(term)
+                               OVER (ORDER BY dur
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW)) * 1000000.0 + 0.5)
+                     / 1000000.0 END AS km_survival
+    FROM terms
+    """,
+)
+def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user engagement lifetimes: duration =
+    distinct active days, right-censored for users still active in the
+    final 2 days of the observation window (their true lifetime is
+    unknown, but they stay in every earlier risk set — discarding them
+    is the classic churn-analysis bias this estimator exists to fix).
+    At-risk counts come from a suffix-sum window over the DAY-bounded
+    duration domain (never over users), the product-limit estimator is
+    exp(Σ ln((r−d)/r)) — an ordered prefix sum of identically-derived
+    doubles, so both engines add the same bits in the same order — and
+    a running flag pins survival to exactly 0.0 once a risk set is
+    exhausted (ln(0) never evaluates).  At 100 TB: one user-keyed
+    aggregate (shuffles user cardinality), one day-bounded aggregate,
+    two tiny windows."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(F.to_date("ts")).cast("long").alias("dur"),
+            F.when(
+                F.max("ts") >= F.max(F.expr("max_ts - INTERVAL 2 DAYS")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("censored"),
+        )
+    )
+    by_dur = per_user.groupBy("dur").agg(
+        F.sum(F.expr("1 - censored")).cast("long").alias("n_deaths"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    w_suffix = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_prefix = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = by_dur.withColumn(
+        "at_risk",
+        F.sum(F.col("n_deaths") + F.col("n_censored")).over(w_suffix).cast("long"),
+    )
+    terms = risk.withColumn(
+        "term",
+        F.when(F.col("n_deaths") >= F.col("at_risk"), F.lit(0.0)).otherwise(
+            F.log(
+                (F.col("at_risk") - F.col("n_deaths")).cast("double")
+                / F.col("at_risk").cast("double")
+            )
+        ),
+    ).withColumn(
+        "dead_flag",
+        F.max(
+            F.when(F.col("n_deaths") >= F.col("at_risk"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).over(w_prefix),
+    )
+    return terms.select(
+        F.col("dur").alias("dur_days"),
+        "n_deaths",
+        "n_censored",
+        "at_risk",
+        F.when(F.col("dead_flag") == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(F.exp(F.sum("term").over(w_prefix)) * 1000000.0 + 0.5)
+            / 1000000.0
+        )
+        .alias("km_survival"),
+    )
