@@ -2292,3 +2292,240 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(t * 1000000.0 + 0.5) / 1000000.0).alias("t_welch"),
         (F.floor(df * 10000.0 + 0.5) / 10000.0).alias("df_welch"),
     )
+
+
+@op(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT event_type, vq,
+               CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY vq, event_id
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM q
+    ), f AS (
+        SELECT event_type, vq, n,
+               CAST(max(CASE WHEN rn = (n + 19) // 20 THEN vq END)
+                    OVER (PARTITION BY event_type) AS BIGINT) AS p5,
+               CAST(max(CASE WHEN rn = (19 * n + 19) // 20 THEN vq END)
+                    OVER (PARTITION BY event_type) AS BIGINT) AS p95
+        FROM r
+    )
+    SELECT event_type,
+           max(n) AS n_rows,
+           max(p5) AS p5_micro,
+           max(p95) AS p95_micro,
+           floor(CAST(sum(least(greatest(vq, p5), p95)) AS DOUBLE)
+                 / CAST(max(n) AS DOUBLE) / 100.0 + 0.5) / 10000.0
+               AS winsor_mean,
+           CAST(sum(CASE WHEN vq < p5 OR vq > p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
+    FROM f GROUP BY event_type
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95 winsorized mean per event type: the robust-center
+    companion to the 10% trimmed mean — instead of DISCARDING the
+    tails it CLAMPS them to the exact rank-selected P5/P95 values, so
+    n stays intact and the estimator stays unbiased under symmetric
+    contamination.  Thresholds are the values at ranks ceil(n/20) /
+    ceil(19n/20) under the (value, event_id) total order (no
+    interpolation semantic to reconcile); the clamped sum accumulates
+    as exact BIGINT micro-units and the final mean is one shared IEEE
+    division, floor-rounded to 1e-4 of the original unit.  Same
+    ONE-exchange plan as the Tukey census: rank + threshold-pick
+    windows and the clamp-aggregate all partition by event_type."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = e.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    wp = Window.partitionBy("event_type")
+    wr = wp.orderBy("vq", "event_id")
+    r = q.select(
+        "event_type",
+        "vq",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    f = r.select(
+        "event_type",
+        "vq",
+        "n",
+        F.max(F.expr("CASE WHEN rn = (n + 19) DIV 20 THEN vq END"))
+        .over(wp)
+        .cast("bigint")
+        .alias("p5"),
+        F.max(F.expr("CASE WHEN rn = (19 * n + 19) DIV 20 THEN vq END"))
+        .over(wp)
+        .cast("bigint")
+        .alias("p95"),
+    )
+    return f.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        F.max("p5").alias("p5_micro"),
+        F.max("p95").alias("p95_micro"),
+        (
+            F.floor(
+                F.sum(F.expr("least(greatest(vq, p5), p95)")).cast("double")
+                / F.max("n").cast("double")
+                / 100.0
+                + 0.5
+            )
+            / 10000.0
+        ).alias("winsor_mean"),
+        F.sum(F.expr("CASE WHEN vq < p5 OR vq > p95 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_clamped"),
+    )
+
+
+def _rfm_score_map_sql(metric_cte: str, col: str) -> str:
+    """DuckDB value→quintile map over one RFM metric's bounded domain."""
+    return f"""
+        SELECT {col} AS v,
+               1 + CAST((cum_prev * 5) // n_cust AS BIGINT) AS bucket
+        FROM (
+            SELECT {col},
+                   CAST(coalesce(sum(cnt) OVER (ORDER BY {col}
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS cum_prev,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS n_cust
+            FROM (SELECT {col}, count(*) AS cnt FROM {metric_cte}
+                  GROUP BY {col}) d
+        ) c
+    """
+
+
+@op(
+    "agg_rfm_segmentation",
+    oracle=f"""
+    WITH ref AS (SELECT max(o_orderdate) AS ref_ts FROM orders),
+    cust AS (
+        SELECT o.o_custkey AS custkey,
+               CAST(date_diff('day', CAST(max(o.o_orderdate) AS DATE),
+                              CAST(max(r.ref_ts) AS DATE)) AS BIGINT)
+                   AS r_days,
+               CAST(count(*) AS BIGINT) AS f_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) // 100 AS m_dollars
+        FROM orders o CROSS JOIN ref r
+        GROUP BY o.o_custkey
+    ),
+    rmap AS ({_rfm_score_map_sql("cust", "r_days")}),
+    fmap AS ({_rfm_score_map_sql("cust", "f_orders")}),
+    mmap AS ({_rfm_score_map_sql("cust", "m_dollars")}),
+    scored AS (
+        SELECT c.custkey,
+               6 - rm.bucket AS r_score,
+               fm.bucket AS f_score,
+               mm.bucket AS m_score,
+               c.m_dollars
+        FROM cust c
+        JOIN rmap rm ON c.r_days = rm.v
+        JOIN fmap fm ON c.f_orders = fm.v
+        JOIN mmap mm ON c.m_dollars = mm.v
+    )
+    SELECT r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                    THEN 'champion'
+                WHEN f_score >= 4 THEN 'loyal'
+                WHEN m_score >= 4 THEN 'big_spender'
+                WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                WHEN r_score <= 2 THEN 'hibernating'
+                ELSE 'regular' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m_dollars) AS BIGINT) AS total_m_dollars
+    FROM scored GROUP BY 1, 2, 3, 4
+    """,
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation census: recency (days since last
+    order, vs the dataset's reference date), frequency (order count)
+    and monetary (exact whole-dollar lifetime spend) each mapped to a
+    1-5 quintile score, then bucketed into the classic named segments
+    (champion / loyal / big_spender / at_risk / hibernating).
+
+    The quintiles are assigned on each metric's QUANTIZED VALUE DOMAIN
+    (bounded: days, small counts, whole dollars) via a running-count
+    prefix window — the KS-test scale shape — so equal metric values
+    always share a score (value-deterministic and engine-portable,
+    where row-split ntile() would cut ties arbitrarily) and no window
+    ever runs over customer cardinality.  Score maps broadcast back
+    onto customers; output is the ≤125-cell score census.  At 100 TB:
+    one customer-keyed aggregate, three bounded-domain windows, three
+    broadcast joins, one small census aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_ts"))
+    cust = (
+        o.crossJoin(F.broadcast(ref))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.to_date(F.max("ref_ts")), F.to_date(F.max("o_orderdate")))
+            .cast("bigint")
+            .alias("r_days"),
+            F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+            F.expr(
+                "CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))"
+                " AS BIGINT) DIV 100"
+            ).alias("m_dollars"),
+        )
+    )
+
+    def score_map(col: str) -> DataFrame:
+        d = cust.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w_prev = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        w_all = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        c = d.select(
+            F.col(col),
+            F.coalesce(F.sum("cnt").over(w_prev), F.lit(0))
+            .cast("bigint")
+            .alias("cum_prev"),
+            F.sum("cnt").over(w_all).cast("bigint").alias("n_cust"),
+        )
+        return c.select(
+            F.col(col).alias("v"),
+            (F.lit(1) + F.expr("(cum_prev * 5) DIV n_cust")).alias("bucket"),
+        )
+
+    rmap = score_map("r_days").select(
+        F.col("v").alias("r_days"), (F.lit(6) - F.col("bucket")).alias("r_score")
+    )
+    fmap = score_map("f_orders").select(
+        F.col("v").alias("f_orders"), F.col("bucket").alias("f_score")
+    )
+    mmap = score_map("m_dollars").select(
+        F.col("v").alias("m_dollars"), F.col("bucket").alias("m_score")
+    )
+    scored = (
+        cust.join(F.broadcast(rmap), "r_days")
+        .join(F.broadcast(fmap), "f_orders")
+        .join(F.broadcast(mmap), "m_dollars")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("m_dollars").cast("bigint").alias("total_m_dollars"),
+    ).select(
+        "r_score",
+        "f_score",
+        "m_score",
+        F.expr(
+            "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4"
+            " THEN 'champion'"
+            " WHEN f_score >= 4 THEN 'loyal'"
+            " WHEN m_score >= 4 THEN 'big_spender'"
+            " WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'"
+            " WHEN r_score <= 2 THEN 'hibernating'"
+            " ELSE 'regular' END"
+        ).alias("segment"),
+        "n_customers",
+        "total_m_dollars",
+    )

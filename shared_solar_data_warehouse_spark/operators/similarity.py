@@ -1212,3 +1212,124 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@op(
+    "sim_silhouette",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, label,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                    AS BIGINT) AS vq
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS clabel, pos,
+               CAST(sum(vq) AS BIGINT) // count(*) AS cq
+        FROM dims GROUP BY label, pos
+    ),
+    d2 AS (
+        SELECT d.vec_id, d.label, c.clabel,
+               CAST(sum((d.vq - c.cq) * (d.vq - c.cq)) AS BIGINT) AS dist2
+        FROM dims d JOIN cent c ON d.pos = c.pos
+        GROUP BY d.vec_id, d.label, c.clabel
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               CAST(max(CASE WHEN clabel = label THEN dist2 END) AS BIGINT)
+                   AS a2,
+               CAST(min(CASE WHEN clabel <> label THEN dist2 END) AS BIGINT)
+                   AS b2
+        FROM d2 GROUP BY vec_id, label
+    ),
+    s AS (
+        SELECT label,
+               CASE WHEN greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                  sqrt(CAST(b2 AS DOUBLE))) = 0.0 THEN 0.0
+                    ELSE (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                         / greatest(sqrt(CAST(a2 AS DOUBLE)),
+                                    sqrt(CAST(b2 AS DOUBLE))) END AS sil
+        FROM ab
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           floor(CAST(sum(CAST(sil AS DECIMAL(25,8))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+               AS mean_silhouette,
+           CAST(sum(CASE WHEN sil < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_misplaced
+    FROM s GROUP BY label
+    """,
+)
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette per label: for every vector, a = the
+    euclidean distance to its own label's centroid, b = the distance
+    to the nearest OTHER centroid, s = (b−a)/max(a,b) — the standard
+    clustering-quality readout (simplified silhouette: centroids, not
+    all-pairs, which is what makes it tractable at scale), plus the
+    count of misplaced vectors (s < 0: nearer to a foreign prototype
+    than their own).  Completes the evaluation shelf next to
+    sim_ann_recall_eval and dedup_minhash_calibration.
+
+    All distances are EXACT: dimensions and centroids quantize to 1e-6
+    integer units (the sim_label_centroids scheme) so dist² is a
+    BIGINT sum; the only IEEE ops are two sqrts and one shared ratio
+    per vector, then a DECIMAL-accumulated mean (parity.davg shape).
+    Plan: one (label,pos) aggregate for centroids (broadcast — it is
+    labels×dim), one pos-keyed broadcast join + (vec,label,clabel)
+    aggregate for distances, one vector-keyed min/max fold, one
+    label census.  At 100 TB the vector table never self-joins;
+    per-vector work is labels×dim."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr("CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    cent = dims.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.expr("CAST(sum(vq) DIV count(*) AS BIGINT)").alias("cq")
+    )
+    d2 = (
+        dims.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("vq") - F.col("cq")) * (F.col("vq") - F.col("cq")))
+            .cast("bigint")
+            .alias("dist2")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(F.expr("CASE WHEN clabel = label THEN dist2 END"))
+        .cast("bigint")
+        .alias("a2"),
+        F.min(F.expr("CASE WHEN clabel <> label THEN dist2 END"))
+        .cast("bigint")
+        .alias("b2"),
+    )
+    a = F.sqrt(F.col("a2").cast("double"))
+    b = F.sqrt(F.col("b2").cast("double"))
+    sil = F.when(F.greatest(a, b) == 0.0, F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    s = ab.select("label", sil.alias("sil"))
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        (
+            F.floor(
+                F.sum(F.col("sil").cast("decimal(25,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("mean_silhouette"),
+        F.sum(F.expr("CASE WHEN sil < 0.0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_misplaced"),
+    )

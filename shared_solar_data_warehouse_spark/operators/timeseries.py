@@ -3163,3 +3163,98 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("km_survival"),
     )
+
+
+@op(
+    "ts_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    ),
+    weekly AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              CAST(date_trunc('week', e.ts) AS DATE)) / 7
+                    AS BIGINT) AS week_offset,
+               CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT w.cohort_week, w.week_offset, s.cohort_size,
+           CAST(sum(w.revenue_cents)
+                OVER (PARTITION BY w.cohort_week ORDER BY w.week_offset
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_revenue_cents,
+           CAST(sum(w.revenue_cents)
+                OVER (PARTITION BY w.cohort_week ORDER BY w.week_offset
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) // s.cohort_size AS ltv_cents_per_user
+    FROM weekly w JOIN sizes s ON w.cohort_week = s.cohort_week
+    """,
+)
+def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users bucketed by first-activity
+    week, purchase revenue accumulated per cohort-week × age-week, and
+    normalized per cohort member — the "how much is a signup worth by
+    week N" readout that sits next to ts_retention's user-count
+    matrix.  Revenue accumulates as exact integer cents; per-user LTV
+    is truncating integer division by the FULL cohort size (inactive
+    members dilute — that is the metric's point).  The cumulative
+    window partitions by cohort and runs over the week-offset domain,
+    so its input is cohort×age cells, never raw events.  At 100 TB:
+    one user-keyed aggregate for cohorts, one broadcast-sized cohort
+    dimension, one events shuffle into cohort×age cells, one bounded
+    window."""
+    e = load_table(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.to_date(F.date_trunc("week", "ts")).alias("wk"),
+    )
+    firsts = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    weekly = (
+        weeks.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+            .cast("bigint")
+            .alias("revenue_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.join(F.broadcast(sizes), "cohort_week")
+        .withColumn(
+            "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("bigint")
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_size",
+            "cum_revenue_cents",
+            F.expr("cum_revenue_cents DIV cohort_size").alias(
+                "ltv_cents_per_user"
+            ),
+        )
+    )
