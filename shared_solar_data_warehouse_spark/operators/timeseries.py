@@ -3258,3 +3258,106 @@ def ts_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@op(
+    "ts_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, d, cents,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY d)
+                    AS BIGINT) AS k,
+               CAST(sum(cents) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sk,
+               CAST(sum(cents) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS stot,
+               CAST(count(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n
+        FROM daily
+    ),
+    scored AS (
+        SELECT event_type, d, k, n, sk, stot,
+               power(CAST(sk AS DOUBLE) * CAST(n AS DOUBLE)
+                     - CAST(stot AS DOUBLE) * CAST(k AS DOUBLE), 2.0)
+               / (CAST(k AS DOUBLE) * CAST(n - k AS DOUBLE)) AS score
+        FROM seq WHERE k < n
+    ),
+    best AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY score DESC, k ASC) AS rnk
+        FROM scored
+    )
+    SELECT event_type,
+           d AS split_day,
+           k AS n_days_before,
+           floor(CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) + 0.5) / 100.0
+               AS mean_before,
+           floor(CAST(stot - sk AS DOUBLE) / CAST(n - k AS DOUBLE) + 0.5)
+               / 100.0 AS mean_after
+    FROM best WHERE rnk = 1
+    """,
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary mean-shift changepoint per event type: over the daily
+    revenue series, pick the split k that maximizes the between-
+    segment contrast n1*n2*(m1-m2)^2 — equivalently (Sk*n - S*k)^2 /
+    (k*(n-k)) on exact integer prefix sums — the single step of
+    binary-segmentation / CUSUM-style detection ("did this stream's
+    level shift, and when?").  Prefix sums are exact BIGINT cents over
+    the DAY-bounded domain; each candidate's score is one shared IEEE
+    expression over those integers, so the argmax (row_number ordered
+    by (score DESC, k ASC) — earliest day wins exact ties) picks the
+    same split on both engines.  Segment means round half-up to whole
+    cents.  At 100 TB: one shuffle into day cells, windows over the
+    bounded day domain, one rank pick."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wp.orderBy("d")).cast("bigint").alias("k"),
+        F.sum("cents").over(wo).cast("bigint").alias("sk"),
+        F.sum("cents").over(wp).cast("bigint").alias("stot"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    scored = seq.filter(F.col("k") < F.col("n")).withColumn(
+        "score",
+        F.pow(
+            F.col("sk").cast("double") * F.col("n").cast("double")
+            - F.col("stot").cast("double") * F.col("k").cast("double"),
+            2.0,
+        )
+        / (F.col("k").cast("double") * (F.col("n") - F.col("k")).cast("double")),
+    )
+    best = scored.withColumn(
+        "rnk",
+        F.row_number().over(wp.orderBy(F.col("score").desc(), F.col("k").asc())),
+    ).filter(F.col("rnk") == 1)
+    return best.select(
+        "event_type",
+        F.col("d").alias("split_day"),
+        F.col("k").alias("n_days_before"),
+        F.expr(
+            "floor(CAST(sk AS DOUBLE) / CAST(k AS DOUBLE) + 0.5) / 100.0"
+        ).alias("mean_before"),
+        F.expr(
+            "floor(CAST(stot - sk AS DOUBLE) / CAST(n - k AS DOUBLE) + 0.5)"
+            " / 100.0"
+        ).alias("mean_after"),
+    )

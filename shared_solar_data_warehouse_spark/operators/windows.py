@@ -844,3 +844,104 @@ def win_moving_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(F.col("n") == 5).select(
         "user_id", "ts", "event_id", slope.alias("slope_ppm_q4")
     )
+
+
+@op(
+    "win_bollinger_band",
+    oracle="""
+    WITH q AS (
+        SELECT user_id, event_id, ts,
+               CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq
+        FROM events
+    ),
+    roll AS (
+        SELECT user_id, event_id, vq,
+               CAST(sum(vq) OVER w AS BIGINT) AS s,
+               CAST(sum(vq * vq) OVER w AS BIGINT) AS ss,
+               CAST(count(*) OVER w AS BIGINT) AS n
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, n AS n_window,
+           floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 * 10000.0
+                 + 0.5) / 10000.0 AS mid,
+           floor(sqrt(greatest(
+                     (CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0))
+                 / 10000.0 * 10000.0 + 0.5) / 10000.0 AS sigma,
+           CASE WHEN n >= 10
+                     AND CAST(vq AS DOUBLE)
+                         > CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                           + 2.0 * sqrt(greatest(
+                                 (CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                 / CAST(n AS DOUBLE), 0.0))
+                THEN 1 ELSE 0 END AS breach_upper,
+           CASE WHEN n >= 10
+                     AND CAST(vq AS DOUBLE)
+                         < CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                           - 2.0 * sqrt(greatest(
+                                 (CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                 / CAST(n AS DOUBLE), 0.0))
+                THEN 1 ELSE 0 END AS breach_lower
+    FROM roll
+    """,
+)
+def win_bollinger_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean ± 2σ band per circuit (the Bollinger / statistical
+    process control chart) with upper/lower breach flags — the rolling
+    twin of ts_anomaly_zscore's global test.  The 10-row frame
+    accumulates EXACT integer sums (Σv, Σv²) of the 1e-4-quantized
+    value; mean, population σ and both band tests are then shared IEEE
+    expressions per row over those exact integers, so the flags
+    compare identical bits on both engines (breaches only assert once
+    the frame is full — warm-up rows report the stats but never flag).
+    greatest(·, 0) guards the catastrophic-cancellation case where the
+    variance numerator underflows to a tiny negative.  One window
+    exchange on user_id with the (ts, event_id) unique order; the
+    frame is O(1) rows so state is constant per key — the standard
+    100 TB keyed-window shape."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    roll = q.select(
+        "user_id",
+        "event_id",
+        "vq",
+        F.sum("vq").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).over(w).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    )
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    ssd = F.col("ss").cast("double")
+    mean = sd / nd
+    sigma = F.sqrt(F.greatest((ssd - sd * sd / nd) / nd, F.lit(0.0)))
+    full = F.col("n") >= 10
+    return roll.select(
+        "user_id",
+        "event_id",
+        F.col("n").alias("n_window"),
+        (F.floor(mean / 10000.0 * 10000.0 + 0.5) / 10000.0).alias("mid"),
+        (F.floor(sigma / 10000.0 * 10000.0 + 0.5) / 10000.0).alias("sigma"),
+        F.when(full & (F.col("vq").cast("double") > mean + 2.0 * sigma), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("breach_upper"),
+        F.when(full & (F.col("vq").cast("double") < mean - 2.0 * sigma), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("breach_lower"),
+    )

@@ -694,3 +694,100 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(os.path.join(path, "readings.xml"))
         .select("reading_id", "site", "wh", "flagged")
     )
+
+
+@op(
+    "source_calendar_spine",
+    oracle="""
+    SELECT CAST(d AS DATE) AS cal_date,
+           CAST(year(d) AS BIGINT) AS yr,
+           CAST(quarter(d) AS BIGINT) AS qtr,
+           CAST(month(d) AS BIGINT) AS mo,
+           CAST(weekofyear(d) AS BIGINT) AS iso_week,
+           CAST(isodow(d) AS BIGINT) AS iso_dow,
+           CASE WHEN isodow(d) IN (6, 7) THEN 1 ELSE 0 END AS is_weekend,
+           CASE WHEN CAST(d AS DATE) = last_day(CAST(d AS DATE))
+                THEN 1 ELSE 0 END AS is_month_end
+    FROM generate_series(DATE '2024-01-01', DATE '2024-12-31',
+                         INTERVAL 1 DAY) AS t(d)
+    """,
+)
+def source_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar date dimension — the spine every warehouse
+    joins facts onto (gap-free even where facts are absent: the
+    companion to ts_gap_fill's densify).  One year of days from a
+    distributed ``range`` (no input I/O), with the standard conformed
+    attributes: year/quarter/month, ISO week and ISO day-of-week
+    (Spark's ``weekday()+1`` == DuckDB's ``isodow`` — Monday=1; the
+    engines' default ``dayofweek`` anchors differ so it is never
+    used), weekend and month-end flags.  At 100 TB the spine is still
+    365×years rows — it broadcasts; generation beats maintaining a
+    physical date table nobody remembers to extend."""
+    pin_session(spark)
+    days = spark.range(0, 366).select(
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias(
+            "cal_date"
+        )
+    )
+    d = F.col("cal_date")
+    return days.select(
+        "cal_date",
+        F.year(d).cast("bigint").alias("yr"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_dow"),
+        F.when(F.weekday(d) >= 5, F.lit(1)).otherwise(F.lit(0)).alias("is_weekend"),
+        F.when(d == F.last_day(d), F.lit(1)).otherwise(F.lit(0)).alias("is_month_end"),
+    )
+
+
+@op(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-15' AND value <= 50.0)
+    GROUP BY 1
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the daily-batch idiom: land the
+    day-partitioned fact once, then re-land ONLY 2024-01-15 (filtered
+    to value > 50 so the replacement is observable) with
+    ``partitionOverwriteMode=dynamic``, which rewrites exactly the
+    partitions present in the incoming batch and leaves every other
+    day's files untouched (static mode would have truncated the
+    whole table first).  The read-back census proves the merge: all
+    other days intact, the re-landed day replaced.  This is the
+    incremental-backfill primitive for any partitioned lake table
+    when the format is plain parquet (Delta/Iceberg MERGE supersedes
+    it, same plan shape).  Scratch state is rebuilt each run — both
+    writes + the census are one events scan each."""
+    path = scratch_dir(sf_dir, "sink_parquet_partitioned")
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", F.to_date("ts").alias("d")
+    )
+    ev.write.partitionBy("d").mode("overwrite").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        ev.filter(
+            (F.col("d") == F.lit("2024-01-15").cast("date"))
+            & (F.col("value") > 50.0)
+        ).write.partitionBy("d").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents"),
+    )
