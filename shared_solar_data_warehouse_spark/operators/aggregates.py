@@ -2529,3 +2529,157 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "total_m_dollars",
     )
+
+
+@op(
+    "agg_log2_histogram",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT event_type,
+               CASE WHEN vq <= 0 THEN -1
+                    ELSE CAST(length(bin(vq)) AS BIGINT) - 1 END AS bucket_log2
+        FROM q
+    )
+    SELECT event_type, bucket_log2,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CASE WHEN bucket_log2 < 0 THEN 0.0
+                ELSE floor(power(2.0, CAST(bucket_log2 AS DOUBLE))
+                           / 10000.0 * 10000.0 + 0.5) / 10000.0 END
+               AS bucket_lo
+    FROM b GROUP BY event_type, bucket_log2
+    """,
+)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HdrHistogram-style) bucketed histogram per event
+    type — the latency-distribution shape: exponentially wider buckets
+    give constant relative error where a linear histogram wastes its
+    cells on the mode.  The bucket index is the EXACT integer
+    floor(log2 v) computed as length-of-binary-representation minus
+    one (both engines' ``bin()`` of the same BIGINT yields the same
+    digits — no IEEE log whose .9999 could straddle a power), with
+    nonpositive values collapsed to a single underflow bucket.  The
+    reported bucket floor re-derives 2^k in the original unit.  At
+    100 TB this is one hash aggregate over (type × ~40 buckets) —
+    partials merge associatively, the sketch every metrics pipeline
+    ships."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = e.select(
+        "event_type",
+        F.expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").alias("vq"),
+    )
+    b = q.select(
+        "event_type",
+        F.expr(
+            "CASE WHEN vq <= 0 THEN -1"
+            " ELSE CAST(length(bin(vq)) AS BIGINT) - 1 END"
+        ).alias("bucket_log2"),
+    )
+    return b.groupBy("event_type", "bucket_log2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    ).withColumn(
+        "bucket_lo",
+        F.expr(
+            "CASE WHEN bucket_log2 < 0 THEN 0.0"
+            " ELSE floor(power(2.0, CAST(bucket_log2 AS DOUBLE))"
+            " / 10000.0 * 10000.0 + 0.5) / 10000.0 END"
+        ),
+    )
+
+
+@op(
+    "agg_association_rules",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM baskets),
+    item AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_item
+        FROM baskets GROUP BY event_type
+    ),
+    pair AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           CAST(p.n_both * 1000000 // n.n_users AS BIGINT) AS support_ppm,
+           CAST(p.n_both * 1000000 // ia.n_item AS BIGINT) AS confidence_ppm,
+           CAST(p.n_both * n.n_users * 1000000
+                // (ia.n_item * ic.n_item) AS BIGINT) AS lift_ppm
+    FROM pair p
+    JOIN item ia ON p.antecedent = ia.event_type
+    JOIN item ic ON p.consequent = ic.event_type
+    CROSS JOIN n
+    """,
+)
+def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type
+    baskets: for every ordered item pair a→b, support (P(a,b)),
+    confidence (P(b|a)) and lift (P(a,b)/P(a)P(b)) — the co-purchase
+    analysis next to text's PMI (same co-occurrence core, but with
+    the directed confidence that PMI's symmetric log drops, and in
+    exact integer ppm: numerators never leave BIGINT, every ratio is
+    truncating integer division).  Pair generation self-joins the
+    DISTINCT (user, item) basket table on user — pair volume is
+    baskets × per-user item count², output is item² rules.  At 100 TB
+    the distinct is the only corpus-sized shuffle; the item dimension
+    broadcasts onto the rules."""
+    e = load_table(spark, sf_dir, "events")
+    baskets = e.select("user_id", "event_type").distinct()
+    n = baskets.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    item = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a = baskets.select("user_id", F.col("event_type").alias("antecedent"))
+    b = baskets.select("user_id", F.col("event_type").alias("consequent"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    return (
+        pair.join(
+            F.broadcast(
+                item.select(
+                    F.col("event_type").alias("antecedent"),
+                    F.col("n_item").alias("n_ante"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                item.select(
+                    F.col("event_type").alias("consequent"),
+                    F.col("n_item").alias("n_cons"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            F.expr("CAST(n_both * 1000000 DIV n_users AS BIGINT)").alias(
+                "support_ppm"
+            ),
+            F.expr("CAST(n_both * 1000000 DIV n_ante AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "CAST(n_both * n_users * 1000000 DIV (n_ante * n_cons)"
+                " AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

@@ -1333,3 +1333,127 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_misplaced"),
     )
+
+
+def _pca_iter_sql(vin: str, pout: str, sname: str, pn: str, wname: str,
+                  tname: str, vout: str) -> str:
+    """One unrolled DuckDB power-iteration step: project rows onto v,
+    renormalize to 1e6 integer scale, fold back to a dimension vector,
+    renormalize again."""
+    return f"""
+    {pout} AS (
+        SELECT d.vec_id, CAST(sum(d.xc * v.v) AS BIGINT) AS p
+        FROM dims d JOIN {vin} v ON d.pos = v.pos
+        GROUP BY d.vec_id
+    ),
+    {sname} AS (SELECT CAST(max(abs(p)) AS BIGINT) AS s FROM {pout}),
+    {pn} AS (
+        SELECT p.vec_id, CAST(p.p * 1000000 // s.s AS BIGINT) AS pq
+        FROM {pout} p CROSS JOIN {sname} s
+    ),
+    {wname} AS (
+        SELECT d.pos, CAST(sum(d.xc * p.pq) AS BIGINT) AS w
+        FROM dims d JOIN {pn} p ON d.vec_id = p.vec_id
+        GROUP BY d.pos
+    ),
+    {tname} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS s FROM {wname}),
+    {vout} AS (
+        SELECT w.pos, CAST(w.w * 1000000 // t.s AS BIGINT) AS v
+        FROM {wname} w CROSS JOIN {tname} t
+    )"""
+
+
+@op(
+    "sim_pca_power_iteration",
+    oracle=f"""
+    WITH raw AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1e6 + 0.5)
+                    AS BIGINT) AS xq
+        FROM embeddings
+    ),
+    ctr AS (
+        SELECT pos, CAST(sum(xq) AS BIGINT) // count(*) AS cq
+        FROM raw GROUP BY pos
+    ),
+    dims AS (
+        SELECT r.vec_id, r.pos, CAST(r.xq - c.cq AS BIGINT) AS xc
+        FROM raw r JOIN ctr c ON r.pos = c.pos
+    ),
+    v0 AS (SELECT DISTINCT pos, CAST(1 AS BIGINT) AS v FROM dims),
+    {_pca_iter_sql("v0", "p1", "s1", "q1", "w1", "t1", "v1")},
+    {_pca_iter_sql("v1", "p2", "s2", "q2", "w2", "t2", "v2")},
+    {_pca_iter_sql("v2", "p3", "s3", "q3", "w3", "t3", "v3")},
+    {_pca_iter_sql("v3", "p4", "s4", "q4", "w4", "t4", "v4")},
+    anchor AS (
+        SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS flip
+        FROM v4 ORDER BY abs(v) DESC, pos ASC LIMIT 1
+    )
+    SELECT v.pos, CAST(v.v * a.flip AS BIGINT) AS component_q6
+    FROM v4 v CROSS JOIN anchor a
+    """,
+)
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by four unrolled
+    power-iteration steps on the centered data — covariance-free
+    (X̃ᵀ(X̃v), never materializing the d×d Gram), which is exactly the
+    shape distributed PCA runs at scale.  EVERY step is integer: dims
+    quantize to 1e-6 units and center on the truncated integer mean;
+    each projection / fold-back renormalizes to a ±1e6 integer scale
+    by its exact max-|·| (truncating division — the parity-pinned
+    DIV ↔ // identity), so no float ever accumulates and both engines
+    walk bit-identical iterates.  The sign is anchored by flipping so
+    the largest-|component| dimension is positive (eigenvectors are
+    sign-ambiguous).  Intermediate magnitudes stay ≤ ~1e15 ≪ BIGINT.
+    Plan per step: one broadcast of the d-vector onto the long-form
+    dims, one vec-keyed aggregate, one broadcast of the row-projection
+    vector, one pos-keyed aggregate — four rounds of two exchanges
+    each, the Spark-ML gramian-free shape; convergence depth is a
+    documented constant (4), not data-dependent."""
+    e = load_table(spark, sf_dir, "embeddings")
+    raw = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.expr("CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").alias("xq"),
+    )
+    ctr = raw.groupBy("pos").agg(
+        F.expr("CAST(sum(xq) DIV count(*) AS BIGINT)").alias("cq")
+    )
+    dims = (
+        raw.join(F.broadcast(ctr), "pos")
+        .select("vec_id", "pos", (F.col("xq") - F.col("cq")).cast("long").alias("xc"))
+        .localCheckpoint(eager=False)
+    )
+    v = dims.select("pos").distinct().select("pos", F.lit(1).cast("long").alias("v"))
+    for _ in range(4):
+        p = (
+            dims.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xc") * F.col("v")).cast("long").alias("p"))
+        )
+        s = p.agg(F.max(F.abs(F.col("p"))).cast("long").alias("s"))
+        pq = p.crossJoin(F.broadcast(s)).select(
+            "vec_id", F.expr("CAST(p * 1000000 DIV s AS BIGINT)").alias("pq")
+        )
+        w = (
+            dims.join(F.broadcast(pq), "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("xc") * F.col("pq")).cast("long").alias("w"))
+        )
+        t = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("s"))
+        v = w.crossJoin(F.broadcast(t)).select(
+            "pos", F.expr("CAST(w * 1000000 DIV s AS BIGINT)").alias("v")
+        )
+    anchor = (
+        v.orderBy(F.abs(F.col("v")).desc(), F.col("pos").asc())
+        .limit(1)
+        .select(
+            F.expr("CASE WHEN v < 0 THEN -1 ELSE 1 END").alias("flip")
+        )
+    )
+    return v.crossJoin(F.broadcast(anchor)).select(
+        "pos", (F.col("v") * F.col("flip")).cast("long").alias("component_q6")
+    )

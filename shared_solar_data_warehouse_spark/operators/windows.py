@@ -945,3 +945,59 @@ def win_bollinger_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("breach_lower"),
     )
+
+
+@op(
+    "win_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                   AS price_cents,
+               CAST(max(l_quantity) AS BIGINT) AS best_qty,
+               CAST(count(*) AS BIGINT) AS n_at_price
+        FROM lineitem GROUP BY 1
+    ),
+    sky AS (
+        SELECT price_cents, best_qty, n_at_price,
+               CAST(coalesce(max(best_qty) OVER (ORDER BY price_cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    AS BIGINT) AS prev_best
+        FROM pts
+    )
+    SELECT price_cents, best_qty, n_at_price
+    FROM sky WHERE best_qty > prev_best
+    """,
+)
+def win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over line items: the
+    (minimize price, maximize quantity) points no other point
+    dominates — the classic "best tradeoff set" query Spark has no
+    native operator for, expressed as the textbook sort-scan: collapse
+    to the per-price best quantity (one hash aggregate — dominance
+    within equal price is just max), then one running-max window in
+    ascending price order keeps exactly the rows that improve on every
+    cheaper point.  All arithmetic on exact integer cents/quantities.
+    The window runs over the DISTINCT-price domain, not raw rows; at
+    100 TB prices are still a bounded value domain (≤ ~1e7 distinct
+    cents), and the documented two-pass alternative range-partitions
+    by price and merges per-range frontiers (each range's running max
+    seeds the next — associative, same answer)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "price_cents"
+        )
+    ).agg(
+        F.max("l_quantity").cast("bigint").alias("best_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_at_price"),
+    )
+    w_prev = Window.orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = pts.withColumn(
+        "prev_best",
+        F.coalesce(F.max("best_qty").over(w_prev), F.lit(-1)).cast("bigint"),
+    )
+    return sky.filter(F.col("best_qty") > F.col("prev_best")).select(
+        "price_cents", "best_qty", "n_at_price"
+    )
