@@ -613,3 +613,174 @@ def test_alert_debounce_episode_accounting(spark, registry):
         by_user.setdefault(r.user_id, []).append(r.alert_seq)
     for seqs in by_user.values():
         assert sorted(seqs) == list(range(1, len(seqs) + 1))
+
+
+def test_survival_km_estimator_invariants(spark, registry):
+    """KM curve is nonincreasing in [0,1]; risk sets strictly shrink;
+    deaths+censored over all durations partition the user set."""
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = sorted(
+        registry["ts_survival_km"].builder(spark, SF_SMALL).collect(),
+        key=lambda r: r.dur_days,
+    )
+    n_users = (
+        load_table(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_deaths + r.n_censored for r in rows) == n_users
+    assert rows[0].at_risk == n_users
+    prev_s, prev_risk = 1.0, None
+    for r in rows:
+        assert 0.0 <= r.km_survival <= 1.0
+        assert r.km_survival <= prev_s + 1e-12
+        if prev_risk is not None:
+            assert r.at_risk < prev_risk
+        prev_s, prev_risk = r.km_survival, r.at_risk
+
+
+def test_silhouette_bounds_and_coverage(spark, registry):
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["sim_silhouette"].builder(spark, SF_SMALL).collect()
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_vecs
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert 0 <= r.n_misplaced <= r.n_vectors
+
+
+def test_pca_power_iteration_matches_numpy_replica(spark, registry):
+    """The integer-quantized pipeline tracks a float numpy replica of
+    the SAME four power steps to within the quantization budget
+    (cross-implementation check — the fixture cloud's spectrum is
+    near-flat, so 4 steps are NOT near the exact eigenvector and the
+    op's contract is the step count, not convergence), and each step
+    strictly improves the Rayleigh quotient from the ones start."""
+    import numpy as np
+
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["sim_pca_power_iteration"].builder(spark, SF_SMALL).collect()
+    v = np.array(
+        [r.component_q6 for r in sorted(rows, key=lambda r: r.pos)], dtype=float
+    )
+    emb = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_SMALL, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=float,
+    )
+    xc = emb - emb.mean(axis=0)
+    ref = np.ones(xc.shape[1])
+    for _ in range(4):
+        p = xc @ ref
+        ref = xc.T @ (p / np.abs(p).max())
+        ref = ref / np.abs(ref).max()
+    cos = abs(np.dot(v, ref) / (np.linalg.norm(v) * np.linalg.norm(ref)))
+    assert cos >= 0.999, f"integer pipeline diverged from float replica: {cos}"
+
+    def rq(u):
+        return float(u @ (xc.T @ (xc @ u)) / (u @ u))
+
+    assert rq(v) > rq(np.ones(xc.shape[1])) * 1.5  # power steps made progress
+    top = max(rows, key=lambda r: (abs(r.component_q6), -r.pos))
+    assert top.component_q6 > 0  # sign anchor
+
+
+def test_pareto_frontier_mutual_nondomination(spark, registry):
+    rows = registry["win_pareto_frontier"].builder(spark, SF_SMALL).collect()
+    pts = sorted((r.price_cents, r.best_qty) for r in rows)
+    for (p1, q1), (p2, q2) in zip(pts, pts[1:]):
+        assert p1 < p2 and q1 < q2  # strictly improving in both axes
+
+
+def test_rfm_census_partitions_customers(spark, registry):
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["agg_rfm_segmentation"].builder(spark, SF_SMALL).collect()
+    n_cust = (
+        load_table(spark, SF_SMALL, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.segment in {
+            "champion", "loyal", "big_spender", "at_risk", "hibernating", "regular",
+        }
+
+
+def test_bollinger_warmup_never_flags(spark, registry):
+    rows = registry["win_bollinger_band"].builder(spark, SF_SMALL).collect()
+    assert any(r.breach_upper or r.breach_lower for r in rows)
+    for r in rows:
+        if r.n_window < 10:
+            assert r.breach_upper == 0 and r.breach_lower == 0
+        assert r.sigma >= 0.0
+
+
+def test_association_rules_symmetry_and_bounds(spark, registry):
+    rows = registry["agg_association_rules"].builder(spark, SF_SMALL).collect()
+    both = {(r.antecedent, r.consequent): r for r in rows}
+    for (a, c), r in both.items():
+        assert both[(c, a)].n_both == r.n_both  # co-occurrence symmetric
+        assert 0 <= r.confidence_ppm <= 1_000_000
+        assert r.support_ppm <= r.confidence_ppm  # n_users >= n_antecedent
+
+
+def test_cdc_apply_equals_batch_fold(spark, registry):
+    """The streaming CDC fold lands exactly the batch last-op-per-key
+    state (tombstones absent, op counts intact)."""
+    from pyspark.sql import Window
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    got = {
+        r.user_id: (r.last_event_id, r.n_ops)
+        for r in registry["stream_cdc_apply"].builder(spark, SF_SMALL).collect()
+    }
+    ev = load_table(spark, SF_SMALL, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    last = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .collect()
+    )
+    want = {r.user_id: (r.event_id, r.n_ops) for r in last}
+    assert got == want
+
+
+def test_changepoint_one_row_per_type_with_valid_split(spark, registry):
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["ts_changepoint"].builder(spark, SF_SMALL).collect()
+    e = load_table(spark, SF_SMALL, "events")
+    n_types = e.select("event_type").distinct().count()
+    assert len(rows) == n_types
+    n_days = e.select(F.to_date("ts")).distinct().count()
+    for r in rows:
+        assert 1 <= r.n_days_before < n_days + 1
+        assert r.mean_before >= 0.0 and r.mean_after >= 0.0
+
+
+def test_vocab_growth_accounts_for_full_vocabulary(spark, registry):
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = sorted(
+        registry["text_vocab_growth"].builder(spark, SF_SMALL).collect(),
+        key=lambda r: r.bucket,
+    )
+    d = load_table(spark, SF_SMALL, "documents")
+    vocab = (
+        d.filter(F.length("text") > 0)
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_new_tokens for r in rows) == vocab
+    assert rows[-1].cum_vocab == vocab
+    assert all(b.cum_vocab <= a.cum_vocab for a, b in zip(rows[1:], rows))
