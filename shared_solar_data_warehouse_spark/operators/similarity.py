@@ -1348,7 +1348,8 @@ def _pca_iter_sql(vin: str, pout: str, sname: str, pn: str, wname: str,
     ),
     {sname} AS (SELECT CAST(max(abs(p)) AS BIGINT) AS s FROM {pout}),
     {pn} AS (
-        SELECT p.vec_id, CAST(p.p * 1000000 // s.s AS BIGINT) AS pq
+        SELECT p.vec_id,
+               CAST(p.p // ((s.s + 999999) // 1000000) AS BIGINT) AS pq
         FROM {pout} p CROSS JOIN {sname} s
     ),
     {wname} AS (
@@ -1358,7 +1359,8 @@ def _pca_iter_sql(vin: str, pout: str, sname: str, pn: str, wname: str,
     ),
     {tname} AS (SELECT CAST(max(abs(w)) AS BIGINT) AS s FROM {wname}),
     {vout} AS (
-        SELECT w.pos, CAST(w.w * 1000000 // t.s AS BIGINT) AS v
+        SELECT w.pos,
+               CAST(w.w // ((t.s + 999999) // 1000000) AS BIGINT) AS v
         FROM {wname} w CROSS JOIN {tname} t
     )"""
 
@@ -1405,7 +1407,9 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIV ↔ // identity), so no float ever accumulates and both engines
     walk bit-identical iterates.  The sign is anchored by flipping so
     the largest-|component| dimension is positive (eigenvectors are
-    sign-ambiguous).  Intermediate magnitudes stay ≤ ~1e15 ≪ BIGINT.
+    sign-ambiguous).  Renormalization divides by ceil(max/1e6) — no widening multiply,
+    so no intermediate ever exceeds the fold-back sum itself (≤ ~1e17
+    at sf1; beyond ~1e9 rows widen the fold-back to DECIMAL).
     Plan per step: one broadcast of the d-vector onto the long-form
     dims, one vec-keyed aggregate, one broadcast of the row-projection
     vector, one pos-keyed aggregate — four rounds of two exchanges
@@ -1436,7 +1440,10 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = p.agg(F.max(F.abs(F.col("p"))).cast("long").alias("s"))
         pq = p.crossJoin(F.broadcast(s)).select(
-            "vec_id", F.expr("CAST(p * 1000000 DIV s AS BIGINT)").alias("pq")
+            "vec_id",
+            F.expr(
+                "CAST(p DIV ((s + 999999) DIV 1000000) AS BIGINT)"
+            ).alias("pq"),
         )
         w = (
             dims.join(F.broadcast(pq), "vec_id")
@@ -1445,7 +1452,10 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("s"))
         v = w.crossJoin(F.broadcast(t)).select(
-            "pos", F.expr("CAST(w * 1000000 DIV s AS BIGINT)").alias("v")
+            "pos",
+            F.expr(
+                "CAST(w DIV ((s + 999999) DIV 1000000) AS BIGINT)"
+            ).alias("v"),
         )
     anchor = (
         v.orderBy(F.abs(F.col("v")).desc(), F.col("pos").asc())

@@ -55,6 +55,15 @@ GOLDEN_OPS = (
     "agg_mutual_info",
     "ts_event_transitions",
     "mm_blob_dedup",
+    # round-4 late-wave flagships:
+    "ts_survival_km",
+    "agg_rfm_segmentation",
+    "sim_pca_power_iteration",
+    "win_pareto_frontier",
+    "agg_welch_ttest",
+    "text_cooccurrence_pmi",
+    "ts_changepoint",
+    "stream_cdc_apply",
 )
 
 
