@@ -2613,8 +2613,8 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.antecedent, p.consequent, p.n_both,
            CAST(p.n_both * 1000000 // n.n_users AS BIGINT) AS support_ppm,
            CAST(p.n_both * 1000000 // ia.n_item AS BIGINT) AS confidence_ppm,
-           CAST(p.n_both * n.n_users * 1000000
-                // (ia.n_item * ic.n_item) AS BIGINT) AS lift_ppm
+           CAST((p.n_both * 1000000 // ia.n_item) * n.n_users
+                // ic.n_item AS BIGINT) AS lift_ppm
     FROM pair p
     JOIN item ia ON p.antecedent = ia.event_type
     JOIN item ic ON p.consequent = ic.event_type
@@ -2624,7 +2624,9 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over per-user event-type
     baskets: for every ordered item pair a→b, support (P(a,b)),
-    confidence (P(b|a)) and lift (P(a,b)/P(a)P(b)) — the co-purchase
+    confidence (P(b|a)) and lift (P(a,b)/P(a)P(b), evaluated as
+    confidence×n_users/n_consequent so no intermediate ever exceeds
+    1e6·n_users — overflow-safe to ~1e12 baskets) — the co-purchase
     analysis next to text's PMI (same co-occurrence core, but with
     the directed confidence that PMI's symmetric log drops, and in
     exact integer ppm: numerators never leave BIGINT, every ratio is
@@ -2678,7 +2680,7 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "confidence_ppm"
             ),
             F.expr(
-                "CAST(n_both * n_users * 1000000 DIV (n_ante * n_cons)"
+                "CAST((n_both * 1000000 DIV n_ante) * n_users DIV n_cons"
                 " AS BIGINT)"
             ).alias("lift_ppm"),
         )

@@ -1433,10 +1433,15 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = dims.select("pos").distinct().select("pos", F.lit(1).cast("long").alias("v"))
     for _ in range(4):
+        # Every projection/fold-back is consumed TWICE (its own max +
+        # the renormalized vector) — checkpoint each so the unrolled
+        # chain stays linear instead of 4^depth re-evaluation (the
+        # kmeans/graph-band rule; measured 54 s -> ~2 s at sf0.1).
         p = (
             dims.join(F.broadcast(v), "pos")
             .groupBy("vec_id")
             .agg(F.sum(F.col("xc") * F.col("v")).cast("long").alias("p"))
+            .localCheckpoint(eager=False)
         )
         s = p.agg(F.max(F.abs(F.col("p"))).cast("long").alias("s"))
         pq = p.crossJoin(F.broadcast(s)).select(
@@ -1449,6 +1454,7 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             dims.join(F.broadcast(pq), "vec_id")
             .groupBy("pos")
             .agg(F.sum(F.col("xc") * F.col("pq")).cast("long").alias("w"))
+            .localCheckpoint(eager=False)
         )
         t = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("s"))
         v = w.crossJoin(F.broadcast(t)).select(
@@ -1457,6 +1463,7 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(w DIV ((s + 999999) DIV 1000000) AS BIGINT)"
             ).alias("v"),
         )
+    v = v.localCheckpoint(eager=False)  # read twice: anchor + output
     anchor = (
         v.orderBy(F.abs(F.col("v")).desc(), F.col("pos").asc())
         .limit(1)

@@ -3361,3 +3361,157 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / 100.0"
         ).alias("mean_after"),
     )
+
+
+@op(
+    "ts_clearness_index",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(date_part('hour', ts) AS BIGINT) AS hr,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    envelope AS (
+        SELECT hr, CAST(max(cents) AS BIGINT) AS max_cents
+        FROM hourly GROUP BY hr
+    ),
+    env_total AS (
+        SELECT CAST(sum(max_cents) AS BIGINT) AS clearsky_cents
+        FROM envelope
+    )
+    SELECT h.d,
+           CAST(sum(h.cents) AS BIGINT) AS day_cents,
+           max(e.clearsky_cents) AS clearsky_cents,
+           CAST(CAST(sum(h.cents) AS BIGINT) * 1000000
+                // max(e.clearsky_cents) AS BIGINT) AS clearness_ppm
+    FROM hourly h CROSS JOIN env_total e
+    GROUP BY h.d
+    """,
+)
+def ts_clearness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day clearness index: the day's total yield against the
+    fleet's empirical clear-sky envelope — Σ over hours of the maximum
+    that hour ever produced across the whole window (the standard
+    data-driven stand-in when no irradiance model is available).
+    Cloudy / degraded days drop well below 1e6 ppm; the envelope
+    itself is how PV analysts normalize seasonality out of yield
+    comparisons.  All integer cents; the ratio is truncating ppm.
+    Plan: one shuffle into (day, hour) cells, an hour-bounded (24-row)
+    envelope aggregate that broadcasts, and a day-bounded census —
+    nothing rescans raw events twice at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(
+        F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    envelope = hourly.groupBy("hr").agg(
+        F.max("cents").cast("bigint").alias("max_cents")
+    )
+    env_total = envelope.agg(
+        F.sum("max_cents").cast("bigint").alias("clearsky_cents")
+    )
+    return (
+        hourly.crossJoin(F.broadcast(env_total))
+        .groupBy("d")
+        .agg(
+            F.sum("cents").cast("bigint").alias("day_cents"),
+            F.max("clearsky_cents").alias("clearsky_cents"),
+            F.expr(
+                "CAST(CAST(sum(cents) AS BIGINT) * 1000000"
+                " DIV max(clearsky_cents) AS BIGINT)"
+            ).alias("clearness_ppm"),
+        )
+    )
+
+
+@op(
+    "ts_npv_cashflows",
+    oracle="""
+    WITH mn AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
+    flows AS (
+        SELECT e.user_id,
+               CAST(date_diff('day', m.d0, CAST(e.ts AS DATE)) AS BIGINT)
+                   AS t_days,
+               CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM events e CROSS JOIN mn m
+        WHERE e.event_type = 'purchase'
+    ),
+    daily AS (
+        SELECT user_id, t_days, CAST(sum(cents) AS BIGINT) AS cents
+        FROM flows GROUP BY user_id, t_days
+    ),
+    disc AS (
+        SELECT t_days,
+               power(1.0 / (1.0 + 0.10 / 365.0), CAST(t_days AS DOUBLE))
+                   AS df
+        FROM (SELECT DISTINCT t_days FROM daily) t
+    )
+    SELECT d.user_id,
+           CAST(sum(d.cents) AS BIGINT) AS nominal_cents,
+           floor(CAST(sum(CAST(CAST(d.cents AS DOUBLE) * x.df
+                               AS DECIMAL(25,8))) AS DOUBLE) + 0.5) / 100.0
+               AS npv,
+           CAST(count(*) AS BIGINT) AS n_flow_days
+    FROM daily d JOIN disc x ON d.t_days = x.t_days
+    GROUP BY d.user_id
+    """,
+)
+def ts_npv_cashflows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net present value of each customer's purchase stream, discounted
+    daily at a 10% annual rate from the window's first day — the
+    finance-side companion to ts_cohort_ltv's nominal curve (a dollar
+    on day 29 is worth less than one on day 0; at utility scale this
+    is how prepaid-credit books are marked).  Parity scheme: cashflows
+    aggregate to exact integer cents per (user, day-offset); ONE pow()
+    per DISTINCT day offset (day-bounded domain) joins back broadcast,
+    so both engines evaluate the identical float product cents×df per
+    cell, and the per-user sum accumulates through DECIMAL(25,8) —
+    order-independent — before the final half-up cent rounding.
+    Plan: one user/day aggregate, a tiny discount dimension, one
+    user-keyed sum."""
+    e = load_table(spark, sf_dir, "events")
+    mn = e.agg(F.to_date(F.min("ts")).alias("d0"))
+    flows = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.col("d0")).cast("bigint").alias("t_days"),
+            F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+        )
+    )
+    daily = flows.groupBy("user_id", "t_days").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    disc = daily.select("t_days").distinct().select(
+        "t_days",
+        F.pow(
+            F.lit(1.0) / (F.lit(1.0) + F.lit(0.10) / F.lit(365.0)),
+            F.col("t_days").cast("double"),
+        ).alias("df"),
+    )
+    return (
+        daily.join(F.broadcast(disc), "t_days")
+        .groupBy("user_id")
+        .agg(
+            F.sum("cents").cast("bigint").alias("nominal_cents"),
+            (
+                F.floor(
+                    F.sum(
+                        (F.col("cents").cast("double") * F.col("df")).cast(
+                            "decimal(25,8)"
+                        )
+                    ).cast("double")
+                    + 0.5
+                )
+                / 100.0
+            ).alias("npv"),
+            F.count(F.lit(1)).cast("bigint").alias("n_flow_days"),
+        )
+    )
