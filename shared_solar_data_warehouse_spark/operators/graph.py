@@ -949,3 +949,117 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_ppm"),
         )
     )
+
+
+@op(
+    "graph_modularity",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    lab AS (
+        SELECT p.ck, p.sk,
+               c.c_nationkey AS c_com, s.s_nationkey AS s_com
+        FROM pairs p
+        JOIN customer c ON p.ck = c.c_custkey
+        JOIN supplier s ON p.sk = s.s_suppkey
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+    e_in AS (
+        SELECT c_com AS com, CAST(count(*) AS BIGINT) AS e_c
+        FROM lab WHERE c_com = s_com GROUP BY c_com
+    ),
+    deg AS (
+        SELECT com, CAST(sum(cnt) AS BIGINT) AS a_c FROM (
+            SELECT c_com AS com, count(*) AS cnt FROM lab GROUP BY c_com
+            UNION ALL
+            SELECT s_com AS com, count(*) AS cnt FROM lab GROUP BY s_com
+        ) both_sides GROUP BY com
+    ),
+    terms AS (
+        SELECT d.com,
+               CAST(coalesce(e.e_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+               - (CAST(d.a_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                 * (CAST(d.a_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                   AS term
+        FROM deg d LEFT JOIN e_in e ON d.com = e.com CROSS JOIN m
+    )
+    SELECT max(m.m) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           floor(CAST(sum(CAST(term AS DECIMAL(25,8))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS modularity
+    FROM terms CROSS JOIN m
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the nation partition over the customer–
+    supplier trade graph: Q = Σ_c (e_c/m − (a_c/2m)²) — "does trade
+    stay inside nations more than a degree-preserving random graph
+    would?"  Completes the community shelf: connected components finds
+    the partition, assortativity tests degree mixing, this scores a
+    LABELED partition.  Every count (edges, in-community edges,
+    community degree sums) is an exact integer aggregate; each
+    community's term is one shared IEEE expression, and the Q sum
+    accumulates through DECIMAL so the ~25-community reduction is
+    order-independent.  At 100 TB: the distinct edge shuffle dominates
+    (shared shape with the rest of the graph band); the community
+    dimension is nation-bounded and every later aggregate is tiny."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("c_com")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("s_com")
+    )
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    lab = pairs.join(F.broadcast(cust), "ck").join(F.broadcast(supp), "sk")
+    lab = lab.localCheckpoint(eager=False)  # read 3x: m, e_in, both deg sides
+    m = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    e_in = (
+        lab.filter(F.col("c_com") == F.col("s_com"))
+        .groupBy(F.col("c_com").alias("com"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    )
+    deg = (
+        lab.groupBy(F.col("c_com").alias("com"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .unionAll(
+            lab.groupBy(F.col("s_com").alias("com")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+        )
+        .groupBy("com")
+        .agg(F.sum("cnt").cast("bigint").alias("a_c"))
+    )
+    md = F.col("m").cast("double")
+    half = F.col("a_c").cast("double") / (F.lit(2.0) * md)
+    terms = (
+        deg.join(e_in, "com", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "com",
+            "m",
+            (
+                F.coalesce(F.col("e_c"), F.lit(0)).cast("double") / md
+                - half * half
+            ).alias("term"),
+        )
+    )
+    return terms.agg(
+        F.max("m").alias("n_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        (
+            F.floor(
+                F.sum(F.col("term").cast("decimal(25,8)")).cast("double")
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("modularity"),
+    )

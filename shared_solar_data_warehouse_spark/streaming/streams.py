@@ -21,7 +21,7 @@ import itertools
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -614,4 +614,63 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
         "n_ops",
+    )
+
+
+@op(
+    "stream_topk_snapshot",
+    oracle="""
+    SELECT CAST(row_number() OVER (ORDER BY value DESC, event_id DESC)
+                AS BIGINT) AS rank,
+           event_id, value
+    FROM events
+    ORDER BY value DESC, event_id DESC
+    LIMIT 10
+    """,
+)
+def stream_topk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained global top-10 leaderboard over the
+    stream: each micro-batch reduces to its local top-10 (value, then
+    event_id as the total-order tie-break), merges with the persisted
+    leaderboard, and keeps the combined top-10 — O(k) state however
+    long the stream runs, the monoid-fold shape every streaming top-k
+    runs (per-batch partial top-k is associative, so replay order
+    cannot change the answer).  State lands via the same atomic
+    write-new-then-swap parquet dir as the CDC op; the oracle is the
+    batch LIMIT with the identical tie-break."""
+    import shutil
+
+    base = scratch_dir(sf_dir, "stream_topk_snapshot")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    cur = os.path.join(base, "current")
+
+    def topk(df: DataFrame) -> DataFrame:
+        return df.orderBy(F.col("value").desc(), F.col("event_id").desc()).limit(10)
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        b = topk(batch_df.select("event_id", "value"))
+        if os.path.exists(cur):
+            prev = batch_df.sparkSession.read.parquet(cur)
+            b = topk(prev.unionByName(b))
+        nxt = os.path.join(base, f"state_epoch_{epoch_id}")
+        b.write.mode("overwrite").parquet(nxt)
+        old = cur + ".old"
+        if os.path.exists(cur):
+            os.rename(cur, old)
+        os.rename(nxt, cur)
+        shutil.rmtree(old, ignore_errors=True)
+
+    s = events_stream(spark, sf_dir).select("event_id", "value")
+    query = (
+        s.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "_ckpt"))
+        .start()
+    )
+    query.awaitTermination()
+    state = spark.read.parquet(cur)
+    w = Window.orderBy(F.col("value").desc(), F.col("event_id").desc())
+    return state.select(
+        F.row_number().over(w).cast("bigint").alias("rank"), "event_id", "value"
     )
