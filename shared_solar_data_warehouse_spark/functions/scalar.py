@@ -12,7 +12,7 @@ than silently fudged).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shared_solar_data_warehouse_spark.parity import dround, sql_dround
@@ -867,4 +867,109 @@ def fn_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ascii(s) AS BIGINT)").alias("first_codepoint"),
         F.upper("s").alias("upper_s"),
         F.reverse("s").alias("reversed_s"),
+    )
+
+
+@op(
+    "fn_penny_allocation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM lineitem WHERE l_orderkey <= 1000
+    ),
+    tot AS (
+        SELECT l_orderkey,
+               CAST(sum(cents) AS BIGINT) AS order_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM li GROUP BY l_orderkey
+    ),
+    -- allocate a 7.5% rebate pool per order across its lines,
+    -- proportional to line value, largest-remainder rounding
+    base AS (
+        SELECT li.l_orderkey, li.l_linenumber, li.cents,
+               CAST(t.order_cents * 75 // 1000 AS BIGINT) AS pool_cents,
+               CAST((t.order_cents * 75 // 1000) * li.cents
+                    // t.order_cents AS BIGINT) AS floor_share,
+               CAST(((t.order_cents * 75 // 1000) * li.cents)
+                    % t.order_cents AS BIGINT) AS rem
+        FROM li JOIN tot t ON li.l_orderkey = t.l_orderkey
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY rem DESC, l_linenumber ASC) AS BIGINT) AS rr,
+               CAST(pool_cents - sum(floor_share)
+                    OVER (PARTITION BY l_orderkey) AS BIGINT) AS leftover
+        FROM base
+    )
+    SELECT l_orderkey, l_linenumber, cents AS line_cents,
+           CAST(floor_share + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS rebate_cents
+    FROM ranked
+    """,
+)
+def fn_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder penny allocation — the canonical exact-money
+    kernel: distribute a per-order rebate pool (7.5% of order value)
+    across the order's lines proportional to line value so the
+    allocated cents SUM EXACTLY to the pool (floor shares first, then
+    the leftover pennies go to the largest fractional remainders,
+    ties broken by line number).  Naive round(share) drifts ±n/2
+    cents per order and books money out of thin air; this is how
+    billing engines, tax apportionment, and ad-spend attribution
+    actually split integers.  Everything is BIGINT (“×75 // 1000” is
+    the 7.5% in exact integer form; remainders compare as raw
+    modulos, never floats).  One order-keyed window exchange; the
+    invariant Σ rebate = pool per order is pytest-asserted.  At
+    100 TB: orders are the partition key, per-order state is line
+    count — the standard keyed-window shape."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    wp = Window.partitionBy("l_orderkey")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "cents",
+        F.sum("cents").over(wp).cast("bigint").alias("order_cents"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "cents",
+        F.expr("CAST(order_cents * 75 DIV 1000 AS BIGINT)").alias("pool_cents"),
+        F.expr(
+            "CAST((order_cents * 75 DIV 1000) * cents DIV order_cents AS BIGINT)"
+        ).alias("floor_share"),
+        F.expr(
+            "CAST(((order_cents * 75 DIV 1000) * cents) % order_cents AS BIGINT)"
+        ).alias("rem"),
+    )
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(wp.orderBy(F.col("rem").desc(), F.col("l_linenumber").asc()))
+        .cast("bigint")
+        .alias("rr"),
+        (F.col("pool_cents") - F.sum("floor_share").over(wp))
+        .cast("bigint")
+        .alias("leftover"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("cents").alias("line_cents"),
+        F.expr(
+            "CAST(floor_share + CASE WHEN rr <= leftover THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("rebate_cents"),
     )

@@ -3515,3 +3515,102 @@ def ts_npv_cashflows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_flow_days"),
         )
     )
+
+
+@op(
+    "ts_sliding_correlation",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CASE WHEN event_type = 'click'
+                    THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    roll AS (
+        SELECT d,
+               CAST(count(*) OVER w AS BIGINT) AS n,
+               CAST(sum(x) OVER w AS BIGINT) AS sx,
+               CAST(sum(y) OVER w AS BIGINT) AS sy,
+               CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
+               CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(sum(y * y) OVER w AS BIGINT) AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, n,
+           CASE WHEN n < 7
+                     OR (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) <= 0.0
+                THEN NULL
+                ELSE floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                  * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       * CAST(sy AS DOUBLE)))
+                           * 10000.0 + 0.5) / 10000.0
+           END AS corr_7d
+    FROM roll
+    """,
+)
+def ts_sliding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day Pearson correlation between the click and
+    purchase daily revenue series — "are the two streams moving
+    together this week?", the rolling twin of agg_corr_exact's global
+    statistic.  The day grain pivots both series into one row (exact
+    integer cents), the 7-row frame accumulates all five sufficient
+    sums as exact BIGINTs, and the correlation is one shared IEEE
+    expression per row, floor-rounded to 1e-4; warm-up rows (n<7) and
+    degenerate windows (zero variance) yield NULL on both engines.
+    The window is unpartitioned but runs over the DAY-bounded
+    aggregate, never raw events — the documented compact-domain
+    shape.  At 100 TB: one shuffle into day cells, one tiny window."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'click'"
+                " THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.expr(
+                "CASE WHEN event_type = 'purchase'"
+                " THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    roll = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = nd * F.col("sxy").cast("double") - sx * sy
+    vx = nd * F.col("sxx").cast("double") - sx * sx
+    vy = nd * F.col("syy").cast("double") - sy * sy
+    return roll.select(
+        "d",
+        "n",
+        F.when((F.col("n") < 7) | (vx * vy <= 0.0), F.lit(None).cast("double"))
+        .otherwise(F.floor(cov / F.sqrt(vx * vy) * 10000.0 + 0.5) / 10000.0)
+        .alias("corr_7d"),
+    )
