@@ -713,3 +713,110 @@ def test_local_clustering_regimes_agree(spark, registry, monkeypatch):
     plan = explain_formatted(dist_df)
     assert "array_intersect" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_score_maps_broadcast_back(spark, registry):
+    # The three value->quintile maps are bounded-domain dimensions:
+    # they must ride broadcast joins onto customers, never a
+    # SortMergeJoin, and never a customer-cardinality window (windows
+    # only run over the per-metric value domains).
+    plan = plan_of(registry, spark, "agg_rfm_segmentation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_silhouette_centroids_broadcast(spark, registry):
+    # Centroids are labels x dim — broadcast onto the long-form dims;
+    # the vector table must never self-join.
+    plan = plan_of(registry, spark, "sim_silhouette")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_association_rules_item_dims_broadcast(spark, registry):
+    plan = plan_of(registry, spark, "agg_association_rules")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_frontier_window_input_is_preaggregated(spark, registry):
+    # The running-max window must consume the per-price HashAggregate
+    # output (distinct-price domain), never raw lineitem rows.
+    plan = plan_of(registry, spark, "win_pareto_frontier")
+    # formatted explain prints children BELOW parents: the aggregate
+    # must be the Window's descendant (appear after it in the tree).
+    assert "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_sliding_correlation_single_day_aggregate_then_frame(spark, registry):
+    # One shuffle into day cells; the 7-row frame runs over that
+    # bounded aggregate.
+    plan = plan_of(registry, spark, "ts_sliding_correlation")
+    assert "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "CartesianProduct" not in plan
+
+
+def test_penny_allocation_sums_exactly_to_pool(spark, registry):
+    # The money invariant the op exists for: per order, allocated
+    # rebate cents == the 7.5% pool, exactly.
+    from pyspark.sql import functions as F
+
+    df = registry["fn_penny_allocation"].builder(spark, SF_ORACLE)
+    bad = (
+        df.groupBy("l_orderkey")
+        .agg(
+            F.sum("rebate_cents").alias("alloc"),
+            F.expr("CAST(sum(line_cents) * 75 DIV 1000 AS BIGINT)").alias("pool"),
+        )
+        .filter(F.col("alloc") != F.col("pool"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_modularity_in_valid_range_and_edge_count(spark, registry):
+    # Q in [-0.5, 1) by definition; edge count matches the distinct
+    # customer-supplier pair count.
+    from pyspark.sql import functions as F
+
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    row = registry["graph_modularity"].builder(spark, SF_ORACLE).collect()[0]
+    assert -0.5 <= row.modularity < 1.0
+    o = load_table(spark, SF_ORACLE, "orders")
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    n_pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .count()
+    )
+    assert row.n_edges == n_pairs
+
+
+def test_stream_topk_matches_batch_topk(spark, registry):
+    from pyspark.sql import functions as F
+
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    got = [
+        (r.rank, r.event_id)
+        for r in sorted(
+            registry["stream_topk_snapshot"].builder(spark, SF_ORACLE).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    want = [
+        (i + 1, r.event_id)
+        for i, r in enumerate(
+            load_table(spark, SF_ORACLE, "events")
+            .orderBy(F.col("value").desc(), F.col("event_id").desc())
+            .limit(10)
+            .collect()
+        )
+    ]
+    assert got == want
