@@ -204,6 +204,33 @@ def _bench_cost() -> dict[str, float]:
 #: whose answers carry the most risk if the local mirror missed
 #: something.  Prune entries once they turn driver-green.
 _FRONTLOAD: tuple[str, ...] = (
+    # r4-continuation brand-new ops, riskiest custom logic first —
+    # these have never been in a driver sample; give them the first
+    # driver look in r5 ahead of everything already green:
+    "sim_pca_power_iteration",
+    "stream_cdc_apply",
+    "stream_topk_snapshot",
+    "ts_survival_km",
+    "agg_rfm_segmentation",
+    "ts_changepoint",
+    "win_pareto_frontier",
+    "fn_penny_allocation",
+    "graph_modularity",
+    "sim_silhouette",
+    "agg_welch_ttest",
+    "ts_sliding_correlation",
+    "agg_association_rules",
+    "text_cooccurrence_pmi",
+    "text_vocab_growth",
+    "ts_cohort_ltv",
+    "agg_winsorized_mean",
+    "win_bollinger_band",
+    "agg_log2_histogram",
+    "ts_clearness_index",
+    "ts_npv_cashflows",
+    "text_readability",
+    "source_calendar_spine",
+    "sink_parquet_partitioned",
     # r4 edits — must re-verify (VERDICT r03 items 2/3/5/6):
     "agg_ks_test",
     "dedup_near_minhash",
