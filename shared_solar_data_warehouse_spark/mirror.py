@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import math
+import struct
 import sys
 import time
 from decimal import Decimal
@@ -40,7 +41,19 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def canon_value(v: Any) -> Any:
-    """Canonicalize one cell so Spark/DuckDB python values compare equal."""
+    """Canonicalize one cell so Spark/DuckDB python values compare equal.
+
+    Floats canonicalize to their exact little-endian IEEE-754 bit
+    pattern (VERDICT r4 items 1-3: the round-4 driver hash failures
+    were double columns the mirror's former ``==`` compare passed —
+    ``0.0 == -0.0`` and ``1 == 1.0`` are True in Python, but a
+    value-hash over formatted cells splits them).  Bit-pattern
+    comparison is the strictest possible float check: any ulp
+    divergence between the JVM and DuckDB, a negative zero, or an
+    int-vs-float dtype mismatch between the Spark schema and the
+    oracle's now fails the mirror instead of silently passing what
+    the driver would flag.
+    """
     if v is None:
         return None
     if isinstance(v, bool):
@@ -48,9 +61,9 @@ def canon_value(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        return "f64:" + struct.pack("<d", v).hex()
     if isinstance(v, Decimal):
-        return float(v)
+        return canon_value(float(v))
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, dt.date):

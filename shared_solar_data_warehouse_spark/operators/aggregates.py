@@ -829,7 +829,7 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
                * (CAST(s2 AS DOUBLE) / n
                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))),
-             4) AS qty_skewness,
+             4) + 0.0 AS qty_skewness,
            round(
              (CAST(s4 AS DOUBLE) / n
               - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
@@ -842,7 +842,7 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
               * (CAST(s2 AS DOUBLE) / n
                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
              - 3.0,
-             4) AS qty_excess_kurtosis
+             4) + 0.0 AS qty_excess_kurtosis
     FROM m
     """,
 )
@@ -855,7 +855,9 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical central-moment expression in double on both sides — same
     operands, same operation order, sqrt/divide are correctly-rounded
     IEEE, hence bit-equal.  One two-phase hash aggregate; the moment
-    trick is also the right 100 TB shape (one pass, mergeable state)."""
+    trick is also the right 100 TB shape (one pass, mergeable state).
+    Outputs add ``+ 0.0`` to normalize negative zero (r5 mirror catch:
+    see inline note)."""
     li = load_table(spark, sf_dir, "lineitem")
     q = F.col("l_quantity")
     m = li.groupBy("l_returnflag").agg(
@@ -878,11 +880,19 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(6.0) * m1 * m1 * m2r
         - F.lit(3.0) * m1 * m1 * m1 * m1
     )
+    # `+ 0.0` squashes IEEE negative zero: a skewness that rounds to
+    # zero came out -0.0 in DuckDB but +0.0 in Spark (caught by the r5
+    # bit-exact mirror at sf0.001) — equal under ==, split by any
+    # formatting value-hash since str(-0.0) == "-0.0".
     return m.select(
         "l_returnflag",
         "n",
-        F.round(m3c / F.sqrt(var * var * var), 4).alias("qty_skewness"),
-        F.round(m4c / (var * var) - F.lit(3.0), 4).alias("qty_excess_kurtosis"),
+        (F.round(m3c / F.sqrt(var * var * var), 4) + F.lit(0.0)).alias(
+            "qty_skewness"
+        ),
+        (F.round(m4c / (var * var) - F.lit(3.0), 4) + F.lit(0.0)).alias(
+            "qty_excess_kurtosis"
+        ),
     )
 
 
@@ -2547,10 +2557,9 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, bucket_log2,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CASE WHEN bucket_log2 < 0 THEN 0.0
-                ELSE floor(power(2.0, CAST(bucket_log2 AS DOUBLE))
-                           / 10000.0 * 10000.0 + 0.5) / 10000.0 END
-               AS bucket_lo
+           CASE WHEN bucket_log2 < 0 THEN CAST(0 AS BIGINT)
+                ELSE (CAST(1 AS BIGINT) << bucket_log2) END
+               AS bucket_lo_x10000
     FROM b GROUP BY event_type, bucket_log2
     """,
 )
@@ -2563,10 +2572,13 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (both engines' ``bin()`` of the same BIGINT yields the same
     digits — no IEEE log whose .9999 could straddle a power), with
     nonpositive values collapsed to a single underflow bucket.  The
-    reported bucket floor re-derives 2^k in the original unit.  At
-    100 TB this is one hash aggregate over (type × ~40 buckets) —
-    partials merge associatively, the sketch every metrics pipeline
-    ships."""
+    reported bucket floor is the exact integer 2^k in the quantized
+    x10000 unit via a BIGINT bit shift — no ``power()`` double
+    round-trip whose formatting can diverge between engines (VERDICT r4
+    item 2: the old divided-double bucket_lo column was the round-4
+    driver hash failure).  At 100 TB this is one hash aggregate over
+    (type × ~40 buckets) — partials merge associatively, the sketch
+    every metrics pipeline ships."""
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     q = e.select(
         "event_type",
@@ -2582,11 +2594,10 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("event_type", "bucket_log2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     ).withColumn(
-        "bucket_lo",
+        "bucket_lo_x10000",
         F.expr(
-            "CASE WHEN bucket_log2 < 0 THEN 0.0"
-            " ELSE floor(power(2.0, CAST(bucket_log2 AS DOUBLE))"
-            " / 10000.0 * 10000.0 + 0.5) / 10000.0 END"
+            "CASE WHEN bucket_log2 < 0 THEN CAST(0 AS BIGINT)"
+            " ELSE shiftleft(CAST(1 AS BIGINT), CAST(bucket_log2 AS INT)) END"
         ),
     )
 

@@ -442,6 +442,109 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_CC_MAX_EDGES = 2_000_000
 
 
+def cc_driver_union_find(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Exact connected components on the driver: union-find with path
+    compression over the (doc_a, doc_b) edge list, min id as the root
+    label.  Only safe below DRIVER_CC_MAX_EDGES; callers gate.  Returns
+    (doc_id, lab) for every node TOUCHED by an edge (singletons are the
+    caller's left-join default).  Module-level (r5, VERDICT r4 item 6)
+    so scale parity tests can run it against cc_distributed_min_label
+    on the same synthetic graph."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in pairs.select("doc_a", "doc_b").toLocalIterator():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:  # min id wins so labels match the oracle
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(n, find(n)) for n in list(parent)]
+    return spark.createDataFrame(labels, "doc_id long, lab long")
+
+
+def cc_distributed_min_label(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Distributed connected components: bounded iterative min-label
+    propagation over the doubled edge list, localCheckpoint every round
+    to truncate lineage (SURVEY.md §7.4).  Same (doc_id, lab) contract
+    as cc_driver_union_find — the scale path for dup graphs above
+    DRIVER_CC_MAX_EDGES.
+
+    Each round does ONE neighbor-min hop followed by ONE pointer-
+    doubling shortcut (lab <- lab[lab], a self-join on the label map),
+    so labels travel 2^r hops after r rounds instead of r — the
+    path-halving trick from PRAM/Hash-to-Min CC.  Without it the
+    20-round cap silently mislabels any component whose diameter
+    exceeds 20 (a 100-doc near-dup CHAIN — every doc a near-dup of the
+    next — is a realistic shape for serially-edited documents), which
+    the r5 scale parity test (tests/test_properties.py) would catch:
+    propagation-only needs diameter rounds, shortcutting needs
+    ~log2(diameter)."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):  # >= diameter hops for any sane dup graph
+        neighbor_min = (
+            labels.join(edges, labels.doc_id == edges.src)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        hopped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+            ).alias("lab"),
+        )
+        # pointer doubling: lab <- label-of-label.  Every label IS a
+        # node id present in the map, so the self-join is total; the
+        # left join + coalesce is belt-and-braces for the root rows.
+        updated = (
+            hopped.alias("u")
+            .join(
+                hopped.select(
+                    F.col("doc_id").alias("lab"), F.col("lab").alias("lab2")
+                ).alias("p"),
+                "lab",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("lab2"), F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.lab") != F.col("l.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def _cluster_labels(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     """(doc_id, cluster_id) for EVERY document; cluster_id = min doc_id
     reachable through near-dup pairs at ``tau``.  Memoized: this map is
@@ -470,71 +573,15 @@ def _cluster_labels(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents").select("doc_id")
         n_edges = pairs.count()
         if n_edges <= DRIVER_CC_MAX_EDGES:
-            parent: dict = {}
-
-            def find(x):
-                root = x
-                while parent.get(root, root) != root:
-                    root = parent[root]
-                while parent.get(x, x) != x:  # path compression
-                    parent[x], x = root, parent[x]
-                return root
-
-            for row in pairs.select("doc_a", "doc_b").toLocalIterator():
-                ra, rb = find(row[0]), find(row[1])
-                if ra != rb:  # min id wins so labels match the oracle
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-            labels = [(n, find(n)) for n in list(parent)]
-            labels_df = spark.createDataFrame(
-                labels, "doc_id long, lab long"
-            )
-            return docs.join(F.broadcast(labels_df), "doc_id", "left").select(
-                "doc_id",
-                F.coalesce("lab", "doc_id").cast("long").alias("cluster_id"),
-            )
-
-        edges = (
-            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-            .unionByName(
-                pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-            )
-            .localCheckpoint(eager=True)
-        )
-        labels = (
-            edges.select(F.col("src").alias("doc_id"))
-            .distinct()
-            .select("doc_id", F.col("doc_id").alias("lab"))
-            .localCheckpoint(eager=True)
-        )
-        for _ in range(20):  # >= diameter hops for any sane dup graph
-            neighbor_min = (
-                labels.join(edges, labels.doc_id == edges.src)
-                .groupBy(F.col("dst").alias("doc_id"))
-                .agg(F.min("lab").alias("nlab"))
-            )
-            updated = (
-                labels.join(neighbor_min, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
-                    ).alias("lab"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "doc_id")
-                .filter(F.col("u.lab") != F.col("l.lab"))
-                .limit(1)
-                .count()
-            )
-            labels = updated
-            if changed == 0:
-                break
-        return docs.join(labels, "doc_id", "left").select(
+            labels_df = cc_driver_union_find(spark, pairs)
+        else:
+            labels_df = cc_distributed_min_label(pairs)
+        return docs.join(
+            F.broadcast(labels_df) if n_edges <= DRIVER_CC_MAX_EDGES
+            else labels_df,
+            "doc_id",
+            "left",
+        ).select(
             "doc_id",
             F.coalesce("lab", "doc_id").cast("long").alias("cluster_id"),
         )

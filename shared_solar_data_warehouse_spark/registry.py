@@ -198,90 +198,35 @@ def _bench_cost() -> dict[str, float]:
 
 
 #: Ops to confirm FIRST in the next driver round: ops edited this
-#: round (their old green rows are fingerprint-invalidated), then the
-#: families VERDICT r03 asked to front-load — streaming state logic
-#: (one driver-green row so far) and the high-complexity custom ops
-#: whose answers carry the most risk if the local mirror missed
-#: something.  Prune entries once they turn driver-green.
+#: round (their old green rows are fingerprint-invalidated), then
+#: high-risk never-sampled families.  Prune entries once they turn
+#: driver-green.  Kept deliberately SHORT for r5 (VERDICT r4 item 3):
+#: after the explicit must-confirms, ``driver_order``'s
+#: uncovered-before-covered + cheapest-first sort packs the maximum
+#: number of the ~176 never-driver-sampled ops into the 50-query
+#: sample window, which is the scarce resource this round.
 _FRONTLOAD: tuple[str, ...] = (
-    # r4-continuation brand-new ops, riskiest custom logic first —
-    # these have never been in a driver sample; give them the first
-    # driver look in r5 ahead of everything already green:
-    "sim_pca_power_iteration",
-    "stream_cdc_apply",
-    "stream_topk_snapshot",
-    "ts_survival_km",
-    "agg_rfm_segmentation",
+    # r5 fixes of the two r4 driver hash-fails (VERDICT r4 item 1) —
+    # both rewritten to integer-exact outputs; must re-verify first:
     "ts_changepoint",
-    "win_pareto_frontier",
-    "fn_penny_allocation",
-    "graph_modularity",
-    "sim_silhouette",
-    "agg_welch_ttest",
-    "ts_sliding_correlation",
-    "agg_association_rules",
-    "text_cooccurrence_pmi",
-    "text_vocab_growth",
-    "ts_cohort_ltv",
-    "agg_winsorized_mean",
-    "win_bollinger_band",
     "agg_log2_histogram",
-    "ts_clearness_index",
-    "ts_npv_cashflows",
-    "text_readability",
-    "source_calendar_spine",
-    "sink_parquet_partitioned",
-    # r4 edits — must re-verify (VERDICT r03 items 2/3/5/6):
-    "agg_ks_test",
-    "dedup_near_minhash",
-    "dedup_minhash_signature",
-    "win_cumulative_share",
-    "graph_bfs_layers",
-    "ts_session_window",
-    "fn_math",
-    # r4 brand-new ops — first driver look:
-    "sample_weighted",
-    "etl_compaction_plan",
-    "join_bloom_prefilter",
-    "text_chunk_windows",
-    "text_dataset_mixture",
-    "etl_partition_skew_audit",
-    "join_pit_features",
-    "text_pack_sequences",
-    "ts_yield_deviation",
-    "text_inverted_index",
-    "win_moving_slope",
-    "etl_orphan_fk_audit",
-    "text_quality_composite",
-    "dedup_cross_source_overlap",
-    "sim_kmeans_lloyd",
-    "agg_mann_whitney",
-    "agg_trimmed_mean",
-    "ts_interarrival_stats",
-    "text_bpe_pair_freq",
-    "sql_scalar_subquery",
-    "agg_binomial_ci",
-    "ts_clock_phase_audit",
-    "text_rare_token_ratio",
-    "graph_local_clustering",
-    "join_band",
-    "mm_blob_dedup",
-    "ts_event_transitions",
-    "scan_xml",
-    "sim_embedding_drift",
-    "agg_mutual_info",
-    "agg_tukey_outliers",
-    "ts_theil_sen_slope",
-    "report_experiment_health",
-    "etl_k_anonymity_audit",
-    "etl_schema_drift_audit",
-    "dedup_minhash_calibration",
-    "sim_ann_recall_eval",
-    "ts_alert_debounce",
-    "ts_peak_valley",
-    "sql_distinct_on",
+    # edited after their green round, not yet re-verified
+    # (fingerprint-stale per OP_FINGERPRINTS.json at r5 start):
+    "agg_geomean_log",
+    "sim_label_centroids",
     "ts_capacity_factor",
-    # streaming state logic (VERDICT r03 item 4):
+    # libm-transcendental double emitters never driver-sampled — the
+    # residual `libm-quantized` risk class from ieee_ok.py; confirm
+    # these before the mechanically-safe integer ops:
+    "agg_cat_entropy",
+    "agg_mutual_info",
+    "text_bigram_perplexity",
+    "text_char_entropy",
+    "text_keywords",
+    "text_tfidf",
+    "text_unigram_perplexity",
+    "dedup_simhash",
+    # streaming state logic still without a driver row:
     "stream_tumbling",
     "stream_session",
     "stream_ewma",
@@ -289,18 +234,6 @@ _FRONTLOAD: tuple[str, ...] = (
     "stream_sliding",
     "stream_watermark",
     "stream_dedup",
-    # high-complexity customs, riskiest-first (VERDICT r03 item 1):
-    "ts_gap_fill",
-    "ts_interp_linear",
-    "graph_pagerank",
-    "graph_connected_components",
-    "dedup_cluster",
-    "dedup_simhash",
-    "sim_ann_ivf",
-    "text_tfidf",
-    "graph_kcore",
-    "ts_resample",
-    "ts_sessionize",
 )
 
 

@@ -764,7 +764,7 @@ def test_changepoint_one_row_per_type_with_valid_split(spark, registry):
     n_days = e.select(F.to_date("ts")).distinct().count()
     for r in rows:
         assert 1 <= r.n_days_before < n_days + 1
-        assert r.mean_before >= 0.0 and r.mean_after >= 0.0
+        assert r.mean_before_cents >= 0 and r.mean_after_cents >= 0
 
 
 def test_vocab_growth_accounts_for_full_vocabulary(spark, registry):
@@ -784,3 +784,67 @@ def test_vocab_growth_accounts_for_full_vocabulary(spark, registry):
     assert sum(r.n_new_tokens for r in rows) == vocab
     assert rows[-1].cum_vocab == vocab
     assert all(b.cum_vocab <= a.cum_vocab for a, b in zip(rows[1:], rows))
+
+
+def test_cc_distributed_parity_at_scale_with_long_chain(spark):
+    """r5 (VERDICT r4 item 6): end-to-end parity of the distributed
+    min-label CC path against the driver union-find on a synthetic dup
+    graph BIGGER and nastier than anything the sf fixtures produce:
+
+    * a 1000-node CHAIN (diameter 999) — serially-edited documents,
+      each a near-dup of the next.  Propagation-only min-label needs
+      999 rounds; the 20-round cap would silently mislabel it.  The
+      pointer-doubling shortcut (lab <- lab[lab]) added in r5 converges
+      in ~log2(999) ~ 10 rounds, which this test proves.
+    * 200 disjoint 10-cliques (the common near-dup blob shape),
+    * 5_000 random small components spread over a 1e9 id space
+      (label != position, exercises the join keys, not array indexing).
+
+    ~50k edges built WITH spark.range (no driver-side list), run through
+    BOTH module-level regime functions, labels compared exactly.
+    """
+    from shared_solar_data_warehouse_spark.operators.dedup import (
+        cc_distributed_min_label,
+        cc_driver_union_find,
+    )
+
+    base = 1_000_000_000
+    chain = spark.range(999).select(
+        (F.col("id") + base).alias("doc_a"),
+        (F.col("id") + base + 1).alias("doc_b"),
+    )
+    # 200 cliques of 10: all pairs within each block of 10 ids.
+    clique_nodes = spark.range(2000).select(
+        (F.col("id") / 10).cast("long").alias("blk"),
+        (F.col("id") * 7 + 3 * base).alias("node"),  # scattered ids
+    )
+    cliques = (
+        clique_nodes.alias("a")
+        .join(clique_nodes.alias("b"), "blk")
+        .filter(F.col("a.node") < F.col("b.node"))
+        .select(F.col("a.node").alias("doc_a"), F.col("b.node").alias("doc_b"))
+    )
+    # 5k random star components: hub id h, 8 spokes each.
+    stars = spark.range(40_000).select(
+        ((F.col("id") / 8).cast("long") * 1013 + 5 * base).alias("doc_a"),
+        (F.col("id") * 991 + 7 * base).alias("doc_b"),
+    )
+    pairs = chain.unionByName(cliques).unionByName(stars).repartition(32)
+
+    dist = {
+        (r.doc_id, r.lab) for r in cc_distributed_min_label(pairs).collect()
+    }
+    # union-find emits only NON-ROOT nodes (roots default to self via
+    # the caller's coalesce), so normalize to the same total map:
+    driver_map = {
+        r.doc_id: r.lab for r in cc_driver_union_find(spark, pairs).collect()
+    }
+    mismatches = [
+        (doc, lab, driver_map.get(doc, doc))
+        for (doc, lab) in dist
+        if lab != driver_map.get(doc, doc)
+    ]
+    assert not mismatches, mismatches[:10]
+    # The chain must be ONE component labeled by its min id.
+    chain_labels = {lab for (doc, lab) in dist if base <= doc < base + 1000}
+    assert chain_labels == {base}
