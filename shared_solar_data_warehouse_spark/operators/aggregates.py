@@ -1400,6 +1400,112 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @op(
+    "agg_cramers_v",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ), margins AS (
+        SELECT event_type, dow, o,
+               CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS row_n,
+               CAST(sum(o) OVER (PARTITION BY dow) AS BIGINT) AS col_n,
+               CAST(sum(o) OVER () AS BIGINT) AS n,
+               CAST(count(DISTINCT event_type) OVER () AS BIGINT) AS r_levels,
+               CAST(count(DISTINCT dow) OVER () AS BIGINT) AS c_levels
+        FROM obs
+    ), cells AS (
+        SELECT CAST(floor(
+                   (CAST(o AS DOUBLE)
+                    - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * (CAST(o AS DOUBLE)
+                      - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT) AS cell_q6,
+               n, r_levels, c_levels
+        FROM margins
+    ), tot AS (
+        SELECT CAST(sum(cell_q6) AS BIGINT) AS chi2_q6,
+               CAST(max(n) AS BIGINT) AS n_rows,
+               CAST(max(r_levels) AS BIGINT) AS r_levels,
+               CAST(max(c_levels) AS BIGINT) AS c_levels
+        FROM cells
+    )
+    SELECT n_rows, r_levels, c_levels, chi2_q6,
+           CAST(floor(sqrt(
+               CAST(chi2_q6 AS DOUBLE) / 1e6
+               / (CAST(n_rows AS DOUBLE)
+                  * CAST(CASE WHEN r_levels < c_levels THEN r_levels
+                              ELSE c_levels END - 1 AS DOUBLE)))
+               * 1e6 + 0.5) AS BIGINT) AS cramers_v_ppm
+    FROM tot
+    """,
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the type × day-of-week association —
+    the STRENGTH companion to agg_chi_square's significance (a huge n
+    makes any χ² "significant"; V = sqrt(χ²/(n·min(r−1,c−1))) stays in
+    [0,1] and answers "does it matter").  Reuses the chi-square cell
+    discipline exactly: per-cell (o−e)²/e quantized to 1e-6 units
+    BEFORE the integer sum (order-independent), then ONE sqrt — IEEE
+    correctly-rounded, engine-identical, ieee_ok-exempt because the
+    graded output is the floor-quantized ppm BIGINT, never a raw
+    double.  Plan: identical to agg_chi_square — the event scan's
+    partial-agg groupBy into a 5×7 contingency table is the only
+    scale-bearing work; margins, levels, and V live on ≤35 rows."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wall = Window.partitionBy()
+    margins = obs.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col_n"),
+        F.sum("o").over(wall).alias("n"),
+        F.size(F.collect_set("event_type").over(wall))
+        .cast("bigint")
+        .alias("r_levels"),
+        F.size(F.collect_set("dow").over(wall)).cast("bigint").alias("c_levels"),
+    )
+    exp = (
+        "CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    cells = margins.select(
+        F.expr(
+            f"CAST(floor((CAST(o AS DOUBLE) - {exp})"
+            f" * (CAST(o AS DOUBLE) - {exp}) / ({exp}) * 1e6 + 0.5)"
+            f" AS BIGINT)"
+        ).alias("cell_q6"),
+        "n",
+        "r_levels",
+        "c_levels",
+    )
+    tot = cells.agg(
+        F.sum("cell_q6").cast("bigint").alias("chi2_q6"),
+        F.max("n").alias("n_rows"),
+        F.max("r_levels").alias("r_levels"),
+        F.max("c_levels").alias("c_levels"),
+    )
+    return tot.select(
+        "n_rows",
+        "r_levels",
+        "c_levels",
+        "chi2_q6",
+        F.expr(
+            "CAST(floor(sqrt(CAST(chi2_q6 AS DOUBLE) / 1e6"
+            " / (CAST(n_rows AS DOUBLE)"
+            "    * CAST(least(r_levels, c_levels) - 1 AS DOUBLE)))"
+            " * 1e6 + 0.5) AS BIGINT)"
+        ).alias("cramers_v_ppm"),
+    )
+
+
+@op(
     "agg_ks_test",
     oracle="""
     WITH s AS (
@@ -2695,4 +2801,133 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("lift_ppm"),
         )
+    )
+
+
+@op(
+    "agg_ndcg_eval",
+    oracle="""
+    WITH clicks AS (
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow, user_id,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), purch AS (
+        SELECT CAST(isodow(ts) AS BIGINT) AS dow, user_id,
+               CAST(count(*) AS BIGINT) AS rel
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), ranked AS (
+        SELECT c.dow, c.user_id,
+               COALESCE(p.rel, 0) AS rel,
+               CAST(row_number() OVER (
+                   PARTITION BY c.dow
+                   ORDER BY c.cents DESC, c.user_id) AS BIGINT) AS k
+        FROM clicks c LEFT JOIN purch p
+          ON p.dow = c.dow AND p.user_id = c.user_id
+    ), topk AS (
+        SELECT dow, user_id, rel, k,
+               CAST(row_number() OVER (
+                   PARTITION BY dow
+                   ORDER BY rel DESC, user_id) AS BIGINT) AS ideal_k
+        FROM ranked WHERE k <= 10
+    ), terms AS (
+        SELECT dow,
+               CAST(floor(CAST(rel AS DOUBLE)
+                          / log2(CAST(k + 1 AS DOUBLE)) * 1e9 + 0.5)
+                    AS BIGINT) AS dcg_term_q9,
+               CAST(floor(CAST(rel AS DOUBLE)
+                          / log2(CAST(ideal_k + 1 AS DOUBLE)) * 1e9 + 0.5)
+                    AS BIGINT) AS idcg_term_q9
+        FROM topk
+    )
+    SELECT dow,
+           CAST(count(*) AS BIGINT) AS n_ranked,
+           CAST(sum(dcg_term_q9) AS BIGINT) AS dcg_q9,
+           CAST(sum(idcg_term_q9) AS BIGINT) AS idcg_q9,
+           CASE WHEN sum(idcg_term_q9) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((sum(dcg_term_q9) * 1000000)
+                          // sum(idcg_term_q9) AS BIGINT) END AS ndcg_ppm
+    FROM terms GROUP BY dow
+    """,
+)
+def agg_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 ranking-quality evaluation — the metric every retrieval
+    / recommender / reranker training loop reports, as a pure
+    aggregate: per day-of-week, the "predicted" ranking is the top-10
+    users by click spend (cents DESC, user_id tie-break) and graded
+    relevance is each user's purchase count that day-of-week; NDCG is
+    DCG/IDCG with the standard 1/log2(k+1) position discount, IDCG
+    taken over the same top-10 set re-sorted by relevance (the
+    within-candidate-set normalization, documented — not global-ideal).
+
+    Float discipline: each position term rel/log2(k+1) is quantized to
+    1e-9 units BEFORE the integer sums (order-independent; log2 of
+    the small integers 2..11 is the only libm call, shared textually
+    by both engines), and NDCG is an exact integer ppm division — all
+    graded columns BIGINT.  Scale shape: two partial-agg groupBys on
+    (dow, user), a dow-partitioned top-10 window (per-partition heaps
+    under TakeOrdered semantics), then per-position arithmetic on ≤70
+    rows.  The event scans dominate at any scale; nothing downstream
+    grows with the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(
+            (F.weekday("ts") + 1).cast("bigint").alias("dow"), "user_id"
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.weekday("ts") + 1).cast("bigint").alias("dow"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+    )
+    ranked = (
+        clicks.join(purch, ["dow", "user_id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        .withColumn(
+            "k",
+            F.row_number()
+            .over(
+                Window.partitionBy("dow").orderBy(
+                    F.col("cents").desc(), F.col("user_id")
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("k") <= 10)
+    )
+    topk = ranked.withColumn(
+        "ideal_k",
+        F.row_number()
+        .over(
+            Window.partitionBy("dow").orderBy(
+                F.col("rel").desc(), F.col("user_id")
+            )
+        )
+        .cast("bigint"),
+    )
+    terms = topk.select(
+        "dow",
+        F.expr(
+            "CAST(floor(CAST(rel AS DOUBLE) / log2(CAST(k + 1 AS DOUBLE))"
+            " * 1e9 + 0.5) AS BIGINT)"
+        ).alias("dcg_term_q9"),
+        F.expr(
+            "CAST(floor(CAST(rel AS DOUBLE)"
+            " / log2(CAST(ideal_k + 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)"
+        ).alias("idcg_term_q9"),
+    )
+    return terms.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+        F.sum("dcg_term_q9").cast("bigint").alias("dcg_q9"),
+        F.sum("idcg_term_q9").cast("bigint").alias("idcg_q9"),
+        F.expr(
+            "CASE WHEN sum(idcg_term_q9) = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST((sum(dcg_term_q9) * 1000000) DIV sum(idcg_term_q9)"
+            " AS BIGINT) END"
+        ).alias("ndcg_ppm"),
     )

@@ -1035,3 +1035,92 @@ def etl_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'stable' END"
         ).alias("drift_status"),
     )
+
+
+@op(
+    "etl_backfill_plan",
+    oracle="""
+    WITH obs AS (
+        SELECT DISTINCT event_type,
+               CAST(user_id % 8 AS BIGINT) AS bucket,
+               CAST(ts AS DATE) AS d
+        FROM events
+    ), span AS (
+        SELECT min(d) AS mn, max(d) AS mx FROM obs
+    ), combos AS (
+        SELECT DISTINCT event_type, bucket FROM obs
+    ), spine AS (
+        SELECT c.event_type, c.bucket, CAST(g.d AS DATE) AS d
+        FROM combos c
+        CROSS JOIN span s
+        CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(s.mn, s.mx, INTERVAL 1 DAY)) AS d
+        ) g
+    ), missing AS (
+        SELECT s.event_type, s.bucket, s.d
+        FROM spine s
+        LEFT JOIN obs o
+          ON o.event_type = s.event_type AND o.bucket = s.bucket
+             AND o.d = s.d
+        WHERE o.d IS NULL
+    ), islands AS (
+        SELECT event_type, bucket, d,
+               d - CAST(row_number() OVER (
+                       PARTITION BY event_type, bucket ORDER BY d)
+                   AS INTEGER) AS grp
+        FROM missing
+    )
+    SELECT event_type, bucket,
+           min(d) AS backfill_start,
+           max(d) AS backfill_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM islands GROUP BY event_type, bucket, grp
+    """,
+)
+def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner — the job every scheduled-ingest pipeline runs
+    before a catch-up: at the (event_type × user-bucket × day) grain,
+    find the day CELLS with no data inside the corpus' global day
+    span and compress consecutive missing days into contiguous
+    [start, end] ranges (gaps-and-islands: day minus its per-cell
+    row_number is constant within a run), so the backfill scheduler
+    gets one work item per contiguous hole instead of one per day.
+
+    Scale shape: the events scan collapses to DISTINCT (type, bucket,
+    day) cells — bounded by types × buckets × days, NOT by rows — and
+    everything after (span, spine, anti-join, islands) lives on that
+    bounded cell domain.  The spine is generated per combo from one
+    broadcast global-span row (sequence(), no physical calendar), the
+    anti-join is a cell-domain hash join, and the island window
+    partitions by (type, bucket) over ≤|days| rows each.  At 100 TB
+    nothing but the first partial-agg distinct touches fact rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "event_type",
+            F.pmod(F.col("user_id"), F.lit(8)).cast("bigint").alias("bucket"),
+            F.to_date("ts").alias("d"),
+        )
+        .distinct()
+    )
+    span = obs.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    combos = obs.select("event_type", "bucket").distinct()
+    spine = (
+        combos.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            "bucket",
+            F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("d"),
+        )
+    )
+    missing = spine.join(obs, ["event_type", "bucket", "d"], "left_anti")
+    islands = missing.withColumn(
+        "grp", F.expr("date_sub(d, CAST(row_number() OVER (" 
+        "PARTITION BY event_type, bucket ORDER BY d) AS INT))")
+    )
+    return islands.groupBy("event_type", "bucket", "grp").agg(
+        F.min("d").alias("backfill_start"),
+        F.max("d").alias("backfill_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    ).drop("grp")

@@ -1474,3 +1474,87 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.crossJoin(F.broadcast(anchor)).select(
         "pos", (F.col("v") * F.col("flip")).cast("long").alias("component_q6")
     )
+
+
+@op(
+    "sim_mips_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb,
+               CAST(1 + vec_id % 7 AS BIGINT) AS q_mag
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               CAST(1 + e.vec_id % 7 AS BIGINT) * q.q_mag
+                   * {_DUCK_DOT.format(a='q.q_emb', b='e.embedding')}
+                   AS score,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY CAST(1 + e.vec_id % 7 AS BIGINT) * q.q_mag
+                            * {_DUCK_DOT.format(a='q.q_emb',
+                                                b='e.embedding')} DESC,
+                            e.vec_id) AS mips_rank
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, neighbor_id,
+           CAST(mips_rank AS INTEGER) AS mips_rank,
+           CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_q6
+    FROM scored WHERE mips_rank <= {KNN_K}
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) top-5 — the retrieval
+    primitive when embeddings carry MAGNITUDE (recommender item
+    popularity, unnormalized retrieval scores): unlike cosine kNN,
+    the best neighbor is NOT the closest direction but the best
+    norm × alignment trade-off, so the self-match loses to big-norm
+    vectors and cosine-LSH cannot index it directly.  The fixture
+    vectors are unit-norm, so a deterministic per-vector magnitude
+    (1 + vec_id % 7, exact BIGINT) rebuilds the general case; score =
+    m_q · m_c · ⟨q, c⟩ with the dot folded in the identical sequential
+    order both engines use everywhere else in this module.  Ranking
+    uses the UNROUNDED score with a vec_id tie-break; the graded
+    column is the 1e-6-quantized BIGINT score.
+
+    Scale shape: brute force is one broadcast of the query block
+    against a corpus scan (embarrassingly parallel, per-partition
+    top-k heaps).  The documented index path at 100 TB is the
+    standard MIPS→cosine reduction — augment each corpus vector with
+    sqrt(M² − ‖x‖²) so inner product order matches cosine order in
+    d+1 dims — after which sim_ann_lsh's banded hyperplane index
+    applies unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        (F.lit(1) + F.col("vec_id") % 7).cast("bigint").alias("q_mag"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        (F.lit(1) + F.col("vec_id") % 7).cast("bigint").alias("c_mag"),
+    )
+    scored = corpus.join(F.broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.col("c_mag").cast("double")
+            * F.col("q_mag").cast("double")
+            * F.expr(_DOT.format(a="q_emb", b="c_emb"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("mips_rank", F.row_number().over(w))
+        .filter(F.col("mips_rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("mips_rank").cast("int").alias("mips_rank"),
+            F.expr("CAST(floor(score * 1e6 + 0.5) AS BIGINT)").alias(
+                "score_q6"
+            ),
+        )
+    )

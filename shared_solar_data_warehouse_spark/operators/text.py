@@ -2089,3 +2089,80 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs_both").cast("long").alias("n_docs_both"),
         (F.floor(pmi * 1000000.0 + 0.5) / 1000000.0).alias("pmi"),
     )
+
+
+#: Hashing-trick feature space size for text_hashed_ngram_features.
+HASH_FEATURE_DIM = 1024
+
+
+@op(
+    "text_hashed_ngram_features",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bigrams AS (
+        SELECT doc_id,
+               t[i] || '_' || t[i + 1] AS bigram
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i
+        ) g
+        WHERE len(t) >= 2
+    ), hashed AS (
+        SELECT doc_id, bigram,
+               CAST(('0x' || substr(md5(bigram), 1, 15)) AS BIGINT)
+                   % {HASH_FEATURE_DIM} AS feature_id
+        FROM bigrams
+    )
+    SELECT feature_id,
+           CAST(count(*) AS BIGINT) AS total_count,
+           CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(bigram) AS example_bigram
+    FROM hashed GROUP BY feature_id
+    """,
+)
+def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bigram featurization census — the HashingTF /
+    feature-hashing stage of every large-scale text classifier, made
+    queryable: token bigrams map to a fixed 1024-bucket
+    feature space via the repo's portable 60-bit md5-prefix hash
+    (bit-equal integer arithmetic on both engines — never an engine-
+    native hash), and the graded output is the per-bucket dictionary
+    census: total occurrences, DISTINCT bigrams sharing the bucket
+    (the collision audit that tells you whether the feature dim is
+    big enough), doc reach, and the lexicographically-smallest member
+    as a stable exemplar.
+
+    Scale shape: the bigram fan-out is a zero-shuffle per-row map
+    (transform over the token array, exploded), and the census is one
+    hash aggregate bounded by the FEATURE DIM (1024
+    rows), not by the corpus: partials merge associatively, distinct
+    counts stay bucket-local.  At 100 TB the long-format (doc,
+    feature, count) matrix this census profiles would be written as
+    the training artifact; the census itself is the cheap side table."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        d.withColumn("t", F.split(F.col("text"), " "))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> concat(x, '_', t[i + 1]))"
+                )
+            ).alias("bigram"),
+        )
+    )
+    hashed = bigrams.withColumn(
+        "feature_id",
+        F.conv(F.substring(F.md5(F.col("bigram")), 1, 15), 16, 10)
+        .cast("bigint")
+        % HASH_FEATURE_DIM,
+    )
+    return hashed.groupBy("feature_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_count"),
+        F.countDistinct("bigram").cast("bigint").alias("n_distinct_bigrams"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.min("bigram").alias("example_bigram"),
+    )

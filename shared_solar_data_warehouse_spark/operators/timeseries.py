@@ -3620,3 +3620,118 @@ def ts_sliding_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(cov / F.sqrt(vx * vy) * 10000.0 + 0.5) / 10000.0)
         .alias("corr_7d"),
     )
+
+
+#: Battery capacity for ts_battery_soc, in cents-of-value units.
+BATTERY_CAP_CENTS = 50_000
+
+
+@op(
+    "ts_battery_soc",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id,
+               CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS k,
+               CASE event_type
+                    WHEN 'purchase' THEN CAST(floor(value * 100.0 + 0.5)
+                                              AS BIGINT)
+                    ELSE -CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+               END AS delta
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ), ns AS (
+        SELECT user_id, max(k) AS n_steps FROM seq GROUP BY user_id
+    ), fold AS (
+        SELECT user_id, k,
+               least(greatest(delta, 0), {BATTERY_CAP_CENTS}) AS soc,
+               CASE WHEN delta < 0 THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS n_clamp_lo,
+               CASE WHEN delta > {BATTERY_CAP_CENTS} THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS n_clamp_hi
+        FROM seq WHERE k = 1
+        UNION ALL
+        SELECT s.user_id, s.k,
+               least(greatest(f.soc + s.delta, 0), {BATTERY_CAP_CENTS}),
+               f.n_clamp_lo + CASE WHEN f.soc + s.delta < 0
+                                   THEN 1 ELSE 0 END,
+               f.n_clamp_hi + CASE WHEN f.soc + s.delta > {BATTERY_CAP_CENTS}
+                                   THEN 1 ELSE 0 END
+        FROM fold f JOIN seq s ON s.user_id = f.user_id AND s.k = f.k + 1
+    )
+    SELECT f.user_id,
+           CAST(f.soc AS BIGINT) AS final_soc_cents,
+           CAST(n.n_steps AS BIGINT) AS n_steps,
+           f.n_clamp_lo, f.n_clamp_hi
+    FROM fold f JOIN ns n ON n.user_id = f.user_id AND f.k = n.n_steps
+    """,
+)
+def ts_battery_soc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Battery state-of-charge simulation per user — the canonical
+    NON-ASSOCIATIVE sequential fold: soc_t = clamp(soc_{{t-1}} + delta,
+    0, cap) with purchases charging and clicks discharging (cents).
+    The clamp makes the fold order-dependent and NOT expressible as a
+    window sum (the ts_cusum linearization works for one-sided min
+    clamps; the two-sided clamp has no prefix-sum closed form), so
+    this is the contractual ``applyInPandas`` stateful lane: one hash
+    exchange on user_id, each group folded sequentially in an Arrow
+    batch, emitting (final_soc_cents, n_steps, clamp counts) per user.
+    The oracle is the same fold as a DuckDB RECURSIVE CTE over
+    row_number'd steps — depth = max events per user (~43 at sf0.1),
+    bounded by the per-key sequence length, never by corpus size.
+    All-integer state: no IEEE value crosses engines.  At 100 TB:
+    per-user sequences are short and independent — partition by key,
+    fold within partition (the streaming twin is
+    applyInPandasWithState with the soc as state); the shuffle carries
+    only (user_id, ts, event_id, delta)."""
+    import pandas as pd
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr(
+                "CASE WHEN event_type = 'purchase'"
+                " THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+                " ELSE -CAST(floor(value * 100.0 + 0.5) AS BIGINT) END"
+            ).alias("delta"),
+        )
+    )
+
+    cap = BATTERY_CAP_CENTS
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        soc = 0
+        lo = hi = 0
+        for d in pdf["delta"]:
+            raw = soc + int(d)
+            if raw < 0:
+                soc = 0
+                lo += 1
+            elif raw > cap:
+                soc = cap
+                hi += 1
+            else:
+                soc = raw
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_soc_cents": [soc],
+                "n_steps": [len(pdf)],
+                "n_clamp_lo": [lo],
+                "n_clamp_hi": [hi],
+            }
+        )
+
+    # Explicit repartition: exempt from AQE coalescing so the grouped
+    # Python stage keeps one task per core (see udf_apply_in_pandas).
+    e = e.repartition(32, "user_id")
+    return e.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id long, final_soc_cents long, n_steps long,"
+        " n_clamp_lo long, n_clamp_hi long",
+    )

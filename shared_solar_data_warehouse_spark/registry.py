@@ -211,10 +211,20 @@ _FRONTLOAD: tuple[str, ...] = (
     "ts_changepoint",
     "agg_log2_histogram",
     # edited after their green round, not yet re-verified
-    # (fingerprint-stale per OP_FINGERPRINTS.json at r5 start):
+    # (fingerprint-stale per OP_FINGERPRINTS.json at r5 start), plus
+    # agg_skew_kurt whose -0.0 normalization invalidated its green:
     "agg_geomean_log",
     "sim_label_centroids",
     "ts_capacity_factor",
+    "agg_skew_kurt",
+    # r5 brand-new ops — first driver look, riskiest custom logic
+    # (stateful fold, recursive oracle) first:
+    "ts_battery_soc",
+    "agg_ndcg_eval",
+    "etl_backfill_plan",
+    "sim_mips_topk",
+    "text_hashed_ngram_features",
+    "agg_cramers_v",
     # libm-transcendental double emitters never driver-sampled — the
     # residual `libm-quantized` risk class from ieee_ok.py; confirm
     # these before the mechanically-safe integer ops:

