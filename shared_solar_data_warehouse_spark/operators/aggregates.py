@@ -2931,3 +2931,68 @@ def agg_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) END"
         ).alias("ndcg_ppm"),
     )
+
+
+@op(
+    "agg_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) % 1000000 AS pred_ppm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ), binned AS (
+        SELECT pred_ppm // 100000 AS bin, pred_ppm, y FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pred_ppm) // count(*) AS BIGINT) AS mean_pred_ppm,
+           CAST((sum(y) * 1000000) // count(*) AS BIGINT)
+               AS observed_ppm,
+           CAST(sum(pred_ppm) // count(*)
+                - (sum(y) * 1000000) // count(*) AS BIGINT) AS gap_ppm
+    FROM binned GROUP BY bin
+    """,
+)
+def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration reliability bins — the eval every probability-
+    emitting classifier ships next to its AUC: bucket predictions into
+    10 equal-width score bins and compare the bin's mean predicted
+    probability against the observed positive rate (here the
+    "model score" is the repo's portable md5-prefix hash of event_id
+    in ppm — deterministic on both engines, uniform by construction,
+    so the observed gap IS the base-rate miscalibration a constant
+    model has; the op's value is the exact binning/gap machinery).
+    All-integer: ppm scores, truncated-DIV bin means and rates, signed
+    gap.  Scale shape: a per-row hash + one 10-cell hash aggregate —
+    partials merge associatively, nothing downstream of the scan grows
+    with the corpus.  Pairs with agg_ndcg_eval on the model-eval
+    shelf: ranking quality there, probability quality here."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 1_000_000
+        ).alias("pred_ppm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        F.expr("pred_ppm DIV 100000").alias("bin"), "pred_ppm", "y"
+    )
+    return binned.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(sum(pred_ppm) DIV count(*) AS BIGINT)").alias(
+            "mean_pred_ppm"
+        ),
+        F.expr("CAST((sum(y) * 1000000) DIV count(*) AS BIGINT)").alias(
+            "observed_ppm"
+        ),
+        F.expr(
+            "CAST(sum(pred_ppm) DIV count(*)"
+            " - (sum(y) * 1000000) DIV count(*) AS BIGINT)"
+        ).alias("gap_ppm"),
+    )

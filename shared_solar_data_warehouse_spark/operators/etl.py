@@ -1124,3 +1124,61 @@ def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d").alias("backfill_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
     ).drop("grp")
+
+
+@op(
+    "etl_late_arriving_dim",
+    oracle="""
+    WITH facts AS (
+        SELECT user_id + {shift} AS key, ts, value FROM events
+    ), orphans AS (
+        SELECT f.key
+        FROM (SELECT DISTINCT key FROM facts) f
+        LEFT JOIN customer c ON c.c_custkey = f.key
+        WHERE c.c_custkey IS NULL
+    )
+    SELECT f.key AS user_id,
+           min(CAST(f.ts AS DATE)) AS first_seen_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(f.value * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM facts f JOIN orphans o ON o.key = f.key
+    GROUP BY f.key
+    """.format(shift=_KEY_SHIFT),
+)
+def etl_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension worklist (the "inferred member" pattern
+    of dimensional warehousing): fact rows referencing users the
+    customer dim does not know yet.  Where etl_orphan_fk_audit GATES
+    (counts + one repro key per edge), this op builds the actionable
+    MERGE payload — one row per unknown user with everything the dim
+    load needs to land a placeholder member: first-seen day (becomes
+    the SCD2 effective date), activity volume, and exact cents at
+    stake.  Fact keys take etl_upsert's _KEY_SHIFT so the worklist is
+    non-empty at every fixture scale (the raw user domain is a strict
+    subset of the customer keys; the shifted domain straddles the top
+    of the dim's key range — same straddling trick, same constant).
+
+    Scale shape: distinct fact keys → broadcast-able anti-join against
+    the dim (dims are small by definition; the anti join is map-side),
+    then one semi-join-shaped aggregate over only the orphan rows —
+    the orphan set is a sliver, so the second pass's shuffle is tiny.
+    At 100 TB the worklist feeds etl_upsert's MERGE as the inferred-
+    member insert branch."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") + F.lit(_KEY_SHIFT)).alias("user_id"), "ts", "value"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orphan_keys = (
+        e.select("user_id")
+        .distinct()
+        .join(F.broadcast(c), F.col("user_id") == F.col("c_custkey"), "left_anti")
+    )
+    orphan_rows = e.join(F.broadcast(orphan_keys), "user_id", "left_semi")
+    return orphan_rows.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_seen_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )

@@ -3735,3 +3735,80 @@ def ts_battery_soc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, final_soc_cents long, n_steps long,"
         " n_clamp_lo long, n_clamp_hi long",
     )
+
+
+#: Attribution lookback window for ts_attribution_last_touch (seconds).
+ATTRIB_WINDOW_S = 7 * 86_400
+
+
+@op(
+    "ts_attribution_last_touch",
+    oracle=f"""
+    WITH stream AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN epoch(ts) END IGNORE NULLS)
+                   OVER w AS touch_es
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CASE WHEN touch_type IS NOT NULL
+                     AND epoch(ts) - touch_es <= {ATTRIB_WINDOW_S}
+                THEN touch_type ELSE 'direct' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents
+    FROM stream WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution — the revenue-credit rule every
+    growth dashboard starts from: each purchase credits the user's most
+    recent prior click-or-view touchpoint within a 7-day lookback, else
+    'direct'.  The classic implementation is an as-of join
+    (purchases × touches); this is the MERGED-STREAM form — one
+    running ``last_value(... IGNORE NULLS)`` over the user's combined
+    event sequence (ordered ts, event_id; the purchase row itself can
+    never be its own touch because the CASE nulls non-touch types) —
+    which costs ONE user-keyed window exchange instead of a join, the
+    same shape join_asof documents as its merged-stream twin.
+    Lookback enforced on exact epoch seconds; credit summed in exact
+    cents.  At 100 TB: one hash exchange on user_id, linear window
+    scan per user, then a channel-bounded aggregate (≤3 rows)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.expr(
+        "CASE WHEN event_type IN ('click', 'view') THEN event_type END"
+    )
+    touch_es = F.expr(
+        "CASE WHEN event_type IN ('click', 'view')"
+        " THEN unix_timestamp(ts) END"
+    )
+    stream = e.select(
+        "event_type",
+        "ts",
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_es, ignorenulls=True).over(w).alias("touch_es"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.expr(
+            f"CASE WHEN touch_type IS NOT NULL"
+            f" AND unix_timestamp(ts) - touch_es <= {ATTRIB_WINDOW_S}"
+            f" THEN touch_type ELSE 'direct' END"
+        ).alias("channel"),
+        "cents",
+    )
+    return purchases.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("attributed_cents"),
+    )

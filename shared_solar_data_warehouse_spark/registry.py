@@ -225,6 +225,9 @@ _FRONTLOAD: tuple[str, ...] = (
     "sim_mips_topk",
     "text_hashed_ngram_features",
     "agg_cramers_v",
+    "ts_attribution_last_touch",
+    "agg_calibration_bins",
+    "etl_late_arriving_dim",
     # libm-transcendental double emitters never driver-sampled — the
     # residual `libm-quantized` risk class from ieee_ok.py; confirm
     # these before the mechanically-safe integer ops:

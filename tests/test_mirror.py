@@ -54,3 +54,31 @@ def test_every_query_has_contract_shape(registry):
     assert len(q) == len(registry)
     # rows-only ops are the documented minority
     assert len(o) >= 0.75 * len(q)
+
+
+def test_canon_value_floats_are_bit_exact():
+    """r5 (VERDICT r4 items 2/3): the mirror's float canonicalization
+    must be BIT-exact, not ==-exact — Python `==` passes 0.0 == -0.0
+    and 1 == 1.0, both of which a formatting value-hash splits (the r4
+    driver/mirror divergence class; -0.0 was caught live on
+    agg_skew_kurt the first bit-exact run)."""
+    from shared_solar_data_warehouse_spark.mirror import canon_value
+
+    # negative zero must NOT canonicalize equal to positive zero
+    assert canon_value(0.0) != canon_value(-0.0)
+    # int vs float dtype mismatch must NOT compare equal
+    assert canon_value(1) != canon_value(1.0)
+    # every NaN payload folds to one token (sorting stability)
+    assert canon_value(float("nan")) == "NaN"
+    # equal bits canonicalize equal, and the form is stable
+    assert canon_value(0.1) == canon_value(0.1)
+    assert canon_value(0.1) == "f64:" + __import__("struct").pack(
+        "<d", 0.1
+    ).hex()
+    # Decimal routes through float canonicalization (DuckDB DECIMAL
+    # vs Spark double must stay comparable)
+    from decimal import Decimal
+
+    assert canon_value(Decimal("0.5")) == canon_value(0.5)
+    # bools stay bools (never confused with 0/1 ints by the canon)
+    assert canon_value(True) is True

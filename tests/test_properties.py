@@ -966,3 +966,53 @@ def test_cramers_v_in_unit_interval(spark, registry):
     r = rows[0]
     assert 0 <= r.cramers_v_ppm <= 1_000_000
     assert r.r_levels >= 2 and r.c_levels >= 2
+
+
+def test_attribution_conserves_purchase_revenue(spark, registry):
+    """Every purchase is attributed exactly once: channel sums equal the
+    global purchase totals, and channels are only touch types or
+    'direct'."""
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["ts_attribution_last_touch"].builder(spark, SF_SMALL).collect()
+    assert rows
+    assert {r.channel for r in rows} <= {"click", "view", "direct"}
+    e = load_table(spark, SF_SMALL, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    tot = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")).alias("c"),
+    ).collect()[0]
+    assert sum(r.n_purchases for r in rows) == tot["n"]
+    assert sum(r.attributed_cents for r in rows) == tot["c"]
+
+
+def test_calibration_bins_partition_the_corpus(spark, registry):
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["agg_calibration_bins"].builder(spark, SF_SMALL).collect()
+    assert {r.bin for r in rows} <= set(range(10))
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sum(r.n for r in rows) == n_events
+    for r in rows:
+        assert 0 <= r.observed_ppm <= 1_000_000
+        # bin b's mean prediction must sit inside the bin's range
+        assert r.bin * 100_000 <= r.mean_pred_ppm < (r.bin + 1) * 100_000
+        assert r.gap_ppm == r.mean_pred_ppm - r.observed_ppm
+
+
+def test_late_arriving_dim_keys_unknown_to_customer(spark, registry):
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    rows = registry["etl_late_arriving_dim"].builder(spark, SF_SMALL).collect()
+    assert rows, "key shift must manufacture a non-empty worklist"
+    known = {
+        r["c_custkey"]
+        for r in load_table(spark, SF_SMALL, "customer")
+        .select("c_custkey")
+        .collect()
+    }
+    for r in rows:
+        assert r.user_id not in known
+        assert r.n_events >= 1 and r.total_cents >= 0
