@@ -64,6 +64,13 @@ GOLDEN_OPS = (
     "text_cooccurrence_pmi",
     "ts_changepoint",
     "stream_cdc_apply",
+    # round-5 flagships (stateful fold, model eval, MIPS retrieval,
+    # merged-stream attribution):
+    "ts_battery_soc",
+    "agg_ndcg_eval",
+    "sim_mips_topk",
+    "ts_attribution_last_touch",
+    "etl_backfill_plan",
 )
 
 
