@@ -137,25 +137,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(var_samp(l_quantity), 4) AS var_qty,
            round(stddev_pop(l_discount), 4) AS sdp_disc,
            round(var_pop(l_discount), 4) AS varp_disc,
-           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+           round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0
+               AS covar_qty_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moment statistics (Welford-style mergeable states both engines).
     skewness/kurtosis are deliberately excluded: Spark uses population
-    formulas, DuckDB sample-corrected — not hash-matchable."""
+    formulas, DuckDB sample-corrected — not hash-matchable.  The
+    signed columns (corr, covar) add ``+ 0.0`` after rounding to
+    squash IEEE negative zero (r5 bit-exact-mirror discipline — a
+    near-zero correlation must not hash-split on the sign of zero)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.round(F.stddev_pop("l_discount"), 4).alias("sdp_disc"),
         F.round(F.var_pop("l_discount"), 4).alias("varp_disc"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
-            "covar_qty_price"
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+            "corr_qty_price"
         ),
+        (
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4)
+            + F.lit(0.0)
+        ).alias("covar_qty_price"),
     )
 
 

@@ -40,7 +40,7 @@ _DUCK_DOT = (
     "sim_pairwise_cosine",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}, 4)
+           round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}, 4) + 0.0
                AS cosine
     FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
     """,
@@ -54,8 +54,11 @@ def sim_pairwise_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(
-            F.expr(_DOT.format(a="a.embedding", b="b.embedding")), 4
+        (
+            F.round(
+                F.expr(_DOT.format(a="a.embedding", b="b.embedding")), 4
+            )
+            + F.lit(0.0)
         ).alias("cosine"),
     )
 
@@ -99,7 +102,7 @@ _DUCK_KNN = f"""
                             e.vec_id) AS rank
         FROM embeddings e CROSS JOIN q
     )
-    SELECT query_id, neighbor_id, neighbor_label, round(dot, 4) AS cosine,
+    SELECT query_id, neighbor_id, neighbor_label, round(dot, 4) + 0.0 AS cosine,
            CAST(rank AS INTEGER) AS rank
     FROM scored WHERE rank <= {KNN_K}
 """
@@ -115,7 +118,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         "neighbor_label",
-        F.round(F.col("dot"), 4).alias("cosine"),
+        (F.round(F.col("dot"), 4) + F.lit(0.0)).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     )
 
@@ -222,7 +225,7 @@ def sim_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round("dot", 4).alias("cosine"),
+            (F.round("dot", 4) + F.lit(0.0)).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -302,7 +305,7 @@ def _sim_ann_lsh_oracle() -> str:
                                   ORDER BY dot DESC, neighbor_id) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, round(dot, 4) AS cosine,
+    SELECT query_id, neighbor_id, round(dot, 4) + 0.0 AS cosine,
            CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= {KNN_K}
     """
@@ -423,7 +426,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round("dot", 4).alias("cosine"),
+            (F.round("dot", 4) + F.lit(0.0)).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -442,7 +445,7 @@ IVF_NPROBE = 4
     "dedup_near_embedding",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}, 4)
+           round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}, 4) + 0.0
                AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}, 4)
@@ -555,7 +558,7 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a",
             "vec_b",
-            F.round(F.expr(_DOT.format(a="e_a", b="e_b")), 4).alias("cosine"),
+            (F.round(F.expr(_DOT.format(a="e_a", b="e_b")), 4) + F.lit(0.0)).alias("cosine"),
         )
         .filter(F.col("cosine") >= EMB_NEAR_DUP_TAU)
         .select("vec_a", "vec_b", "cosine")
@@ -591,7 +594,7 @@ def dedup_near_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM probes p JOIN assigned a ON a.cell = p.cell
     )
     SELECT query_id, neighbor_id,
-           round(dot, 4) AS cosine,
+           round(dot, 4) + 0.0 AS cosine,
            CAST(rnk AS INTEGER) AS rank
     FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
@@ -672,7 +675,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round("dot", 4).alias("cosine"),
+            (F.round("dot", 4) + F.lit(0.0)).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
         )
     )

@@ -529,7 +529,8 @@ def ts_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_id, value,
            round((value - s1 / n)
-                 / sqrt((s2 - s1 * s1 / n) / (n - 1) + 1e-9), 4) AS zscore,
+                 / sqrt((s2 - s1 * s1 / n) / (n - 1) + 1e-9), 4) + 0.0
+               AS zscore,
            abs(value - s1 / n)
                > 3.0 * sqrt((s2 - s1 * s1 / n) / (n - 1) + 1e-9) AS is_anomaly
     FROM stats WHERE n >= 12
@@ -539,7 +540,11 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag readings >3σ from the trailing-24-reading mean.  Mean and
     variance are derived from EXACT decimal window sums (Σx, Σx²), so
     the z-score arithmetic is bit-identical on both engines — a raw
-    windowed stddev would be segment-tree-order dependent."""
+    windowed stddev would be segment-tree-order dependent.  The
+    rounded z-score adds ``+ 0.0`` to squash IEEE negative zero: a
+    tiny-negative score rounds to -0.0 in DuckDB but +0.0 under
+    Spark's round (caught by the r5 bit-exact mirror at sf0.1 —
+    the agg_skew_kurt class)."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -564,7 +569,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "value",
-        F.round((v - mean) / std, 4).alias("zscore"),
+        (F.round((v - mean) / std, 4) + F.lit(0.0)).alias("zscore"),
         (F.abs(v - mean) > 3.0 * std).alias("is_anomaly"),
     )
 

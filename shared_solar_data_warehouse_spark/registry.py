@@ -228,6 +228,17 @@ _FRONTLOAD: tuple[str, ...] = (
     "ts_attribution_last_touch",
     "agg_calibration_bins",
     "etl_late_arriving_dim",
+    # r5 negative-zero normalization sweep (round() on signed values:
+    # Spark round -> +0.0 where DuckDB keeps -0.0) — every touched op
+    # re-verifies; ts_anomaly_zscore was the live sf0.1 catch:
+    "ts_anomaly_zscore",
+    "sim_pairwise_cosine",
+    "sim_knn_bruteforce",
+    "sim_knn_classify",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "dedup_near_embedding",
+    "agg_stats",
     # libm-transcendental double emitters never driver-sampled — the
     # residual `libm-quantized` risk class from ieee_ok.py; confirm
     # these before the mechanically-safe integer ops:
