@@ -863,6 +863,100 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("containment") >= CONTAIN_TAU)
 
 
+#: Span-dedup shingle width (tokens).  8 matches the "50-token span"
+#: idea scaled to the fixture's short docs: long enough that a match is
+#: real shared text, short enough to be non-empty on every fixture doc.
+SPAN_NGRAM_K = 8
+
+
+@op(
+    "dedup_span_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   generate_series(1, len(toks) - 7),
+                   i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+        FROM toks WHERE len(toks) >= 8
+    ),
+    census AS (
+        SELECT shingle, count(DISTINCT doc_id) >= 2 AS dup
+        FROM spans GROUP BY shingle
+    ),
+    flagged AS (
+        SELECT s.source, s.doc_id, c.dup
+        FROM spans s JOIN census c ON s.shingle = c.shingle
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total_spans,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_spans,
+           CAST(count(DISTINCT CASE WHEN dup THEN doc_id END) AS BIGINT)
+               AS n_docs_with_dup,
+           CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS dup_span_ppm
+    FROM flagged GROUP BY source
+    """,
+)
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level (sub-document) duplication census — the ExactSubstr
+    idea from the train-dedup literature at token-n-gram granularity:
+    a position inside a doc is "duplicated" when its 8-token window
+    also occurs in at least one OTHER document, and the per-source
+    report (total positions, duplicated positions, ppm, affected docs)
+    is what a corpus curator reads before deciding to cut repeated
+    boilerplate.  Doc-level dedup (`dedup_exact`/`dedup_near_shingle`)
+    cannot see this: two long docs sharing one paragraph are not
+    near-duplicates, but every token of that paragraph is still
+    memorization fuel.
+
+    Plan: positional 8-gram explode (`transform(sequence(...))` +
+    `slice`), one shuffle into the shingle census (count-distinct-docs
+    collapses to a dup BOOLEAN before the join back, so the census side
+    is one bit per distinct shingle), a shingle-keyed sort-merge join
+    back to positions, then a source-bounded final aggregate.  All
+    counts integer; the rate is truncating ppm.  100 TB path: identical
+    shape with the shingle string replaced by its 128-bit hash for
+    shuffle width (collision-verify within bucket, as
+    `dedup_near_minhash` does) and a document-frequency cap on the
+    census to bound hot-boilerplate posting lists.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    spans = d.filter(F.size("toks") >= SPAN_NGRAM_K).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {SPAN_NGRAM_K - 1}),"
+                f" i -> array_join(slice(toks, i, {SPAN_NGRAM_K}), ' '))"
+            )
+        ).alias("shingle"),
+    )
+    census = spans.groupBy("shingle").agg(
+        (F.count_distinct("doc_id") >= 2).alias("dup")
+    )
+    flagged = spans.join(census, "shingle")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_spans"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("dup_spans"),
+        F.count_distinct(F.when(F.col("dup"), F.col("doc_id")))
+        .cast("bigint")
+        .alias("n_docs_with_dup"),
+        F.expr(
+            "CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(*) AS BIGINT)"
+        ).alias("dup_span_ppm"),
+    )
+
+
 #: Affine permutation constants (a, b) for the portable minhash
 #: signature op — a,b < _MH_P so a*(h%p)+b stays under 2^62 (no
 #: overflow on either engine's BIGINT).  Kept as the first 4 lanes'

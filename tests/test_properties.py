@@ -1016,3 +1016,48 @@ def test_late_arriving_dim_keys_unknown_to_customer(spark, registry):
     for r in rows:
         assert r.user_id not in known
         assert r.n_events >= 1 and r.total_cents >= 0
+
+
+def test_span_ngram_census_matches_bruteforce(spark, registry):
+    """`dedup_span_ngram`'s distributed shingle-census plan must agree
+    with a literal python recount of duplicated 8-token windows — and a
+    position is duplicated iff its window text occurs in ≥2 DISTINCT
+    docs (repeats inside one doc alone do not count)."""
+    from collections import defaultdict
+
+    from shared_solar_data_warehouse_spark.operators.dedup import SPAN_NGRAM_K
+    from shared_solar_data_warehouse_spark.sources.io import load_table
+
+    docs = (
+        load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    owners = defaultdict(set)
+    spans = []  # (source, doc_id, shingle)
+    for r in docs:
+        toks = r.text.split(" ")
+        for i in range(len(toks) - SPAN_NGRAM_K + 1):
+            sh = " ".join(toks[i : i + SPAN_NGRAM_K])
+            owners[sh].add(r.doc_id)
+            spans.append((r.source, r.doc_id, sh))
+    exp = defaultdict(lambda: [0, 0, set()])  # total, dup, dup_docs
+    for src, doc, sh in spans:
+        e = exp[src]
+        e[0] += 1
+        if len(owners[sh]) >= 2:
+            e[1] += 1
+            e[2].add(doc)
+    got = {
+        r.source: r
+        for r in registry["dedup_span_ngram"].builder(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(exp)
+    for src, (total, dup, dup_docs) in exp.items():
+        r = got[src]
+        assert (r.total_spans, r.dup_spans, r.n_docs_with_dup) == (
+            total,
+            dup,
+            len(dup_docs),
+        ), src
+        assert r.dup_span_ppm == dup * 1_000_000 // total
