@@ -382,13 +382,18 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    # Exact verification: the candidate set is tiny by LSH design, so
-    # BROADCAST it against the corpus's shingle arrays — the wide
-    # arrays never shuffle (at 100 TB the candidate side stays small
-    # relative to the corpus; if it didn't, the banding parameters are
-    # wrong, not the join strategy).
+    # Exact verification: broadcast ONLY the candidate ID PAIRS (tiny
+    # by LSH design) to pick up doc_a's shingle array without moving
+    # the corpus; the second join — which must co-locate doc_a's and
+    # doc_b's arrays in one row — is a plain shuffle join on doc_b, so
+    # the wide arrays move once through a partitioned exchange and
+    # NEVER through the driver.  (The ~sf3 probe caught the previous
+    # shape broadcasting candidates-joined-with-sh_a: a broadcast whose
+    # payload grows with candidates x array width OOMs the moment the
+    # corpus has dense dup cliques, even though the id pairs alone stay
+    # small.)
     sh = s.select("doc_id", "n_sh", "shingles")
-    verified = sh.select(
+    half = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_sh").alias("n_a"),
         F.col("shingles").alias("sh_a"),
@@ -397,7 +402,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         F.col("n_sh").alias("n_b"),
         F.col("shingles").alias("sh_b"),
-    ).join(F.broadcast(verified), "doc_b")
+    ).join(half, "doc_b")
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))
     jaccard = n_common.cast("double") / (
         F.col("n_a") + F.col("n_b") - n_common
