@@ -1204,12 +1204,16 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingles").alias("sh_a"),
         F.col("sig").alias("sig_a"),
     ).join(F.broadcast(candidates), "doc_a")
+    # Plain shuffle join on doc_b — broadcasting `j` here would ship the
+    # candidates ALREADY JOINED with doc_a's shingle+signature arrays,
+    # a payload that grows with candidates x array width (the exact
+    # OOM shape the ~sf3 probe caught on dedup_near_minhash).
     j = side.select(
         F.col("doc_id").alias("doc_b"),
         F.col("n_sh").alias("n_b"),
         F.col("shingles").alias("sh_b"),
         F.col("sig").alias("sig_b"),
-    ).join(F.broadcast(j), "doc_b")
+    ).join(j, "doc_b")
     n_lanes = len(_LSH_PERMS)
     est = (
         "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
