@@ -1151,10 +1151,11 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: signatures and shingles come from the SAME memoized
     artifact and one `_lane_minima` fold (md5 once per shingle); the
-    candidate ids travel alone through the bucket shuffle, and the
-    small candidate table broadcasts back for the array comparisons
-    — the dedup_near_minhash skeleton with the verification step
-    swapped for the estimator/exact comparison."""
+    candidate ids travel alone through the bucket shuffle; the bare id
+    pairs broadcast onto doc_a's arrays and the doc_b side joins by
+    shuffle (arrays move once through a partitioned exchange, never
+    through the driver) — the dedup_near_minhash skeleton with the
+    verification step swapped for the estimator/exact comparison."""
     s = shingle_sets(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
     sig = _lane_minima(F.col("shingles"), _LSH_PERMS)
 
