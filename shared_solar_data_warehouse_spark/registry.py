@@ -217,6 +217,14 @@ _FRONTLOAD: tuple[str, ...] = (
     "sim_label_centroids",
     "ts_capacity_factor",
     "agg_skew_kurt",
+    # r5 second half: verify-join shape fix (broadcast only bare id
+    # pairs) invalidated dedup_near_minhash's r3/r4 greens, and
+    # dedup_minhash_calibration got the same edit; dedup_span_ngram is
+    # brand-new.  All three are too costly for the cheapest-first band
+    # to ever reach, so they must be explicit:
+    "dedup_near_minhash",
+    "dedup_minhash_calibration",
+    "dedup_span_ngram",
     # r5 brand-new ops — first driver look, riskiest custom logic
     # (stateful fold, recursive oracle) first:
     "ts_battery_soc",
