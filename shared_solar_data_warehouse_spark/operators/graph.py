@@ -39,6 +39,22 @@ _UNIT = 1_000_000_000_000_000.0  # 1e15 quantization grid for contributions
 DENSE_MAX_NODES = 32_768
 _ROUNDS = 3
 
+#: Gate for broadcasting node-cardinality tables (degrees, ranks,
+#: labels, frontiers, keep-sets): ~1M nodes x ~40 B/row ~= 40 MB, inside
+#: the session's 64 MB auto-broadcast ceiling with headroom.  Below the
+#: gate the per-round join is map-side and the only shuffle is the
+#: aggregate; above it (a 100x replication probe OOM'd exactly here)
+#: the join co-partitions on the node key instead — the documented
+#: 100 TB fallback, picked at runtime from the actual node count.
+BROADCAST_MAX_NODES = 1_000_000
+
+
+def _node_side(df: DataFrame, n_nodes: int) -> DataFrame:
+    """Broadcast a node-cardinality join side only while it is genuinely
+    broadcastable; past BROADCAST_MAX_NODES return it un-hinted so the
+    join shuffles both sides on the node key."""
+    return F.broadcast(df) if n_nodes <= BROADCAST_MAX_NODES else df
+
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected customer–supplier edges, materialized once
@@ -168,19 +184,22 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
-    # Node-cardinality sides (deg, ranks) broadcast: edges outnumber
-    # nodes ~30:1 here and far more at scale, so every per-round join
-    # stays map-side and the only shuffle is the groupBy(dst).  If the
-    # node set ever outgrew executor memory, the fallback is
-    # co-partitioning edges and ranks on the join key once.
-    edges_d = edges.join(F.broadcast(deg), "src")
+    # Node-cardinality sides (deg, ranks) broadcast while the node set
+    # is genuinely broadcastable (edges outnumber nodes ~30:1 here), so
+    # every per-round join stays map-side and the only shuffle is the
+    # groupBy(dst).  Past BROADCAST_MAX_NODES the rounds co-partition
+    # edges and ranks on the node key instead — forcing the broadcast
+    # unconditionally OOM'd at a 100x replication probe.
+    n_nodes = deg.count()
+    edges_d = edges.join(_node_side(deg, n_nodes), "src")
     ranks = deg.crossJoin(nn).select(
         F.col("src").alias("node"),
         (F.lit(1.0) / F.col("n").cast("double")).alias("pr"),
     )
     for _ in range(_ROUNDS):
         contribs = edges_d.join(
-            F.broadcast(ranks.select(F.col("node").alias("src"), "pr")), "src"
+            _node_side(ranks.select(F.col("node").alias("src"), "pr"), n_nodes),
+            "src",
         ).select(
             "dst",
             F.floor(F.col("pr") / F.col("outdeg") * _UNIT + 0.5)
@@ -307,9 +326,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = pairs.groupBy("u").agg(F.sort_array(F.collect_set("v")).alias("nbrs"))
     au = adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nbrs_u"))
     av = adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nbrs_v"))
+    # The adjacency payload is EDGE-sized (each row carries the neighbor
+    # array), so the broadcast gate is the edge count, not the node
+    # count: past the driver cap the intersection joins co-partition.
+    def _adj_side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_edges <= DRIVER_CC_MAX_EDGES else df
+
     per_edge = (
-        pairs.join(F.broadcast(au), F.col("u") == F.col("au"))
-        .join(F.broadcast(av), F.col("v") == F.col("av"))
+        pairs.join(_adj_side(au), F.col("u") == F.col("au"))
+        .join(_adj_side(av), F.col("v") == F.col("av"))
         .select(
             F.size(F.array_intersect("nbrs_u", "nbrs_v")).alias("tri_at_edge")
         )
@@ -380,9 +405,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("lab"),
     )
+    n_nodes = labels.count()
     for rnd in range(_CC_ROUNDS):
         contrib = (
-            edges.join(F.broadcast(labels), edges.src == labels.node)
+            edges.join(_node_side(labels, n_nodes), edges.src == labels.node)
             .select(F.col("dst").alias("node"), "lab")
         )
         labels = (
@@ -476,9 +502,10 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d1 = deg.select(F.col("suppkey").alias("s1"), F.col("deg").alias("d1"))
     d2 = deg.select(F.col("suppkey").alias("s2"), F.col("deg").alias("d2"))
+    n_sup = deg.count()
     return (
-        pairs.join(F.broadcast(d1), "s1")
-        .join(F.broadcast(d2), "s2")
+        pairs.join(_node_side(d1, n_sup), "s1")
+        .join(_node_side(d2, n_sup), "s2")
         .select(
             "s1",
             "s2",
@@ -544,12 +571,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row-equal at sf0.1 and ~sf1; ~40% cheaper at both).  The two
         # counts are per-round aggregates over the node-sized deg
         # table — cheap next to a skipped edge-filter round.
-        if keep.count() == deg.count():
+        n_keep = keep.count()
+        if n_keep == deg.count():
             break
         e = (
-            e.join(F.broadcast(keep.withColumnRenamed("src", "ka")), F.col("src") == F.col("ka"))
+            e.join(
+                _node_side(keep.withColumnRenamed("src", "ka"), n_keep),
+                F.col("src") == F.col("ka"),
+            )
             .drop("ka")
-            .join(F.broadcast(keep.withColumnRenamed("src", "kb")), F.col("dst") == F.col("kb"))
+            .join(
+                _node_side(keep.withColumnRenamed("src", "kb"), n_keep),
+                F.col("dst") == F.col("kb"),
+            )
             .drop("kb")
         )
         # Lazy localCheckpoint between peel rounds: `e` appears three
@@ -621,6 +655,11 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays proportional to reached nodes, and depth caps the rounds —
     BFS over power-law graphs saturates in a handful of hops."""
     edges = _edges(spark, sf_dir)
+    # Frontier and visited are bounded by reached nodes; gate their
+    # broadcasts on the graph's node count (the conservative upper
+    # bound, one count over the memoized edge list) so a graph past
+    # BROADCAST_MAX_NODES co-partitions instead of OOMing.
+    n_graph = edges.select("src").distinct().count()
     visited = spark.createDataFrame(
         [(s, 0) for s in _BFS_SEEDS], "node string, dist int"
     )
@@ -628,14 +667,14 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in range(1, _BFS_DEPTH + 1):
         nxt = (
             edges.join(
-                F.broadcast(frontier.select(F.col("node").alias("src"))),
+                _node_side(frontier.select(F.col("node").alias("src")), n_graph),
                 "src",
             )
             .select(F.col("dst").alias("node"))
             .distinct()
-            # The visited set is bounded by reached nodes — broadcast
-            # it so the anti-join is map-side too.
-            .join(F.broadcast(visited.select("node")), "node", "left_anti")
+            # The visited set is bounded by reached nodes — map-side
+            # anti-join while broadcastable.
+            .join(_node_side(visited.select("node"), n_graph), "node", "left_anti")
             .select("node", F.lit(d).cast("int").alias("dist"))
         )
         if d < _BFS_DEPTH:
@@ -736,13 +775,16 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     small so x·y ≤ deg_max² ≈ 1e6 per edge — far inside BIGINT)."""
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.count()
     pairs = (
         edges.join(
-            F.broadcast(deg.select(F.col("src"), F.col("d").alias("x"))), "src"
+            _node_side(deg.select(F.col("src"), F.col("d").alias("x")), n_nodes),
+            "src",
         )
         .join(
-            F.broadcast(
-                deg.select(F.col("src").alias("dst"), F.col("d").alias("y"))
+            _node_side(
+                deg.select(F.col("src").alias("dst"), F.col("d").alias("y")),
+                n_nodes,
             ),
             "dst",
         )

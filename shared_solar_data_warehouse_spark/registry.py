@@ -225,6 +225,10 @@ _FRONTLOAD: tuple[str, ...] = (
     "dedup_near_minhash",
     "dedup_minhash_calibration",
     "dedup_span_ngram",
+    # r5 second half: node-count gate on graph broadcasts (100x probe
+    # OOM) edited the whole band; only bfs had a green row to lose, the
+    # rest are never-sampled and ride the uncovered band as before:
+    "graph_bfs_layers",
     # r5 brand-new ops — first driver look, riskiest custom logic
     # (stateful fold, recursive oracle) first:
     "ts_battery_soc",
