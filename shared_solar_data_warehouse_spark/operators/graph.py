@@ -56,6 +56,22 @@ def _node_side(df: DataFrame, n_nodes: int) -> DataFrame:
     return F.broadcast(df) if n_nodes <= BROADCAST_MAX_NODES else df
 
 
+#: Trade-graph node count per (app, sf_dir) — the gate input shared by
+#: pagerank/cc/bfs/assortativity, counted once per session over the
+#: memoized edge table instead of once per op (same memo discipline as
+#: memo_checkpoint; an int, so no checkpoint needed).
+_NODE_COUNT_MEMO: dict = {}
+
+
+def _n_graph_nodes(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NODE_COUNT_MEMO:
+        _NODE_COUNT_MEMO[key] = (
+            _edges(spark, sf_dir).select("src").distinct().count()
+        )
+    return _NODE_COUNT_MEMO[key]
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct undirected customer–supplier edges, materialized once
     per (app, sf_dir): both pagerank rounds and the degree ops reuse
@@ -190,7 +206,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy(dst).  Past BROADCAST_MAX_NODES the rounds co-partition
     # edges and ranks on the node key instead — forcing the broadcast
     # unconditionally OOM'd at a 100x replication probe.
-    n_nodes = deg.count()
+    n_nodes = _n_graph_nodes(spark, sf_dir)
     edges_d = edges.join(_node_side(deg, n_nodes), "src")
     ranks = deg.crossJoin(nn).select(
         F.col("src").alias("node"),
@@ -405,7 +421,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("lab"),
     )
-    n_nodes = labels.count()
+    n_nodes = _n_graph_nodes(spark, sf_dir)
     for rnd in range(_CC_ROUNDS):
         contrib = (
             edges.join(_node_side(labels, n_nodes), edges.src == labels.node)
@@ -657,9 +673,9 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir)
     # Frontier and visited are bounded by reached nodes; gate their
     # broadcasts on the graph's node count (the conservative upper
-    # bound, one count over the memoized edge list) so a graph past
+    # bound, shared via the session memo) so a graph past
     # BROADCAST_MAX_NODES co-partitions instead of OOMing.
-    n_graph = edges.select("src").distinct().count()
+    n_graph = _n_graph_nodes(spark, sf_dir)
     visited = spark.createDataFrame(
         [(s, 0) for s in _BFS_SEEDS], "node string, dist int"
     )
@@ -775,7 +791,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     small so x·y ≤ deg_max² ≈ 1e6 per edge — far inside BIGINT)."""
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    n_nodes = deg.count()
+    n_nodes = _n_graph_nodes(spark, sf_dir)
     pairs = (
         edges.join(
             _node_side(deg.select(F.col("src"), F.col("d").alias("x")), n_nodes),
