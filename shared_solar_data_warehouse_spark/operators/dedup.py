@@ -382,22 +382,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
-    # Exact verification: broadcast ONLY the candidate ID PAIRS (tiny
-    # by LSH design) to pick up doc_a's shingle array without moving
-    # the corpus; the second join — which must co-locate doc_a's and
-    # doc_b's arrays in one row — is a plain shuffle join on doc_b, so
-    # the wide arrays move once through a partitioned exchange and
-    # NEVER through the driver.  (The ~sf3 probe caught the previous
-    # shape broadcasting candidates-joined-with-sh_a: a broadcast whose
-    # payload grows with candidates x array width OOMs the moment the
-    # corpus has dense dup cliques, even though the id pairs alone stay
-    # small.)
+    # Exact verification: only the candidate ID PAIRS (small by LSH
+    # design) meet doc_a's shingle arrays, and the join carries no
+    # hint — candidates come out of an aggregation, so AQE's runtime
+    # stats broadcast them when they are genuinely small and fall back
+    # to a shuffle join when a pathological corpus (dense dup cliques)
+    # makes them candidate-quadratic.  The second join — which must
+    # co-locate doc_a's and doc_b's arrays in one row — shuffles on
+    # doc_b, so the wide arrays move once through a partitioned
+    # exchange and NEVER through the driver.  (The ~sf3 probe caught
+    # the original shape force-broadcasting candidates-joined-with-
+    # sh_a: a payload that grows with candidates x array width.)
     sh = s.select("doc_id", "n_sh", "shingles")
     half = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_sh").alias("n_a"),
         F.col("shingles").alias("sh_a"),
-    ).join(F.broadcast(candidates), "doc_a")
+    ).join(candidates, "doc_a")
     verified = sh.select(
         F.col("doc_id").alias("doc_b"),
         F.col("n_sh").alias("n_b"),
@@ -1204,7 +1205,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_sh").alias("n_a"),
         F.col("shingles").alias("sh_a"),
         F.col("sig").alias("sig_a"),
-    ).join(F.broadcast(candidates), "doc_a")
+    ).join(candidates, "doc_a")  # un-hinted: AQE broadcasts iff small
     # Plain shuffle join on doc_b — broadcasting `j` here would ship the
     # candidates ALREADY JOINED with doc_a's shingle+signature arrays,
     # a payload that grows with candidates x array width (the exact
