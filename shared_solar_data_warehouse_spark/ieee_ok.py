@@ -140,9 +140,11 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'text_unigram_perplexity': ('libm-quantized', 'xent_bits'),
     'topk_global': ('source-passthrough', 'o_totalprice'),
     'topk_per_group': ('source-passthrough', 'c_acctbal'),
+    'ts_acf_profile': ('quantized-grid', 'acf_q4'),
     'ts_anomaly_zscore': ('quantized-grid', 'value,zscore'),
     'ts_bucket_agg': ('quantized-grid', 'total_value'),
     'ts_counter_reset': ('ieee-elementary', 'cum_consumed'),
+    'ts_daily_acf': ('quantized-grid', 'acf1_q4'),
     'ts_credit_reconciliation': ('quantized-grid', 'min_balance'),
     'ts_delta': ('quantized-grid', 'value_delta'),
     'ts_ewma': ('ieee-elementary', 'ewma_level'),
@@ -173,6 +175,7 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'win_range_frame': ('ieee-elementary', 'trailing_30d_total'),
     'win_rank_dense': ('quantized-grid', 'c_acctbal,bal_pct_rank,bal_cume_dist'),
     'win_row_number': ('source-passthrough', 'o_totalprice'),
+    'win_zscore': ('quantized-grid', 'zscore_q4'),
     'win_running': ('ieee-elementary', 'running_total'),
     'win_sliding_rows': ('quantized-grid', 'smoothed'),
 }

@@ -63,7 +63,14 @@ def canon_value(v: Any) -> Any:
             return "NaN"
         return "f64:" + struct.pack("<d", v).hex()
     if isinstance(v, Decimal):
-        return canon_value(float(v))
+        # Distinct token, NOT float(): the driver's canonicalization
+        # splits DECIMAL-vs-DOUBLE dtypes even at equal values (the
+        # r1/r2 failure class), so folding Decimal into the f64 token
+        # here would let a DECIMAL oracle leak pass the local mirror
+        # and fail at the driver (ADVICE r5).  The DESCRIBE-based lint
+        # in tests/test_oracle_types.py bans DECIMAL oracle output
+        # outright; this token is the belt to that suspenders.
+        return "dec:" + str(v)
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, dt.date):

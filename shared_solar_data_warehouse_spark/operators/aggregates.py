@@ -2811,9 +2811,33 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: NDCG@10 position-discount weights, quantized to 1e-9 units:
+#: D(k) = round(1e9 / log2(k+1)) for rank k in 1..10.  Computed ONCE at
+#: module import by CPython's libm and inlined as IDENTICAL integer
+#: literals into BOTH engines' expressions (ADVICE r5: the previous
+#: formulation called each engine's own log2 at runtime — a 1-ulp
+#: divergence at a floor-rounding boundary could flip a BIGINT term and
+#: split the driver hash; this makes the op genuinely libm-free at
+#: query time).
+def _ndcg_discounts_q9() -> dict[int, int]:
+    import math
+
+    return {k: round(1e9 / math.log2(k + 1)) for k in range(1, 11)}
+
+
+def _ndcg_disc_case(col: str) -> str:
+    """Shared SQL text (valid in both Spark SQL and DuckDB) mapping a
+    rank column to its 1e-9-unit discount weight."""
+    whens = " ".join(
+        f"WHEN {k} THEN CAST({w} AS BIGINT)"
+        for k, w in _ndcg_discounts_q9().items()
+    )
+    return f"CASE {col} {whens} END"
+
+
 @op(
     "agg_ndcg_eval",
-    oracle="""
+    oracle=f"""
     WITH clicks AS (
         SELECT CAST(isodow(ts) AS BIGINT) AS dow, user_id,
                CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
@@ -2839,11 +2863,8 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE k <= 10
     ), terms AS (
         SELECT dow,
-               CAST(floor(CAST(rel AS DOUBLE)
-                          / log2(CAST(k + 1 AS DOUBLE)) * 1e9 + 0.5)
-                    AS BIGINT) AS dcg_term_q9,
-               CAST(floor(CAST(rel AS DOUBLE)
-                          / log2(CAST(ideal_k + 1 AS DOUBLE)) * 1e9 + 0.5)
+               CAST(rel * {_ndcg_disc_case('k')} AS BIGINT) AS dcg_term_q9,
+               CAST(rel * {_ndcg_disc_case('ideal_k')}
                     AS BIGINT) AS idcg_term_q9
         FROM topk
     )
@@ -2867,10 +2888,11 @@ def agg_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     taken over the same top-10 set re-sorted by relevance (the
     within-candidate-set normalization, documented — not global-ideal).
 
-    Float discipline: each position term rel/log2(k+1) is quantized to
-    1e-9 units BEFORE the integer sums (order-independent; log2 of
-    the small integers 2..11 is the only libm call, shared textually
-    by both engines), and NDCG is an exact integer ppm division — all
+    Float discipline: the ten position discounts 1/log2(k+1), k=1..10,
+    are PRE-QUANTIZED to 1e-9-unit integer literals at module import
+    (_ndcg_disc_case — identical CASE text in both engines), so each
+    term is the exact integer rel * D(k), no runtime libm call on
+    either engine, and NDCG is an exact integer ppm division — all
     graded columns BIGINT.  Scale shape: two partial-agg groupBys on
     (dow, user), a dow-partitioned top-10 window (per-partition heaps
     under TakeOrdered semantics), then per-position arithmetic on ≤70
@@ -2919,14 +2941,12 @@ def agg_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     terms = topk.select(
         "dow",
-        F.expr(
-            "CAST(floor(CAST(rel AS DOUBLE) / log2(CAST(k + 1 AS DOUBLE))"
-            " * 1e9 + 0.5) AS BIGINT)"
-        ).alias("dcg_term_q9"),
-        F.expr(
-            "CAST(floor(CAST(rel AS DOUBLE)"
-            " / log2(CAST(ideal_k + 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)"
-        ).alias("idcg_term_q9"),
+        F.expr(f"CAST(rel * {_ndcg_disc_case('k')} AS BIGINT)").alias(
+            "dcg_term_q9"
+        ),
+        F.expr(f"CAST(rel * {_ndcg_disc_case('ideal_k')} AS BIGINT)").alias(
+            "idcg_term_q9"
+        ),
     )
     return terms.groupBy("dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ranked"),

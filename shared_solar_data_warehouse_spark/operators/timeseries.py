@@ -1947,14 +1947,14 @@ def ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, n AS n_pairs,
            CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                THEN floor(
+                THEN CAST(floor(
                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                    * 10000.0 + 0.5) / 10000.0
+                    * 1.0e4 + 5.0e-1) AS DOUBLE) / 1.0e4
                 ELSE NULL END AS acf1_q4
     FROM m
     """,
@@ -2012,8 +2012,13 @@ def ts_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("n").alias("n_pairs"),
         F.expr(
+            # CAST-to-DOUBLE before the divide: Spark's floor(double)
+            # returns BIGINT and `10000.0` parses as DECIMAL, so the
+            # former `floor(...)/10000.0` emitted a DECIMAL column that
+            # the driver canonicalizer splits from the oracle's DOUBLE
+            # (caught r6 by the mirror's `dec:` token, ADVICE r5).
             f"CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
-            f" THEN floor({corr} * 10000.0 + 0.5) / 10000.0"
+            f" THEN CAST(floor({corr} * 1.0e4 + 5.0e-1) AS DOUBLE) / 1.0e4"
             f" ELSE NULL END"
         ).alias("acf1_q4"),
     )
@@ -2478,14 +2483,14 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(k AS INTEGER) AS lag_days, n AS n_pairs,
            CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                THEN floor(
+                THEN CAST(floor(
                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                    * 10000.0 + 0.5) / 10000.0
+                    * 1.0e4 + 5.0e-1) AS DOUBLE) / 1.0e4
                 ELSE NULL END AS acf_q4
     FROM m
     """,
@@ -2547,8 +2552,10 @@ def ts_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("int").alias("lag_days"),
         F.col("n").alias("n_pairs"),
         F.expr(
+            # CAST-to-DOUBLE before the divide — same DECIMAL-leak fix
+            # as ts_daily_acf (Spark floor -> BIGINT / DECIMAL literal).
             f"CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
-            f" THEN floor({corr} * 10000.0 + 0.5) / 10000.0"
+            f" THEN CAST(floor({corr} * 1.0e4 + 5.0e-1) AS DOUBLE) / 1.0e4"
             f" ELSE NULL END"
         ).alias("acf_q4"),
     )
@@ -3756,14 +3763,14 @@ ATTRIB_WINDOW_S = 7 * 86_400
                                THEN event_type END IGNORE NULLS)
                    OVER w AS touch_type,
                last_value(CASE WHEN event_type IN ('click', 'view')
-                               THEN epoch(ts) END IGNORE NULLS)
+                               THEN {_DUCK_EPOCH_S} END IGNORE NULLS)
                    OVER w AS touch_es
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT CASE WHEN touch_type IS NOT NULL
-                     AND epoch(ts) - touch_es <= {ATTRIB_WINDOW_S}
+                     AND {_DUCK_EPOCH_S} - touch_es <= {ATTRIB_WINDOW_S}
                 THEN touch_type ELSE 'direct' END AS channel,
            CAST(count(*) AS BIGINT) AS n_purchases,
            CAST(sum(cents) AS BIGINT) AS attributed_cents
@@ -3782,8 +3789,11 @@ def ts_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     never be its own touch because the CASE nulls non-touch types) —
     which costs ONE user-keyed window exchange instead of a join, the
     same shape join_asof documents as its merged-stream twin.
-    Lookback enforced on exact epoch seconds; credit summed in exact
-    cents.  At 100 TB: one hash exchange on user_id, linear window
+    Lookback enforced on TRUNCATED whole epoch seconds on both engines
+    (Spark unix_timestamp truncates sub-second parts; the oracle uses
+    the module-wide _DUCK_EPOCH_S = epoch(date_trunc('second', ts)) so
+    a gap within 1s of the 7-day boundary cannot classify differently
+    across engines — ADVICE r5); credit summed in exact cents.  At 100 TB: one hash exchange on user_id, linear window
     scan per user, then a channel-bounded aggregate (≤3 rows)."""
     e = load_table(spark, sf_dir, "events")
     w = (

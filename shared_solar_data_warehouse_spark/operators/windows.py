@@ -708,9 +708,9 @@ def win_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id,
            CASE WHEN sxx / n - mu * mu > 0
-                THEN floor((value - mu) / sqrt(sxx / n - mu * mu)
-                           * 10000.0 + 0.5) / 10000.0
-                ELSE 0.0 END AS zscore_q4
+                THEN CAST(floor((value - mu) / sqrt(sxx / n - mu * mu)
+                                * 1.0e4 + 5.0e-1) AS DOUBLE) / 1.0e4
+                ELSE 0.0e0 END AS zscore_q4
     FROM m
     """,
 )
@@ -745,10 +745,15 @@ def win_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.expr(
+            # CAST-to-DOUBLE before the divide: Spark's floor(double)
+            # returns BIGINT and the `10000.0` literal parses as
+            # DECIMAL, so the former spelling emitted a DECIMAL column
+            # the driver canonicalizer splits from the oracle's DOUBLE
+            # (caught r6 by the mirror's `dec:` token, ADVICE r5).
             "CASE WHEN sxx / n - mu * mu > 0"
-            " THEN floor((value - mu) / sqrt(sxx / n - mu * mu)"
-            " * 10000.0 + 0.5) / 10000.0"
-            " ELSE 0.0 END"
+            " THEN CAST(floor((value - mu) / sqrt(sxx / n - mu * mu)"
+            " * 1.0e4 + 5.0e-1) AS DOUBLE) / 1.0e4"
+            " ELSE 0.0e0 END"
         ).alias("zscore_q4"),
     )
 

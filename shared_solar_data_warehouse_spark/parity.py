@@ -119,3 +119,144 @@ def sql_dround(expr: str, ndigits: int = 6) -> str:
     """DuckDB half of :func:`dround` — keep textually adjacent."""
     scale = float(10**ndigits)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic transcendentals (round 6, VERDICT r5 item 4).
+#
+# The residual `libm-quantized` risk class in ieee_ok.py exists because
+# ln/exp/pow are NOT required to be correctly rounded by IEEE 754 — the
+# JVM's and DuckDB's libm may differ by 1 ulp, and a grid-quantized
+# output one near-tie away from a floor boundary then splits the driver
+# hash.  The generators below eliminate the libm call instead of
+# quantizing around it: they emit SQL text composed ONLY of operations
+# IEEE 754 *does* require to be correctly rounded (+, -, *, /, casts,
+# comparisons) plus decimal literals that parse to identical doubles in
+# both engines (17-significant-digit scientific notation round-trips).
+# Any engine evaluating the same staged formula over the same input
+# bits therefore produces the same output bits — the `ieee-elementary`
+# guarantee, with accuracy ~1e-12 absolute (documented per helper),
+# far inside every op's output quantization grid.
+#
+# ln(x) scheme (classic argument reduction + odd atanh series):
+#   1. ladder:  find e with 2^e <= x < 2^(e+1) by comparing x against
+#      power-of-two literals (a CASE ladder — integer-exact compares);
+#      emit p2 = 2^e (exact literal) and eln2 = nearest-double(e*ln 2)
+#      (precomputed high-precision literal, one per rung).
+#   2. m = x / p2  in [1, 2)  (division by a power of two is EXACT).
+#   3. s = (m-1)/(m+1) in [0, 1/3]; ln m = 2*atanh(s) via the odd
+#      series s*(1 + z/3 + z^2/5 + ... ), z = s^2 <= 1/9, Horner with
+#      nearest-double coefficient literals; truncation after z^11
+#      contributes < 5e-14.
+#   4. ln x = eln2 + 2*s*poly.
+#
+# The formula is staged across projections (ladder -> s -> final) so
+# the CASE ladder appears ONCE in the plan text; callers alias the
+# stage columns with the LN_* names below on BOTH engine sides.
+# ---------------------------------------------------------------------------
+
+import decimal as _decimal
+
+#: ln(2) to 50 digits (public constant); Decimal multiply keeps the
+#: per-rung e*ln2 literal correctly rounded to the nearest double.
+_LN2 = _decimal.Decimal("0.69314718055994530941723212145817656807550013436026")
+
+#: Staged column names for the ln pipeline (see sql_ln_* docstrings).
+LN_X = "__ln_x"
+LN_P2 = "__ln_p2"
+LN_ELN2 = "__ln_eln2"
+LN_S = "__ln_s"
+
+
+def _dlit(v: float) -> str:
+    """17-significant-digit scientific literal: parses to the exact
+    same IEEE double in Spark SQL and DuckDB (both type scientific-
+    notation literals as DOUBLE, and 17 digits round-trip)."""
+    return f"{v:.17e}"
+
+
+def sql_ln_ladders(x: str = LN_X, lo_e: int = -62, hi_e: int = 62) -> tuple[str, str]:
+    """Stage-1 fragments: (p2_expr, eln2_expr) over column ``x``.
+
+    Alias them ``LN_P2`` / ``LN_ELN2``.  Valid domain: x in
+    [2^lo_e, 2^(hi_e+1)); outside it the ELSE rung degrades accuracy
+    (still deterministic) — callers pick bounds from their data
+    domain (e.g. idf ratios are >= 1, entropy probabilities <= 1).
+    ``x`` should be a short column name: it appears once per rung.
+    """
+    rungs_p2, rungs_el = [], []
+    for e in range(hi_e, lo_e, -1):
+        p2 = _dlit(2.0**e)
+        el = _dlit(float(_decimal.Decimal(e) * _LN2))
+        rungs_p2.append(f"WHEN ({x}) >= {p2} THEN {p2}")
+        rungs_el.append(f"WHEN ({x}) >= {p2} THEN {el}")
+    else_p2 = _dlit(2.0**lo_e)
+    else_el = _dlit(float(_decimal.Decimal(lo_e) * _LN2))
+    return (
+        f"(CASE {' '.join(rungs_p2)} ELSE {else_p2} END)",
+        f"(CASE {' '.join(rungs_el)} ELSE {else_el} END)",
+    )
+
+
+def sql_ln_s(x: str = LN_X, p2: str = LN_P2) -> str:
+    """Stage-2 fragment: s = (m-1)/(m+1) with m = x/p2.  Alias ``LN_S``."""
+    m = f"(({x}) / ({p2}))"
+    return f"(({m} - 1.0e0) / ({m} + 1.0e0))"
+
+
+def sql_ln_final(s: str = LN_S, eln2: str = LN_ELN2) -> str:
+    """Stage-3 fragment: ln(x) = eln2 + 2*s*(1 + z/3 + z^2/5 + ...)."""
+    z = f"(({s}) * ({s}))"
+    horner = _dlit(1.0 / 23.0)
+    for k in (21, 19, 17, 15, 13, 11, 9, 7, 5, 3):
+        horner = f"({_dlit(1.0 / k)} + {z} * {horner})"
+    return f"(({eln2}) + 2.0e0 * ({s}) * (1.0e0 + {z} * {horner}))"
+
+
+def py_ieee_ln(x: float, lo_e: int = -62, hi_e: int = 62) -> float:
+    """Python-reference evaluation of the EXACT same IEEE op sequence
+    (CPython floats are IEEE doubles) — the test oracle for the SQL
+    fragments and a readable spec of the formula."""
+    p2, eln2 = 2.0**lo_e, float(_decimal.Decimal(lo_e) * _LN2)
+    for e in range(hi_e, lo_e, -1):
+        if x >= 2.0**e:
+            p2, eln2 = 2.0**e, float(_decimal.Decimal(e) * _LN2)
+            break
+    m = x / p2
+    s = (m - 1.0) / (m + 1.0)
+    z = s * s
+    horner = 1.0 / 23.0
+    for k in (21, 19, 17, 15, 13, 11, 9, 7, 5, 3):
+        horner = 1.0 / k + z * horner
+    return eln2 + 2.0 * s * (1.0 + z * horner)
+
+
+def sql_powi(base: float, exp_col: str, max_bits: int = 16) -> str:
+    """Deterministic base**n for an integer column n in [0, 2^max_bits):
+    exponentiation by squaring over PRECOMPUTED literal factors
+    base^(2^j) (float-squaring chain at codegen time), selected by bit
+    tests and multiplied left-to-right — every runtime op is an exact
+    integer `&` or one correctly-rounded IEEE multiply, so both
+    engines produce identical bits (relative accuracy ~max_bits ulps
+    vs true pow, deterministic by construction).  Replaces the libm
+    `pow(base, CAST(n AS DOUBLE))` pattern (ts_npv_cashflows r6)."""
+    factors = []
+    b = float(base)
+    for j in range(max_bits):
+        factors.append(
+            f"(CASE WHEN (({exp_col}) & {1 << j}) != 0"
+            f" THEN {_dlit(b)} ELSE 1.0e0 END)"
+        )
+        b = b * b
+    return "(" + " * ".join(factors) + ")"
+
+
+def py_powi(base: float, n: int, max_bits: int = 16) -> float:
+    """Python-reference twin of :func:`sql_powi` (same op sequence)."""
+    out = 1.0
+    b = float(base)
+    for j in range(max_bits):
+        if n & (1 << j):
+            out = out * b
+        b = b * b
+    return out
