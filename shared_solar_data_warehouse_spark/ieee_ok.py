@@ -62,7 +62,6 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'agg_skew_kurt': ('quantized-grid', 'qty_skewness,qty_excess_kurtosis'),
     'agg_stats': ('quantized-grid', 'sd_qty,var_qty,sdp_disc,varp_disc,corr_qty_price,covar_qty_price'),
     'agg_weighted_avg': ('ieee-elementary', 'wavg_price'),
-    'agg_welch_ttest': ('libm-quantized', 't_welch,df_welch'),
     'agg_winsorized_mean': ('ieee-elementary', 'winsor_mean'),
     'dedup_by_key': ('source-passthrough', 'o_totalprice'),
     'dedup_containment': ('ieee-elementary', 'containment'),
@@ -131,12 +130,10 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'text_bigram_perplexity': ('libm-quantized', 'xent2_bits'),
     'text_char_entropy': ('libm-quantized', 'entropy_bits'),
     'text_cooccurrence_pmi': ('libm-quantized', 'pmi'),
-    'text_keywords': ('libm-quantized', 'tfidf'),
     'text_lang_stats': ('ieee-elementary', 'avg_chars'),
     'text_quality_filter': ('quantized-grid', 'dup_ratio'),
     'text_readability': ('ieee-elementary', 'flesch'),
     'text_repetition': ('ieee-elementary', 'dup_bigram_frac'),
-    'text_tfidf': ('libm-quantized', 'tfidf'),
     'text_unigram_perplexity': ('libm-quantized', 'xent_bits'),
     'topk_global': ('source-passthrough', 'o_totalprice'),
     'topk_per_group': ('source-passthrough', 'c_acctbal'),
@@ -152,7 +149,6 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'ts_interp_linear': ('quantized-grid', 'value_interp'),
     'ts_load_profile': ('ieee-elementary', 'avg_value'),
     'ts_mom_growth': ('quantized-grid', 'revenue,mom_growth'),
-    'ts_npv_cashflows': ('libm-quantized', 'npv'),
     'ts_ohlc': ('quantized-grid', 'open,high,low,close,volume'),
     'ts_peak': ('source-passthrough', 'peak_value'),
     'ts_resample': ('source-passthrough', 'open_value,high_value,low_value,close_value'),

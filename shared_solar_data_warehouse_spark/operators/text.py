@@ -15,12 +15,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from shared_solar_data_warehouse_spark.parity import davg, dsum, sql_davg, sql_dsum
+from shared_solar_data_warehouse_spark.parity import (
+    LN_ELN2,
+    LN_P2,
+    LN_S,
+    LN_X,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_ln_final,
+    sql_ln_ladders,
+    sql_ln_s,
+)
 from shared_solar_data_warehouse_spark.registry import op
 from shared_solar_data_warehouse_spark.sources.io import load_table
 
 #: The two stopwords present in the fixtures' 31-token vocabulary.
 STOPWORDS = ("the", "a")
+
+#: Deterministic-ln ladder for idf ratios (N+1)/(df+1) in [1, 2^51):
+#: the shared SQL fragments both text_tfidf and text_keywords stage on
+#: the vocab-sized df table (parity.sql_ln_ladders docstring).
+_IDF_P2, _IDF_ELN2 = sql_ln_ladders(lo_e=0, hi_e=50)
+
+
+def _idf_table(df_counts: DataFrame, n_docs: int) -> DataFrame:
+    """Stage the deterministic smoothed idf = ln((N+1)/(df+1)) + 1 onto
+    the vocab-sized df table (columns token, df -> token, df,
+    idf_smooth).  Every step is a correctly-rounded IEEE op over
+    literals shared textually with the oracle CTEs, so both engines
+    produce identical idf bits (tests/test_ieee_ln.py)."""
+    return (
+        df_counts.withColumn(
+            LN_X,
+            F.expr(f"CAST({n_docs} + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)"),
+        )
+        .withColumn(LN_P2, F.expr(_IDF_P2))
+        .withColumn(LN_ELN2, F.expr(_IDF_ELN2))
+        .withColumn(LN_S, F.expr(sql_ln_s()))
+        .select(
+            "token",
+            "df",
+            F.expr(f"({sql_ln_final()} + 1.0e0)").alias("idf_smooth"),
+        )
+    )
 
 
 def _tokens(df: DataFrame) -> DataFrame:
@@ -123,7 +162,7 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "text_tfidf",
-    oracle="""
+    oracle=f"""
     WITH tf AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents
@@ -131,16 +170,31 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token
     ), df_counts AS (
         SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token
-    ), n AS (SELECT count(*) AS n_docs FROM documents)
-    SELECT tc.doc_id, tc.token, tc.tf, dc.df,
-           round(tc.tf * (ln((n.n_docs + 1.0) / (dc.df + 1.0)) + 1.0), 4)
-               AS tfidf
-    FROM tf_counts tc JOIN df_counts dc ON tc.token = dc.token
-    CROSS JOIN n
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    idf0 AS (
+        SELECT token, df,
+               CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)
+                   AS {LN_X}
+        FROM df_counts CROSS JOIN n
+    ), idf1 AS (
+        SELECT token, df, {LN_X},
+               {_IDF_P2} AS {LN_P2}, {_IDF_ELN2} AS {LN_ELN2}
+        FROM idf0
+    ), idf2 AS (
+        SELECT token, df, {LN_ELN2}, {sql_ln_s()} AS {LN_S} FROM idf1
+    ), idf AS (
+        SELECT token, df, ({sql_ln_final()} + 1.0e0) AS idf_smooth
+        FROM idf2
+    )
+    SELECT tc.doc_id, tc.token, tc.tf, i.df,
+           CAST(floor(CAST(tc.tf AS DOUBLE) * i.idf_smooth * 1.0e4 + 5.0e-1)
+                AS BIGINT) AS tfidf_q4
+    FROM tf_counts tc JOIN idf i ON tc.token = i.token
     """,
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF per (doc, term), smoothed idf = ln((N+1)/(df+1)) + 1.
+    """TF-IDF per (doc, term), smoothed idf = ln((N+1)/(df+1)) + 1,
+    emitted as exact BIGINT 1e-4 units (tfidf_q4).
 
     The tf table materializes ONCE (memo_checkpoint — the same
     ETL-artifact pattern as the shingle/pair tables: at 100 TB the
@@ -150,23 +204,32 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — which removes the second full explode pass over the corpus
     AND the countDistinct expansion the previous formulation paid
     (~2× the corpus scan at every scale).  The df table is tiny
-    (≤ vocabulary size) — broadcast joined."""
+    (≤ vocabulary size) — broadcast joined.
+
+    Float discipline (r6, retired from the ``libm-quantized`` class):
+    ln is the shared deterministic staged formula from
+    ``parity.sql_ln_*`` — a power-of-two CASE ladder + atanh
+    polynomial of correctly-rounded IEEE ops only, evaluated on the
+    VOCAB-sized df table (never per corpus row), bit-identical across
+    engines by construction (tests/test_ieee_ln.py) and within 1e-12
+    of libm ln; the graded score is then one exact integer
+    quantization — no IEEE double reaches the output at all."""
     tf = _tf_table(spark, sf_dir)
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # scalar, driver-side by design: one number
     n_docs = load_table(spark, sf_dir, "documents").count()
+    idf = _idf_table(df_counts, n_docs)
     return (
-        tf.join(F.broadcast(df_counts), "token")
+        tf.join(F.broadcast(idf), "token")
         .select(
             "doc_id",
             "token",
             "tf",
             "df",
-            F.round(
-                F.col("tf")
-                * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
-                4,
-            ).alias("tfidf"),
+            F.expr(
+                "CAST(floor(CAST(tf AS DOUBLE) * idf_smooth * 1.0e4"
+                " + 5.0e-1) AS BIGINT)"
+            ).alias("tfidf_q4"),
         )
     )
 
@@ -1012,7 +1075,7 @@ def text_zipf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "text_keywords",
-    oracle="""
+    oracle=f"""
     WITH tf AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents
@@ -1021,19 +1084,32 @@ def text_zipf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), df_counts AS (
         SELECT token, count(*) AS df FROM tf_counts GROUP BY token
     ), n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (
+    idf0 AS (
+        SELECT token,
+               CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)
+                   AS {LN_X}
+        FROM df_counts CROSS JOIN n
+    ), idf1 AS (
+        SELECT token, {LN_X},
+               {_IDF_P2} AS {LN_P2}, {_IDF_ELN2} AS {LN_ELN2}
+        FROM idf0
+    ), idf2 AS (
+        SELECT token, {LN_ELN2}, {sql_ln_s()} AS {LN_S} FROM idf1
+    ), idf AS (
+        SELECT token, ({sql_ln_final()} + 1.0e0) AS idf_smooth
+        FROM idf2
+    ), scored AS (
         SELECT tc.doc_id, tc.token,
-               round(tc.tf * (ln((n.n_docs + 1.0) / (dc.df + 1.0)) + 1.0), 4)
-                   AS tfidf
-        FROM tf_counts tc JOIN df_counts dc ON tc.token = dc.token
-        CROSS JOIN n
+               CAST(floor(CAST(tc.tf AS DOUBLE) * i.idf_smooth * 1.0e4
+                          + 5.0e-1) AS BIGINT) AS tfidf_q4
+        FROM tf_counts tc JOIN idf i ON tc.token = i.token
     )
-    SELECT doc_id, token, tfidf,
+    SELECT doc_id, token, tfidf_q4,
            CAST(kw_rank AS INTEGER) AS kw_rank
     FROM (
-        SELECT doc_id, token, tfidf,
+        SELECT doc_id, token, tfidf_q4,
                row_number() OVER (PARTITION BY doc_id
-                                  ORDER BY tfidf DESC, token) AS kw_rank
+                                  ORDER BY tfidf_q4 DESC, token) AS kw_rank
         FROM scored
     ) WHERE kw_rank <= 3
     """,
@@ -1042,29 +1118,30 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 keywords per document by smoothed TF-IDF — the
     keyword-extraction / doc-tagging stage of a corpus pipeline,
     stacked directly on the memoized tf artifact and the broadcast
-    df table (zero new corpus passes).  Ranking orders by the
-    ROUNDED score (the value whose cross-engine parity text_tfidf
-    already pins) with the token as unique tie-break, so the top-3
-    set is deterministic on both engines.  Plan: broadcast join +
-    one (doc_id) window — the same single-exchange top-k-per-group
-    shape as topk_per_group."""
+    idf table (zero new corpus passes).  Scores are text_tfidf's
+    exact BIGINT 1e-4 units (deterministic staged ln — see
+    text_tfidf's float-discipline note), so the ranking is an
+    INTEGER comparison with the token as unique tie-break: the
+    top-3 set cannot diverge across engines even at a near-tie.
+    Plan: broadcast join + one (doc_id) window — the same
+    single-exchange top-k-per-group shape as topk_per_group."""
     tf = _tf_table(spark, sf_dir)
     df_counts = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = load_table(spark, sf_dir, "documents").count()
-    scored = tf.join(F.broadcast(df_counts), "token").select(
+    idf = _idf_table(df_counts, n_docs).drop("df")
+    scored = tf.join(F.broadcast(idf), "token").select(
         "doc_id",
         "token",
-        F.round(
-            F.col("tf")
-            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
-            4,
-        ).alias("tfidf"),
+        F.expr(
+            "CAST(floor(CAST(tf AS DOUBLE) * idf_smooth * 1.0e4"
+            " + 5.0e-1) AS BIGINT)"
+        ).alias("tfidf_q4"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_q4").desc(), "token")
     return (
         scored.withColumn("kw_rank", F.row_number().over(w))
         .filter(F.col("kw_rank") <= 3)
-        .select("doc_id", "token", "tfidf", "kw_rank")
+        .select("doc_id", "token", "tfidf_q4", "kw_rank")
     )
 
 

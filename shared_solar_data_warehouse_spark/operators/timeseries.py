@@ -24,7 +24,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shared_solar_data_warehouse_spark.materialize import memo_checkpoint
-from shared_solar_data_warehouse_spark.parity import DEC, davg, dsum, sql_davg, sql_dsum
+from shared_solar_data_warehouse_spark.parity import (
+    DEC,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_powi,
+)
+
+#: Daily discount base for ts_npv_cashflows: 10% annual, compounded
+#: daily.  A Python double — the exact value both engines' sql_powi
+#: factor literals derive from.
+_NPV_DAILY_BASE = 1.0 / (1.0 + 0.10 / 365.0)
 from shared_solar_data_warehouse_spark.registry import op
 from shared_solar_data_warehouse_spark.sources.io import load_table
 
@@ -3450,7 +3462,7 @@ def ts_clearness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "ts_npv_cashflows",
-    oracle="""
+    oracle=f"""
     WITH mn AS (SELECT CAST(min(ts) AS DATE) AS d0 FROM events),
     flows AS (
         SELECT e.user_id,
@@ -3465,16 +3477,14 @@ def ts_clearness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flows GROUP BY user_id, t_days
     ),
     disc AS (
-        SELECT t_days,
-               power(1.0 / (1.0 + 0.10 / 365.0), CAST(t_days AS DOUBLE))
-                   AS df
+        SELECT t_days, {sql_powi(_NPV_DAILY_BASE, 't_days')} AS df
         FROM (SELECT DISTINCT t_days FROM daily) t
     )
     SELECT d.user_id,
            CAST(sum(d.cents) AS BIGINT) AS nominal_cents,
-           floor(CAST(sum(CAST(CAST(d.cents AS DOUBLE) * x.df
-                               AS DECIMAL(25,8))) AS DOUBLE) + 0.5) / 100.0
-               AS npv,
+           CAST(floor(CAST(sum(CAST(CAST(d.cents AS DOUBLE) * x.df
+                                    AS DECIMAL(25,8))) AS DOUBLE) + 0.5)
+                AS BIGINT) AS npv_cents,
            CAST(count(*) AS BIGINT) AS n_flow_days
     FROM daily d JOIN disc x ON d.t_days = x.t_days
     GROUP BY d.user_id
@@ -3486,13 +3496,17 @@ def ts_npv_cashflows(spark: SparkSession, sf_dir: str) -> DataFrame:
     finance-side companion to ts_cohort_ltv's nominal curve (a dollar
     on day 29 is worth less than one on day 0; at utility scale this
     is how prepaid-credit books are marked).  Parity scheme: cashflows
-    aggregate to exact integer cents per (user, day-offset); ONE pow()
-    per DISTINCT day offset (day-bounded domain) joins back broadcast,
-    so both engines evaluate the identical float product cents×df per
-    cell, and the per-user sum accumulates through DECIMAL(25,8) —
-    order-independent — before the final half-up cent rounding.
-    Plan: one user/day aggregate, a tiny discount dimension, one
-    user-keyed sum."""
+    aggregate to exact integer cents per (user, day-offset); the daily
+    discount factor base^t_days is parity.sql_powi's exponentiation-
+    by-squaring over PRECOMPUTED literal factors (bit tests + exact
+    IEEE multiplies — no libm pow; retired from the libm-quantized
+    class r6, valid for t_days < 2^16 ≈ 179 years), ONE per DISTINCT
+    day offset, joined back broadcast; both engines evaluate the
+    identical float product cents×df per cell, the per-user sum
+    accumulates through DECIMAL(25,8) — order-independent — and the
+    graded NPV is emitted as exact BIGINT whole cents.  Plan: one
+    user/day aggregate, a tiny discount dimension, one user-keyed
+    sum."""
     e = load_table(spark, sf_dir, "events")
     mn = e.agg(F.to_date(F.min("ts")).alias("d0"))
     flows = (
@@ -3509,27 +3523,23 @@ def ts_npv_cashflows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc = daily.select("t_days").distinct().select(
         "t_days",
-        F.pow(
-            F.lit(1.0) / (F.lit(1.0) + F.lit(0.10) / F.lit(365.0)),
-            F.col("t_days").cast("double"),
-        ).alias("df"),
+        F.expr(sql_powi(_NPV_DAILY_BASE, "t_days")).alias("df"),
     )
     return (
         daily.join(F.broadcast(disc), "t_days")
         .groupBy("user_id")
         .agg(
             F.sum("cents").cast("bigint").alias("nominal_cents"),
-            (
-                F.floor(
-                    F.sum(
-                        (F.col("cents").cast("double") * F.col("df")).cast(
-                            "decimal(25,8)"
-                        )
-                    ).cast("double")
-                    + 0.5
-                )
-                / 100.0
-            ).alias("npv"),
+            F.floor(
+                F.sum(
+                    (F.col("cents").cast("double") * F.col("df")).cast(
+                        "decimal(25,8)"
+                    )
+                ).cast("double")
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("npv_cents"),
             F.count(F.lit(1)).cast("bigint").alias("n_flow_days"),
         )
     )
