@@ -89,7 +89,6 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'join_shuffle_hash': ('source-passthrough', 'o_totalprice'),
     'join_skew_salted': ('quantized-grid', 'total_price'),
     'limit_n': ('quantized-grid', 'acctbal'),
-    'mm_resize': ('quantized-grid', 'scale_ratio'),
     'offset_n': ('source-passthrough', 'o_totalprice'),
     'project_cast': ('source-passthrough', 'key_dbl'),
     'project_select': ('quantized-grid', 'net_price'),
