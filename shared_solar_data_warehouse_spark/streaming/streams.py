@@ -68,13 +68,21 @@ def _stream_dir(sf_dir: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream (µs TimestampType,
-    identical to what the batch loader reads)."""
+    identical to what the batch loader reads).
+
+    Replay knob: when ``spark.sswh.stream.maxFilesPerTrigger`` is set,
+    it is passed through as the source's ``maxFilesPerTrigger``, which
+    ``trigger(availableNow=True)`` respects — a multi-file events
+    directory then drains as one micro-batch PER FILE instead of one
+    shot, which is how tests/test_streaming.py replays every op over
+    3-batch (and out-of-order) arrival.  Unset (the default and the
+    bench path) the source drains everything in a single batch."""
     pin_session(spark)
-    return (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(_stream_dir(sf_dir))
-    )
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA).format("parquet")
+    mft = spark.conf.get("spark.sswh.stream.maxFilesPerTrigger", None)
+    if mft:
+        reader = reader.option("maxFilesPerTrigger", mft)
+    return reader.load(_stream_dir(sf_dir))
 
 
 def drain(spark: SparkSession, sdf: DataFrame, mode: str = "append") -> DataFrame:
@@ -328,7 +336,22 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return drain(spark, result, "update")
+    drained = drain(spark, result, "update")
+    # An update-mode memory sink holds one emission per (key, batch);
+    # the op's result is the CURRENT state snapshot = the last
+    # emission per key.  n_events is strictly monotone per key (a key
+    # emits only in batches where it has rows), so the struct-max
+    # picks it exactly; under the default one-batch drain this is the
+    # identity.  Key-cardinality work — free at any scale.
+    return (
+        drained.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "max_gap_s")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.max_gap_s").alias("max_gap_s"),
+        )
+    )
 
 
 @op(
@@ -523,7 +546,20 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return drain(spark, result, "update")
+    drained = drain(spark, result, "update")
+    # Collapse the update-mode per-batch emissions to the current
+    # state snapshot (last emission per key — n_events is strictly
+    # monotone per key); identity under the one-batch drain.  See
+    # stream_stateful for the full rationale.
+    return (
+        drained.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "ewma_level")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.ewma_level").alias("ewma_level"),
+        )
+    )
 
 
 @op(
