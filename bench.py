@@ -81,12 +81,32 @@ def main() -> int:
             if name not in timings or elapsed < timings[name]:
                 timings[name] = elapsed
 
+    # Third pass over the slowest-20 band only (min-of-3): single-pass
+    # registry order makes memo-artifact attribution order-sensitive
+    # (BASELINE.md round-5 note), and the slow band is where ±20% host
+    # noise moves cross-round VERDICT deltas — a third sample pins the
+    # steady state where it matters without re-running all 375 queries
+    # (VERDICT r5 item 7).
+    slowest = [
+        n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+    ]
+    steady: dict[str, float] = {}
+    for name in slowest:
+        started = time.time()
+        try:
+            materialize(name)
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        steady[name] = round(min(timings[name], time.time() - started), 3)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "total_sec_full_registry",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "steady20": steady,
         "sf": sf_num,
         "n_queries": len(timings),
     }
@@ -108,10 +128,21 @@ def main() -> int:
     # Stdout protocol: the driver records only the LAST ~2000 chars of
     # stdout and parses the final JSON line from that tail (round 1's
     # single 6 KB line was truncated mid-object -> "parsed": null).
-    # So: full record first for human readers, then a compact final
-    # line guaranteed to fit the tail buffer — headline metric plus as
-    # many of the slowest per-query timings as fit.
+    # So: full record first for human readers, then the steady-state
+    # slowest-20 record, then a compact final line — BOTH trailing
+    # lines sized to fit the tail buffer together.
     print(json.dumps(out))
+    print(
+        json.dumps(
+            {
+                "metric": "steady_state_min3_slowest20",
+                "value": round(sum(steady.values()), 3),
+                "unit": "sec",
+                "queries": steady,
+            },
+            separators=(",", ":"),
+        )
+    )
     compact = {
         "metric": out["metric"],
         "value": total,
@@ -122,7 +153,7 @@ def main() -> int:
     }
     if failures:
         compact["n_failures"] = len(failures)
-    budget = 1800
+    budget = 1100  # leaves room for the steady-state line in the tail
     for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
         compact["queries"][name] = secs
         if len(json.dumps(compact, separators=(",", ":"))) > budget:

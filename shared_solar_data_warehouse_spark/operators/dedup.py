@@ -18,8 +18,12 @@ two-pass "approximate to find, exact to confirm" pattern.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger("shared_solar_data_warehouse_spark.dedup")
 
 from shared_solar_data_warehouse_spark.materialize import memo_checkpoint
 from shared_solar_data_warehouse_spark.registry import op
@@ -492,7 +496,20 @@ def cc_distributed_min_label(pairs: DataFrame, max_rounds: int = 20) -> DataFram
     next — is a realistic shape for serially-edited documents), which
     the r5 scale parity test (tests/test_properties.py) would catch:
     propagation-only needs diameter rounds, shortcutting needs
-    ~log2(diameter)."""
+    ~log2(diameter).
+
+    Convergence (r6): each round already pays one checkpointed count
+    for the changed-label probe, so the loop EXITS as soon as a round
+    changes nothing (logged below) instead of always burning the cap;
+    the cap remains the safety bound.  100 TB note: past ~10^10 edges
+    the round cost is dominated by re-shuffling the full edge list
+    each hop; the production upgrade is the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014), which rewrites EDGES toward component
+    minima each round — same min-label contract, provably
+    O(log^2 n) rounds, and each round's output shrinks as stars
+    collapse, so it composes with this function's interface
+    unchanged."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -506,7 +523,8 @@ def cc_distributed_min_label(pairs: DataFrame, max_rounds: int = 20) -> DataFram
         .select("doc_id", F.col("doc_id").alias("lab"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):  # >= diameter hops for any sane dup graph
+    n_rounds = 0
+    for n_rounds in range(1, max_rounds + 1):  # cap >> log2(diameter)
         neighbor_min = (
             labels.join(edges, labels.doc_id == edges.src)
             .groupBy(F.col("dst").alias("doc_id"))
@@ -547,7 +565,18 @@ def cc_distributed_min_label(pairs: DataFrame, max_rounds: int = 20) -> DataFram
         )
         labels = updated
         if changed == 0:
+            _LOG.info(
+                "cc_distributed_min_label converged after %d round(s)",
+                n_rounds,
+            )
             break
+    else:
+        _LOG.warning(
+            "cc_distributed_min_label hit the %d-round cap without a "
+            "zero-change round — component diameter may exceed 2^%d",
+            max_rounds,
+            max_rounds,
+        )
     return labels
 
 

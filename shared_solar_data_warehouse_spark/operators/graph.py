@@ -208,6 +208,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unconditionally OOM'd at a 100x replication probe.
     n_nodes = _n_graph_nodes(spark, sf_dir)
     edges_d = edges.join(_node_side(deg, n_nodes), "src")
+    if n_nodes > BROADCAST_MAX_NODES:
+        # Co-partitioned regime (VERDICT r5 item 5): pin ONE exchange
+        # of the edge-cardinality table on the join key and materialize
+        # it (localCheckpoint preserves the hash partitioning in the
+        # LogicalRDD), so every round's join with the freshly-shuffled
+        # ranks reuses the same edge layout instead of re-shuffling
+        # E rows per round — at the 100x probe that re-shuffle was the
+        # whole cost.  Not taken at fixture scale (broadcast regime),
+        # so sf0.1 plans are unchanged.
+        edges_d = edges_d.repartition("src").localCheckpoint()
     ranks = deg.crossJoin(nn).select(
         F.col("src").alias("node"),
         (F.lit(1.0) / F.col("n").cast("double")).alias("pr"),

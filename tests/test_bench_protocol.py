@@ -32,13 +32,23 @@ def test_bench_stdout_final_line_parses_and_fits_tail_buffer():
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
     final = lines[-1]
-    assert len(final) <= 1900, f"final line {len(final)} chars > tail buffer"
     rec = json.loads(final)
     assert rec["metric"] == "total_sec_full_registry"
     assert rec["unit"] == "sec"
     assert isinstance(rec["value"], (int, float))
     assert rec["sf"] == 0.001
     assert set(rec["queries"]) == {"project_select", "filter_pred", "limit_n"}
+    # r6: the steady-state min-of-3 record precedes the final line, and
+    # BOTH must fit the driver's ~2000-char tail together
+    steady = json.loads(lines[-2])
+    assert steady["metric"] == "steady_state_min3_slowest20"
+    assert set(steady["queries"]) <= set(rec["queries"])
+    assert all(
+        steady["queries"][n] <= rec["queries"][n] for n in steady["queries"]
+    )
+    assert len(final) + len(lines[-2]) + 2 <= 2000, (
+        f"trailing lines {len(final)}+{len(lines[-2])} chars > tail buffer"
+    )
     # the subset knob must never clobber the committed full record
     committed = json.load(open(os.path.join(REPO, "BENCH.json")))
     assert len(committed["queries"]) > 3
