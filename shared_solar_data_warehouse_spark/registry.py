@@ -200,76 +200,76 @@ def _bench_cost() -> dict[str, float]:
 #: Ops to confirm FIRST in the next driver round: ops edited this
 #: round (their old green rows are fingerprint-invalidated), then
 #: high-risk never-sampled families.  Prune entries once they turn
-#: driver-green.  Kept deliberately SHORT for r5 (VERDICT r4 item 3):
-#: after the explicit must-confirms, ``driver_order``'s
-#: uncovered-before-covered + cheapest-first sort packs the maximum
-#: number of the ~176 never-driver-sampled ops into the 50-query
-#: sample window, which is the scarce resource this round.
+#: driver-green.  Round 6 composes the full 50-row sample window
+#: explicitly (the driver checks the first 50 rows of queries()):
+#: 11 fingerprint-stale re-verifies + 39 never-sampled, front-loading
+#: the whole unsampled sql_* family and the two unsampled dedup ops
+#: (VERDICT r5 items 1 and 8).
 _FRONTLOAD: tuple[str, ...] = (
-    # r5 fixes of the two r4 driver hash-fails (VERDICT r4 item 1) —
-    # both rewritten to integer-exact outputs; must re-verify first:
-    "ts_changepoint",
-    "agg_log2_histogram",
-    # edited after their green round, not yet re-verified
-    # (fingerprint-stale per OP_FINGERPRINTS.json at r5 start), plus
-    # agg_skew_kurt whose -0.0 normalization invalidated its green:
-    "agg_geomean_log",
-    "sim_label_centroids",
-    "ts_capacity_factor",
-    "agg_skew_kurt",
-    # r5 second half: verify-join shape fix (broadcast only bare id
-    # pairs) invalidated dedup_near_minhash's r3/r4 greens, and
-    # dedup_minhash_calibration got the same edit; dedup_span_ngram is
-    # brand-new.  All three are too costly for the cheapest-first band
-    # to ever reach, so they must be explicit:
-    "dedup_near_minhash",
-    "dedup_minhash_calibration",
-    "dedup_span_ngram",
-    # r5 second half: node-count gate on graph broadcasts (100x probe
-    # OOM) edited the whole band; only bfs had a green row to lose, the
-    # rest are never-sampled and ride the uncovered band as before:
-    "graph_bfs_layers",
-    # r5 brand-new ops — first driver look, riskiest custom logic
-    # (stateful fold, recursive oracle) first:
-    "ts_battery_soc",
-    "agg_ndcg_eval",
-    "etl_backfill_plan",
-    "sim_mips_topk",
-    "text_hashed_ngram_features",
-    "agg_cramers_v",
-    "ts_attribution_last_touch",
-    "agg_calibration_bins",
-    "etl_late_arriving_dim",
-    # r5 negative-zero normalization sweep (round() on signed values:
-    # Spark round -> +0.0 where DuckDB keeps -0.0) — every touched op
-    # re-verifies; ts_anomaly_zscore was the live sf0.1 catch:
-    "ts_anomaly_zscore",
-    "sim_pairwise_cosine",
-    "sim_knn_bruteforce",
-    "sim_knn_classify",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "dedup_near_embedding",
-    "agg_stats",
-    # libm-transcendental double emitters never driver-sampled — the
-    # residual `libm-quantized` risk class from ieee_ok.py; confirm
-    # these before the mechanically-safe integer ops:
-    "agg_cat_entropy",
-    "agg_mutual_info",
-    "text_bigram_perplexity",
-    "text_char_entropy",
-    "text_keywords",
+    # -- r6 edits with driver-green history (fingerprint-stale; the
+    # old green rows are invalidated until these re-verify): the four
+    # libm retirements (integer outputs now), the real multimodal
+    # decoders, the update-mode snapshot collapse, the attribution
+    # epoch-truncation fix, and the ndcg literal-discount rewrite:
     "text_tfidf",
-    "text_unigram_perplexity",
-    "dedup_simhash",
-    # streaming state logic still without a driver row:
-    "stream_tumbling",
-    "stream_session",
-    "stream_ewma",
+    "text_keywords",
+    "agg_welch_ttest",
+    "ts_npv_cashflows",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_resize",
     "stream_stateful",
-    "stream_sliding",
-    "stream_watermark",
-    "stream_dedup",
+    "stream_ewma",
+    "ts_attribution_last_touch",
+    "agg_ndcg_eval",
+    # -- r6 edits never driver-sampled: the three DECIMAL-output leaks
+    # the strict mirror caught (would have been driver hash fails on
+    # first sample), and pagerank's co-partition pin:
+    "win_zscore",
+    "ts_daily_acf",
+    "ts_acf_profile",
+    "graph_pagerank",
+    # -- the never-sampled sql_* family (VERDICT r5 item 1 priority;
+    # the whole §2.11 surface plus the late §2.12 sql additions):
+    "sql_tpch_q1",
+    "sql_tpch_q2",
+    "sql_tpch_q3",
+    "sql_tpch_q4",
+    "sql_tpch_q5",
+    "sql_tpch_q6",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "sql_tpch_q10",
+    "sql_tpch_q11",
+    "sql_tpch_q13",
+    "sql_tpch_q14",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
+    "sql_tpch_q18",
+    "sql_tpch_q19",
+    "sql_tpch_q20",
+    "sql_tpch_q21",
+    "sql_tpch_q22",
+    "sql_recursive_cte",
+    "sql_lateral_topk",
+    "sql_pivot_clause",
+    "sql_group_by_all",
+    "sql_star_except",
+    "sql_scalar_subquery",
+    "sql_distinct_on",
+    # -- the two never-sampled dedup ops (VERDICT r5 item 1):
+    "dedup_containment",
+    "dedup_fuzzy_blocked",
+    # -- remaining high-value never-sampled picks to fill the window:
+    # the two unsampled §2.9 ops (completes streaming driver coverage)
+    # and the Arrow/pandas grouped-map surface:
+    "stream_stream_join",
+    "stream_static_join",
+    "udf_apply_in_pandas",
+    "udf_apply_in_arrow",
+    "agg_decimal_exact",
 )
 
 
