@@ -105,7 +105,6 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'set_union_by_name': ('source-passthrough', 'balance'),
     'sim_ann_ivf': ('quantized-grid', 'cosine'),
     'sim_ann_lsh': ('quantized-grid', 'cosine'),
-    'sim_knn_block_matmul': ('ieee-elementary', 'cosine'),
     'sim_knn_bruteforce': ('quantized-grid', 'cosine'),
     'sim_pairwise_cosine': ('quantized-grid', 'cosine'),
     'sim_silhouette': ('ieee-elementary', 'mean_silhouette'),

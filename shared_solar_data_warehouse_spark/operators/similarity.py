@@ -168,9 +168,44 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@op("sim_knn_block_matmul", tags=("rows-only",))
+#: Fixed-point grid for the GEMM tier: components floor onto a 2^20
+#: integer lattice (same scheme as the LSH sign quantization below),
+#: making every dot product an EXACT int64 the oracle reproduces.
+_GEMM_QSCALE = 1048576  # 2^20
+
+_DUCK_QDOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+    f" p -> CAST(floor(CAST(p[1] AS DOUBLE) * {_GEMM_QSCALE}.0 + 0.5)"
+    " AS BIGINT)"
+    f" * CAST(floor(CAST(p[2] AS DOUBLE) * {_GEMM_QSCALE}.0 + 0.5)"
+    " AS BIGINT))) AS BIGINT)"
+)
+
+
+@op(
+    "sim_knn_block_matmul",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ), dots AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {_DUCK_QDOT.format(a='q.q_emb', b='e.embedding')} AS dot_units
+        FROM embeddings e CROSS JOIN q
+    ), scored AS (
+        SELECT query_id, neighbor_id, dot_units,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot_units DESC, neighbor_id) AS rank
+        FROM dots
+    )
+    SELECT query_id, neighbor_id, dot_units, CAST(rank AS INTEGER) AS rank
+    FROM scored WHERE rank <= {KNN_K}
+    """,
+)
 def sim_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-matmul kNN — the 100 TB exact path.
+    """Block-matmul kNN — the 100 TB exact path, fully oracle-hashed
+    as of r6.
 
     Queries are collected once (bounded: N_QUERIES × dim floats) and
     broadcast inside a ``mapInPandas`` closure; each corpus partition
@@ -180,10 +215,16 @@ def sim_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     k rows per (partition, query), not the full score matrix.  A final
     per-query window keeps the global top-k.
 
-    Parity with sim_knn_bruteforce is asserted in tests (same pairs;
-    scores equal to 1e-6 — GEMM reassociates the fp sums, which is why
-    this tier is rows-only rather than oracle-hashed).
-    """
+    Float discipline: components floor onto the 2^20 integer lattice
+    BEFORE the GEMM (float32→float64 cast, one multiply, one floor —
+    identical bits on both engines), so every score is an exact
+    integer: the float64 GEMM is exact for integral values up to 2^53
+    (here ≤ 2^46), BLAS reassociation included, and block-local top-k
+    uses the same (dot DESC, neighbor_id ASC) total order as the
+    global window and the oracle — the previous rows-only tier's fp
+    tie ambiguity is gone.  The quantization perturbs each component
+    by < 2^-20 ≈ 1e-6, far inside the 1e-5 agreement the parity test
+    with sim_knn_bruteforce pins."""
     import numpy as np
     import pandas as pd
 
@@ -194,30 +235,49 @@ def sim_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64).T  # 64×Q
+    q_mat = np.floor(
+        np.array([r["embedding"] for r in q_rows], dtype=np.float64).T
+        * _GEMM_QSCALE
+        + 0.5
+    )  # 64×Q, exactly integral
     k = KNN_K
 
     def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            c_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            scores = c_mat @ q_mat  # (batch × Q) in one GEMM
+            c_mat = np.floor(
+                np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * _GEMM_QSCALE
+                + 0.5
+            )
+            scores = c_mat @ q_mat  # (batch × Q), exact integers
             n = min(k, scores.shape[0])
-            # per-query partial top-k within this block
-            idx = np.argpartition(-scores, n - 1, axis=0)[:n]
-            out = {
-                "query_id": np.repeat(q_ids, n),
-                "neighbor_id": pdf["vec_id"].to_numpy()[idx].T.ravel(),
-                "dot": np.take_along_axis(scores, idx, axis=0).T.ravel(),
-            }
-            yield pd.DataFrame(out)
+            ids = pdf["vec_id"].to_numpy()
+            cols = {"query_id": [], "neighbor_id": [], "dot_units": []}
+            for qi in range(scores.shape[1]):
+                # block-local top-n under the GLOBAL total order
+                # (score DESC, neighbor_id ASC) — exact-integer ties
+                # must resolve identically to the final window/oracle
+                order = np.lexsort((ids, -scores[:, qi]))[:n]
+                cols["query_id"].append(np.full(n, q_ids[qi]))
+                cols["neighbor_id"].append(ids[order])
+                cols["dot_units"].append(scores[order, qi])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(cols["query_id"]),
+                    "neighbor_id": np.concatenate(cols["neighbor_id"]),
+                    "dot_units": np.concatenate(cols["dot_units"]).astype(
+                        np.int64
+                    ),
+                }
+            )
 
     partials = emb.select("vec_id", "embedding").mapInPandas(
-        block_topk, "query_id long, neighbor_id long, dot double"
+        block_topk, "query_id long, neighbor_id long, dot_units long"
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("dot").desc(), F.col("neighbor_id")
+        F.col("dot_units").desc(), F.col("neighbor_id")
     )
     return (
         partials.withColumn("rank", F.row_number().over(w))
@@ -225,7 +285,7 @@ def sim_knn_block_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (F.round("dot", 4) + F.lit(0.0)).alias("cosine"),
+            "dot_units",
             F.col("rank").cast("int").alias("rank"),
         )
     )

@@ -263,13 +263,14 @@ _FRONTLOAD: tuple[str, ...] = (
     "dedup_containment",
     "dedup_fuzzy_blocked",
     # -- remaining high-value never-sampled picks to fill the window:
-    # the two unsampled §2.9 ops (completes streaming driver coverage)
-    # and the Arrow/pandas grouped-map surface:
+    # the two unsampled §2.9 ops (completes streaming driver coverage),
+    # the Arrow/pandas grouped-map surface, and the GEMM kNN tier that
+    # r6 upgraded from rows-only to a full integer-exact oracle:
     "stream_stream_join",
     "stream_static_join",
     "udf_apply_in_pandas",
     "udf_apply_in_arrow",
-    "agg_decimal_exact",
+    "sim_knn_block_matmul",
 )
 
 
