@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from shared_solar_data_warehouse_spark.plans import explain_formatted
 
-from tests.conftest import SF_ORACLE
+from tests.conftest import SF_ORACLE, SF_SMALL
 
 
 def plan_of(registry, spark, name: str) -> str:
@@ -180,6 +180,26 @@ def test_pagerank_rounds_broadcast_node_sides(spark, registry):
     plan = plan_of(registry, spark, "graph_pagerank")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 6  # deg + ranks per round
+
+
+def test_pagerank_copartitioned_regime_matches_broadcast(
+    spark, registry, monkeypatch
+):
+    """r6: past BROADCAST_MAX_NODES the rounds pin ONE edge exchange
+    (repartition on src + localCheckpoint) and shuffle only the ranks.
+    Force the gate shut and assert (a) value parity with the broadcast
+    regime and (b) the pinned layout is visible in the plan (the
+    checkpointed scan replaces the per-round edge subtree)."""
+    from shared_solar_data_warehouse_spark.operators import graph
+
+    base = registry["graph_pagerank"].builder(spark, SF_SMALL).collect()
+    monkeypatch.setattr(graph, "BROADCAST_MAX_NODES", 0)
+    cop = registry["graph_pagerank"].builder(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, cop))
+    plan = explain_formatted(registry["graph_pagerank"].builder(spark, SF_SMALL))
+    assert "BroadcastHashJoin" not in plan
+    # all three rounds read the one materialized edge layout
+    assert "Scan ExistingRDD" in plan
 
 
 def test_q2_scalar_subquery_decorrelates(spark, registry):
