@@ -76,6 +76,7 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'fn_null': ('source-passthrough', 'bal_nanvl'),
     'fn_struct': ('quantized-grid', 'bal_lo,bal_hi,bal_spread'),
     'fn_struct_shape': ('source-passthrough', 'balance'),
+    'graph_assortativity': ('quantized-grid', 'assortativity_q4'),
     'graph_modularity': ('ieee-elementary', 'modularity'),
     'graph_pagerank': ('quantized-grid', 'pagerank'),
     'join_bucketed': ('ieee-elementary', 'avg_price'),
@@ -115,7 +116,9 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'sql_tpch_q1': ('quantized-grid', 'sum_qty,sum_base_price,sum_disc_price,sum_charge'),
     'sql_tpch_q10': ('quantized-grid', 'revenue,c_acctbal'),
     'sql_tpch_q11': ('source-passthrough', 'value'),
+    'sql_tpch_q14': ('quantized-grid', 'promo_revenue_pct'),
     'sql_tpch_q15': ('quantized-grid', 'total_revenue'),
+    'sql_tpch_q17': ('quantized-grid', 'avg_yearly'),
     'sql_tpch_q18': ('quantized-grid', 'o_totalprice,sum_qty'),
     'sql_tpch_q19': ('quantized-grid', 'revenue'),
     'sql_tpch_q2': ('source-passthrough', 's_acctbal'),
@@ -124,6 +127,7 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'sql_tpch_q5': ('quantized-grid', 'revenue'),
     'sql_tpch_q6': ('quantized-grid', 'revenue'),
     'sql_tpch_q7': ('quantized-grid', 'revenue'),
+    'sql_tpch_q8': ('quantized-grid', 'mkt_share'),
     'sql_tpch_q9': ('quantized-grid', 'sum_profit'),
     'text_bigram_perplexity': ('libm-quantized', 'xent2_bits'),
     'text_char_entropy': ('libm-quantized', 'entropy_bits'),

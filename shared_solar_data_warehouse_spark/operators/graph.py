@@ -775,14 +775,14 @@ def graph_neighborhood_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS n_directed_edges,
            CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                THEN floor(
+                THEN CAST(floor(
                     (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                    * 10000.0 + 0.5) / 10000.0
+                    * 1.0e4 + 5.0e-1) AS DOUBLE) / 1.0e4
                 ELSE NULL END AS assortativity_q4
     FROM m
     """,
@@ -835,8 +835,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n").alias("n_directed_edges"),
         F.expr(
+            # CAST-to-DOUBLE before the divide — the Spark floor ->
+            # BIGINT / DECIMAL-literal leak class (r6, same fix as
+            # ts_daily_acf / win_zscore).
             f"CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"
-            f" THEN floor({corr} * 10000.0 + 0.5) / 10000.0"
+            f" THEN CAST(floor({corr} * 1.0e4 + 5.0e-1) AS DOUBLE) / 1.0e4"
             f" ELSE NULL END"
         ).alias("assortativity_q4"),
     )

@@ -127,13 +127,13 @@ GROUP BY c_count
 # (BigDecimal half-up) and DuckDB (nearbyint) disagree; floor on the
 # identical IEEE double is bit-stable on both (SURVEY.md §5.4).
 _Q14_BODY = """
-SELECT floor(
+SELECT CAST(floor(
            100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
                     THEN l_extendedprice * (1 - l_discount)
                     ELSE 0 END AS DECIMAL(25,8))) AS DOUBLE)
            / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
                     AS DECIMAL(25,8))) AS DOUBLE) * 10000.0 + 0.5
-       ) / 10000.0 AS promo_revenue_pct
+       ) AS DOUBLE) / 1.0e4 AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
@@ -146,8 +146,8 @@ WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
 # division by the constant 7 is exact decimal->double; threshold uses
 # 0.2*avg in plain double (identical bits both engines).
 _Q17_BODY = """
-SELECT floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE)
-             / 7.0 * 10000.0 + 0.5) / 10000.0 AS avg_yearly
+SELECT CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE)
+             / 7.0 * 10000.0 + 0.5) AS DOUBLE) / 1.0e4 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#1'
@@ -188,12 +188,12 @@ GROUP BY supp_nation, cust_nation, l_year
 # the share ratio under the §5.4 floor-rounding formula.
 _Q8_BODY = """
 SELECT o_year,
-       floor(
+       CAST(floor(
            CAST(sum(CAST(CASE WHEN nation = 'NATION_1'
                     THEN volume ELSE 0 END AS DECIMAL(25,8))) AS DOUBLE)
            / CAST(sum(CAST(volume AS DECIMAL(25,8))) AS DOUBLE)
            * 10000.0 + 0.5
-       ) / 10000.0 AS mkt_share
+       ) AS DOUBLE) / 1.0e4 AS mkt_share
 FROM (
     SELECT year(o_orderdate) AS o_year,
            l_extendedprice * (1 - l_discount) AS volume,

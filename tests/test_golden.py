@@ -55,6 +55,13 @@ GOLDEN_OPS = (
     "agg_mutual_info",
     "ts_event_transitions",
     "mm_blob_dedup",
+    # round-6 hardening flagships (real multimodal decode, the
+    # integer-exact GEMM tier, the DECIMAL-leak fixes, the powi NPV):
+    "mm_decode_features",
+    "mm_frame_sample",
+    "sim_knn_block_matmul",
+    "ts_npv_cashflows",
+    "win_zscore",
     # round-4 late-wave flagships:
     "ts_survival_km",
     "agg_rfm_segmentation",

@@ -75,10 +75,13 @@ def test_canon_value_floats_are_bit_exact():
     assert canon_value(0.1) == "f64:" + __import__("struct").pack(
         "<d", 0.1
     ).hex()
-    # Decimal routes through float canonicalization (DuckDB DECIMAL
-    # vs Spark double must stay comparable)
+    # Decimal gets its OWN token (r6, ADVICE r5): the driver splits
+    # DECIMAL-vs-DOUBLE dtypes even at equal values, so a Decimal cell
+    # that compared equal to a double here would hide a driver fail —
+    # the tripwire that caught the 7 live floor()/literal leaks.
     from decimal import Decimal
 
-    assert canon_value(Decimal("0.5")) == canon_value(0.5)
+    assert canon_value(Decimal("0.5")) != canon_value(0.5)
+    assert canon_value(Decimal("0.5")) == "dec:0.5"
     # bools stay bools (never confused with 0/1 ints by the canon)
     assert canon_value(True) is True
