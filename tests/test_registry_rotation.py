@@ -115,3 +115,34 @@ def test_driver_order_safe_standalone(fake_repo, monkeypatch):
     calls.clear()
     reg.driver_covered()
     assert calls, "driver_covered() must call load_all_ops() itself"
+
+
+def test_no_stale_green_escapes_the_sample_window():
+    """r6 (VERDICT r5 item 8): every driver-green op whose CURRENT
+    fingerprint no longer matches OP_FINGERPRINTS.json — i.e. edited
+    since the driver last verified it — must sit inside the explicit
+    _FRONTLOAD window so the NEXT driver sample re-verifies it.  An
+    edit that forgets to front-load its rider fails here instead of
+    shipping an unverified change for a round."""
+    reg.load_all_ops()
+    recorded = reg._recorded_fingerprints()
+    stale = {
+        name
+        for name in reg.driver_green()
+        if name in reg.REGISTRY
+        and recorded.get(name) is not None
+        and recorded[name] != reg.op_fingerprint(reg.REGISTRY[name])
+    }
+    escaped = stale - set(reg._FRONTLOAD)
+    assert not escaped, (
+        f"edited driver-green ops missing from _FRONTLOAD: {sorted(escaped)}"
+    )
+
+
+def test_frontload_fits_the_driver_window():
+    """The driver checks the first 50 rows of queries(); a _FRONTLOAD
+    longer than the window silently drops its tail from re-verification."""
+    reg.load_all_ops()
+    assert len(reg._FRONTLOAD) <= 50
+    unknown = [n for n in reg._FRONTLOAD if n not in reg.REGISTRY]
+    assert not unknown, f"_FRONTLOAD names not in registry: {unknown}"
