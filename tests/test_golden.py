@@ -62,6 +62,13 @@ GOLDEN_OPS = (
     "sim_knn_block_matmul",
     "ts_npv_cashflows",
     "win_zscore",
+    # rows-only-by-design op that is still DETERMINISTIC per engine
+    # (Spark-native xxhash64/murmur seeds): no DuckDB twin exists, but
+    # a frozen golden pins cross-round regressions — the strongest
+    # check available for this class.  (row_sample was tried and
+    # rejected: sample(seed) is only deterministic per partition
+    # LAYOUT, which the golden cannot pin.)
+    "fn_hash_spark",
     # round-4 late-wave flagships:
     "ts_survival_km",
     "agg_rfm_segmentation",
