@@ -840,3 +840,32 @@ def test_stream_topk_matches_batch_topk(spark, registry):
         )
     ]
     assert got == want
+
+
+def test_tfidf_broadcasts_vocab_idf_not_corpus(spark, registry):
+    """r6: the deterministic-ln idf stages on the VOCAB-sized df table
+    and broadcast-joins back to the corpus-scale tf artifact — the
+    corpus side must never shuffle for the join, and the ladder CASE
+    must appear in the plan exactly once per stage column (evaluated
+    per vocab row), not per corpus row via a post-join projection."""
+    plan = plan_of(registry, spark, "text_tfidf")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_npv_discount_dimension_broadcasts(spark, registry):
+    """r6: the sql_powi discount table is DISTINCT day-offsets (day-
+    bounded domain) joined back broadcast; the cashflow side must not
+    shuffle for it."""
+    plan = plan_of(registry, spark, "ts_npv_cashflows")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_mm_decode_is_shuffle_free_arrow_map(spark, registry):
+    """r6: the real BMP/WAV decode ops are pure per-partition Arrow
+    map stages — any Exchange would mean the codec loop moved data."""
+    for name in ("mm_decode_features", "mm_frame_sample", "mm_resize"):
+        plan = explain_formatted(registry[name].builder(spark, SF_ORACLE))
+        body = plan.split("== Initial Plan ==")[0]
+        assert "Exchange" not in body, f"{name} shuffles: {body[:400]}"
+        assert "MapInPandas" in body or "mapInPandas" in body.lower(), name
