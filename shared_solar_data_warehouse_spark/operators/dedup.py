@@ -470,8 +470,17 @@ def cc_driver_union_find(spark: SparkSession, pairs: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in pairs.select("doc_a", "doc_b").toLocalIterator():
-        ra, rb = find(row[0]), find(row[1])
+    # ONE Arrow transfer, then pure-python ints: toLocalIterator
+    # streams rows through Py4J one at a time (~10-50k rows/s); the
+    # cap guarantees the pandas frame is <= ~32 MB, and .tolist()
+    # yields plain ints so the union-find dict never holds numpy
+    # scalars (r6 — the 10x dedup_cluster tier was paying most of its
+    # wall-clock in the row stream, not the union-find).
+    pdf = pairs.select("doc_a", "doc_b").toPandas()
+    for a, b in zip(
+        pdf["doc_a"].to_numpy().tolist(), pdf["doc_b"].to_numpy().tolist()
+    ):
+        ra, rb = find(a), find(b)
         if ra != rb:  # min id wins so labels match the oracle
             if rb < ra:
                 ra, rb = rb, ra
