@@ -471,11 +471,13 @@ def cc_driver_union_find(spark: SparkSession, pairs: DataFrame) -> DataFrame:
         return root
 
     # ONE Arrow transfer, then pure-python ints: toLocalIterator
-    # streams rows through Py4J one at a time (~10-50k rows/s); the
-    # cap guarantees the pandas frame is <= ~32 MB, and .tolist()
-    # yields plain ints so the union-find dict never holds numpy
-    # scalars (r6 — the 10x dedup_cluster tier was paying most of its
-    # wall-clock in the row stream, not the union-find).
+    # streams rows through Py4J one at a time (~10-50k rows/s, a
+    # growing tax as the dup graph approaches the cap); the cap
+    # guarantees the pandas frame is <= ~32 MB, and .tolist() yields
+    # plain ints so the union-find dict never holds numpy scalars.
+    # (At the current fixtures the op's wall-clock is dominated by the
+    # upstream exact-pairs artifact build, not this transfer — the
+    # switch matters as edge counts approach DRIVER_CC_MAX_EDGES.)
     pdf = pairs.select("doc_a", "doc_b").toPandas()
     for a, b in zip(
         pdf["doc_a"].to_numpy().tolist(), pdf["doc_b"].to_numpy().tolist()
