@@ -146,3 +146,47 @@ def test_powi_cross_engine_bits(spark, n):
     )
     ref = py_powi(base, n)
     assert _bits(duck) == _bits(ref) == _bits(srow.v), (n, duck, srow.v, ref)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis fuzz tier: the deterministic sweep above covers rung
+# boundaries; this hunts arbitrary doubles for (a) accuracy drift vs
+# libm and (b) Python-vs-DuckDB bit divergence (CPython floats are the
+# reference IEEE implementation of the same op sequence).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(
+        min_value=2.0**-60,
+        max_value=2.0**60,
+        allow_nan=False,
+        allow_infinity=False,
+    )
+)
+def test_py_ieee_ln_accuracy_fuzz(x):
+    approx = py_ieee_ln(x)
+    true = math.log(x)
+    assert abs(approx - true) <= max(1e-12, abs(true) * 1e-12), (x, approx, true)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=2.0**-60,
+            max_value=2.0**60,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_duckdb_bits_match_python_fuzz(xs):
+    got = _duck_ln(xs)
+    for x, g in zip(xs, got):
+        assert _bits(g) == _bits(py_ieee_ln(x)), (x, g, py_ieee_ln(x))
