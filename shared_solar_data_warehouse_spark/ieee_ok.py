@@ -36,6 +36,19 @@ Categories (weakest discipline last):
 
 An op may NOT add a raw transcendental double output: either quantize
 to the grid (``libm-quantized``) or — better — emit exact integers.
+
+Round-6 note: ``parity.sql_ln_*`` / ``sql_powi`` provide DETERMINISTIC
+transcendentals built from correctly-rounded IEEE ops only (bit-equal
+across Spark/DuckDB/Python — tests/test_ieee_ln.py), and four former
+``libm-quantized`` ops (text_tfidf, text_keywords, agg_welch_ttest,
+ts_npv_cashflows) now use them and emit exact integers.  The SEVEN
+remaining ``libm-quantized`` entries (agg_cat_entropy, agg_mutual_info,
+text_bigram_perplexity, text_char_entropy, text_cooccurrence_pmi,
+text_unigram_perplexity, ts_survival_km) are all ln-of-count-ratio
+shapes that the same staged-ladder conversion retires mechanically —
+scheduled for round 7 FIRST so their fingerprint-invalidated greens
+can take the next driver sample window (round 6's window is fully
+committed to this round's riders + the never-sampled sql_* family).
 """
 
 from __future__ import annotations
