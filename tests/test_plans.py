@@ -869,3 +869,33 @@ def test_mm_decode_is_shuffle_free_arrow_map(spark, registry):
         body = plan.split("== Initial Plan ==")[0]
         assert "Exchange" not in body, f"{name} shuffles: {body[:400]}"
         assert "MapInPandas" in body or "mapInPandas" in body.lower(), name
+
+
+def test_q21_exists_pair_decorrelates_to_semi_and_anti(spark, registry):
+    """q21's EXISTS + NOT EXISTS against the same fact must plan as one
+    semi and one anti join on l_orderkey — never a re-executed per-row
+    subquery or a cartesian check."""
+    plan = plan_of(registry, spark, "sql_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_chain_decorrelates(spark, registry):
+    """q20's nested IN chain (supplier <- lineitem <- part) must become
+    semi joins; the two scalar aggregate subqueries are uncorrelated
+    (computed once) so a Subquery node is fine, a CartesianProduct or
+    row-dependent re-execution is not."""
+    plan = plan_of(registry, spark, "sql_tpch_q20")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_star_joins_broadcast_all_dims(spark, registry):
+    """q8's 8-table market-share star must broadcast every dim side —
+    at 100 TB only lineitem/orders are fact-scale and nothing about
+    this query should shuffle them for a join."""
+    plan = plan_of(registry, spark, "sql_tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
