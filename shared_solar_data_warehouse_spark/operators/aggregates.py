@@ -2348,12 +2348,16 @@ def report_experiment_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            n1 AS n_weekday, n2 AS n_weekend,
-           CAST(floor(md / sqrt(v1n + v2n) * 1.0e6 + 5.0e-1) AS BIGINT)
-               AS t_welch_q6,
-           CAST(floor((v1n + v2n) * (v1n + v2n)
-                      / (v1n * v1n / CAST(n1 - 1 AS DOUBLE)
-                         + v2n * v2n / CAST(n2 - 1 AS DOUBLE))
-                      * 1.0e4 + 5.0e-1) AS BIGINT) AS df_welch_q4
+           CASE WHEN n1 >= 2 AND n2 >= 2 AND v1n + v2n > 0
+                THEN CAST(floor(md / sqrt(v1n + v2n) * 1.0e6 + 5.0e-1)
+                          AS BIGINT)
+                ELSE NULL END AS t_welch_q6,
+           CASE WHEN n1 >= 2 AND n2 >= 2 AND v1n + v2n > 0
+                THEN CAST(floor((v1n + v2n) * (v1n + v2n)
+                           / (v1n * v1n / CAST(n1 - 1 AS DOUBLE)
+                              + v2n * v2n / CAST(n2 - 1 AS DOUBLE))
+                           * 1.0e4 + 5.0e-1) AS BIGINT)
+                ELSE NULL END AS df_welch_q4
     FROM v
     """,
 )
@@ -2405,12 +2409,19 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1n * v1n / (F.col("n1") - 1).cast("double")
         + v2n * v2n / (F.col("n2") - 1).cast("double")
     )
+    # Degenerate-group guard (r6): a type with <2 rows on either side
+    # or zero pooled variance yields NaN/Inf, which the two engines'
+    # double->BIGINT casts handle DIFFERENTLY (DuckDB errors on Inf,
+    # Spark saturates) — emit NULL instead, identically on both sides.
+    ok = (F.col("n1") >= 2) & (F.col("n2") >= 2) & (vv > 0)
     return g.select(
         "event_type",
         F.col("n1").alias("n_weekday"),
         F.col("n2").alias("n_weekend"),
-        F.floor(t * F.lit(1.0e6) + F.lit(0.5)).cast("bigint").alias("t_welch_q6"),
-        F.floor(df * F.lit(1.0e4) + F.lit(0.5)).cast("bigint").alias("df_welch_q4"),
+        F.when(ok, F.floor(t * F.lit(1.0e6) + F.lit(0.5)).cast("bigint"))
+        .alias("t_welch_q6"),
+        F.when(ok, F.floor(df * F.lit(1.0e4) + F.lit(0.5)).cast("bigint"))
+        .alias("df_welch_q4"),
     )
 
 
