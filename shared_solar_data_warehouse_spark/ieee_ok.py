@@ -37,18 +37,19 @@ Categories (weakest discipline last):
 An op may NOT add a raw transcendental double output: either quantize
 to the grid (``libm-quantized``) or — better — emit exact integers.
 
-Round-6 note: ``parity.sql_ln_*`` / ``sql_powi`` provide DETERMINISTIC
-transcendentals built from correctly-rounded IEEE ops only (bit-equal
-across Spark/DuckDB/Python — tests/test_ieee_ln.py), and four former
-``libm-quantized`` ops (text_tfidf, text_keywords, agg_welch_ttest,
-ts_npv_cashflows) now use them and emit exact integers.  The SEVEN
-remaining ``libm-quantized`` entries (agg_cat_entropy, agg_mutual_info,
-text_bigram_perplexity, text_char_entropy, text_cooccurrence_pmi,
-text_unigram_perplexity, ts_survival_km) are all ln-of-count-ratio
-shapes that the same staged-ladder conversion retires mechanically —
-scheduled for round 7 FIRST so their fingerprint-invalidated greens
-can take the next driver sample window (round 6's window is fully
-committed to this round's riders + the never-sampled sql_* family).
+Round-6/7 note: ``parity.sql_ln_*`` / ``sql_exp_*`` / ``sql_powi``
+provide DETERMINISTIC transcendentals built from correctly-rounded
+IEEE ops only (bit-equal across Spark/DuckDB/Python —
+tests/test_ieee_ln.py).  Round 6 converted four ops onto them
+(text_tfidf, text_keywords, agg_welch_ttest, ts_npv_cashflows — exact
+integer outputs); round 7 retired the LAST seven ``libm-quantized``
+entries (agg_cat_entropy, agg_mutual_info, text_bigram_perplexity,
+text_char_entropy, text_cooccurrence_pmi, text_unigram_perplexity,
+ts_survival_km — staged ln/exp ladders + floor-based 1e-6 grid snaps,
+now ``quantized-grid``).  **The category is empty**: no graded output
+anywhere in the registry depends on a libm call, in either engine.
+The category definition stays below so the oracle-types test keeps
+rejecting any future op that tries to reintroduce one.
 """
 
 from __future__ import annotations
@@ -56,7 +57,7 @@ from __future__ import annotations
 #: op name -> (category, comma-joined double output columns)
 IEEE_OK: dict[str, tuple[str, str]] = {
     'agg_arg_extrema': ('source-passthrough', 'first_price'),
-    'agg_cat_entropy': ('libm-quantized', 'type_entropy_bits'),
+    'agg_cat_entropy': ('quantized-grid', 'type_entropy_bits'),
     'agg_chi_square': ('quantized-grid', 'chi_square_q4'),
     'agg_corr_exact': ('quantized-grid', 'corr_qty_price'),
     'agg_cube': ('quantized-grid', 'total'),
@@ -69,7 +70,7 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'agg_having': ('quantized-grid', 'total_qty'),
     'agg_histogram': ('quantized-grid', 'bin_lo,bin_value_sum'),
     'agg_linreg': ('quantized-grid', 'slope,intercept'),
-    'agg_mutual_info': ('libm-quantized', 'mi_bits,h_type_partial_bits'),
+    'agg_mutual_info': ('quantized-grid', 'mi_bits,h_type_partial_bits'),
     'agg_percentile': ('quantized-grid', 'p25,p50,p75,med'),
     'agg_rollup': ('quantized-grid', 'sum_qty'),
     'agg_skew_kurt': ('quantized-grid', 'qty_skewness,qty_excess_kurtosis'),
@@ -142,14 +143,14 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'sql_tpch_q7': ('quantized-grid', 'revenue'),
     'sql_tpch_q8': ('quantized-grid', 'mkt_share'),
     'sql_tpch_q9': ('quantized-grid', 'sum_profit'),
-    'text_bigram_perplexity': ('libm-quantized', 'xent2_bits'),
-    'text_char_entropy': ('libm-quantized', 'entropy_bits'),
-    'text_cooccurrence_pmi': ('libm-quantized', 'pmi'),
+    'text_bigram_perplexity': ('quantized-grid', 'xent2_bits'),
+    'text_char_entropy': ('quantized-grid', 'entropy_bits'),
+    'text_cooccurrence_pmi': ('quantized-grid', 'pmi'),
     'text_lang_stats': ('ieee-elementary', 'avg_chars'),
     'text_quality_filter': ('quantized-grid', 'dup_ratio'),
     'text_readability': ('ieee-elementary', 'flesch'),
     'text_repetition': ('ieee-elementary', 'dup_bigram_frac'),
-    'text_unigram_perplexity': ('libm-quantized', 'xent_bits'),
+    'text_unigram_perplexity': ('quantized-grid', 'xent_bits'),
     'topk_global': ('source-passthrough', 'o_totalprice'),
     'topk_per_group': ('source-passthrough', 'c_acctbal'),
     'ts_acf_profile': ('quantized-grid', 'acf_q4'),
@@ -171,7 +172,7 @@ IEEE_OK: dict[str, tuple[str, str]] = {
     'ts_running_balance': ('ieee-elementary', 'balance'),
     'ts_sessionize': ('quantized-grid', 'session_value'),
     'ts_sliding_correlation': ('quantized-grid', 'corr_7d'),
-    'ts_survival_km': ('libm-quantized', 'km_survival'),
+    'ts_survival_km': ('quantized-grid', 'km_survival'),
     'ts_tariff_billing': ('quantized-grid', 'billed_amount'),
     'ts_topk_users': ('quantized-grid', 'total_value'),
     'udf_apply_in_pandas': ('quantized-grid', 'znorm'),

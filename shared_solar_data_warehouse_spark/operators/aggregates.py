@@ -14,7 +14,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from shared_solar_data_warehouse_spark.parity import davg, dsum, sql_davg, sql_dsum
+from shared_solar_data_warehouse_spark.parity import (
+    LN_ELN2,
+    LN_P2,
+    LN_S,
+    LN_X,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+    sql_ln_final,
+    sql_ln_ladders,
+    sql_ln_s,
+    sql_log2_from_ln,
+)
+
+#: Probability-domain deterministic-ln ladder (count ratios k/n in
+#: (0, 1]) + its log2 — the r7 libm retirement of the entropy family
+#: (same fragments text.py stages; see parity.sql_ln_ladders).
+_P_P2, _P_ELN2 = sql_ln_ladders(lo_e=-62, hi_e=0)
+_P_LOG2 = sql_log2_from_ln(sql_ln_final())
 from shared_solar_data_warehouse_spark.registry import op
 from shared_solar_data_warehouse_spark.sources.io import load_table, register_views
 
@@ -1164,21 +1183,31 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "agg_cat_entropy",
-    oracle="""
+    oracle=f"""
     WITH c AS (
         SELECT user_id, event_type, count(*) AS k
         FROM events GROUP BY user_id, event_type
     ), n AS (
         SELECT user_id, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY user_id
+    ), s0 AS (
+        SELECT c.user_id, c.k, n.n, c.k / n.n AS {LN_X}
+        FROM c JOIN n USING (user_id)
+    ), s1 AS (
+        SELECT *, {_P_P2} AS {LN_P2}, {_P_ELN2} AS {LN_ELN2} FROM s0
+    ), s2 AS (
+        SELECT user_id, k, n, {LN_ELN2}, {sql_ln_s()} AS {LN_S} FROM s1
+    ), terms AS (
+        SELECT user_id, n,
+               CAST(floor((k / n) * {_P_LOG2} * 1.0e12 + 5.0e-1) AS BIGINT)
+                   AS q
+        FROM s2
     )
-    SELECT c.user_id,
-           CAST(max(n.n) AS BIGINT) AS n_events,
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
            count(*) AS n_types,
-           round(CAST(-sum(CAST(floor((k / n.n) * log2(k / n.n) * 1e12 + 0.5)
-                                AS BIGINT)) AS DOUBLE) / 1e12, 6)
-               AS type_entropy_bits
-    FROM c JOIN n USING (user_id)
-    GROUP BY c.user_id
+           floor(CAST(-CAST(sum(q) AS BIGINT) AS DOUBLE) / 1.0e6 + 5.0e-1)
+               / 1.0e6 AS type_entropy_bits
+    FROM terms GROUP BY user_id
     """,
 )
 def agg_cat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1186,23 +1215,35 @@ def agg_cat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavioral-diversity measure (a circuit emitting only `error`
     rows scores 0; a uniform mix scores log2(5)).  The same
     label-distribution entropy grades class balance in training-data
-    audits.  Exactness: each p·log2 p term quantizes to integer
-    1e-12 units BEFORE the per-group sum (text_char_entropy's
-    scheme, pointed at a categorical column); the count tables are
-    integers throughout.  Plan: two stacked aggs on the user_id
-    prefix + a self-join on the tiny per-user totals — broadcast,
-    one real exchange of event rows."""
+    audits.  Exactness (r7 libm retirement): log2 is the staged
+    deterministic ln ladder / ln2 (parity.sql_ln_*, bit-equal across
+    engines), so each p·log2 p term is identical bits on both sides
+    before it quantizes to integer 1e-12 units; the per-group sum is
+    exact BIGINT math and the display value one floor-based 1e-6
+    snap.  Plan: two stacked aggs on the user_id prefix + a
+    broadcast join of the tiny per-user totals — one real exchange
+    of event rows; the CASE ladder runs on the (user, type) census,
+    never per event."""
     e = load_table(spark, sf_dir, "events")
     c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
     n = c.groupBy("user_id").agg(F.sum("k").alias("n"))
-    j = c.join(F.broadcast(n), "user_id")
-    q = F.expr("CAST(floor((k / n) * log2(k / n) * 1e12 + 0.5) AS BIGINT)")
-    return j.groupBy("user_id").agg(
+    staged = (
+        c.join(F.broadcast(n), "user_id")
+        .withColumn(LN_X, F.expr("k / n"))
+        .withColumn(LN_P2, F.expr(_P_P2))
+        .withColumn(LN_ELN2, F.expr(_P_ELN2))
+        .withColumn(LN_S, F.expr(sql_ln_s()))
+    )
+    q = F.expr(
+        f"CAST(floor((k / n) * {_P_LOG2} * 1.0e12 + 5.0e-1) AS BIGINT)"
+    )
+    return staged.select("user_id", "n", q.alias("q")).groupBy("user_id").agg(
         F.max("n").alias("n_events"),
         F.count(F.lit(1)).alias("n_types"),
-        F.round(-F.sum(q).cast("double") / F.lit(1e12), 6).alias(
-            "type_entropy_bits"
-        ),
+        F.expr(
+            "floor(CAST(-CAST(sum(q) AS BIGINT) AS DOUBLE) / 1.0e6"
+            " + 5.0e-1) / 1.0e6"
+        ).alias("type_entropy_bits"),
     )
 
 
@@ -1960,9 +2001,30 @@ def agg_binomial_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: agg_mutual_info stages TWO deterministic-ln chains on the tiny
+#: (type × dow) census — distinct column names so both ladders can
+#: live in one projection (the shared LN_* names would collide).
+_MI_X, _MI_P2C, _MI_EL, _MI_S = "__mi_x", "__mi_p2", "__mi_eln2", "__mi_s"
+_HT_X, _HT_P2C, _HT_EL, _HT_S = "__ht_x", "__ht_p2", "__ht_eln2", "__ht_s"
+_MI_P2, _MI_ELN2 = sql_ln_ladders(x=_MI_X)  # ratio spans both sides of 1
+_HT_P2, _HT_ELN2 = sql_ln_ladders(x=_HT_X, lo_e=-62, hi_e=0)  # p <= 1
+_MI_LOG2 = sql_log2_from_ln(sql_ln_final(s=_MI_S, eln2=_MI_EL))
+_HT_LOG2 = sql_log2_from_ln(sql_ln_final(s=_HT_S, eln2=_HT_EL))
+_MI_TERM = (
+    f"CAST(floor((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" * {_MI_LOG2} * 1.0e12 + 5.0e-1) AS BIGINT)"
+)
+_HT_TERM = (
+    f"CASE WHEN nij = ni THEN"
+    f" CAST(floor((CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" * {_HT_LOG2} * 1.0e12 + 5.0e-1) AS BIGINT)"
+    f" ELSE CAST(0 AS BIGINT) END"
+)
+
+
 @op(
     "agg_mutual_info",
-    oracle="""
+    oracle=f"""
     WITH obs AS (
         SELECT event_type,
                CAST(dayofweek(ts) AS BIGINT) AS dow,
@@ -1974,44 +2036,55 @@ def agg_binomial_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(nij) OVER (PARTITION BY dow) AS BIGINT) AS nj,
                CAST(sum(nij) OVER () AS BIGINT) AS n
         FROM obs
+    ), s0 AS (
+        SELECT nij, ni, nj, n,
+               CAST(nij AS DOUBLE) * CAST(n AS DOUBLE)
+                   / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)) AS {_MI_X},
+               CAST(ni AS DOUBLE) / CAST(n AS DOUBLE) AS {_HT_X}
+        FROM m
+    ), s1 AS (
+        SELECT *, {_MI_P2} AS {_MI_P2C}, {_MI_ELN2} AS {_MI_EL},
+               {_HT_P2} AS {_HT_P2C}, {_HT_ELN2} AS {_HT_EL}
+        FROM s0
+    ), s2 AS (
+        SELECT nij, ni, n, {_MI_EL}, {_HT_EL},
+               {sql_ln_s(x=_MI_X, p2=_MI_P2C)} AS {_MI_S},
+               {sql_ln_s(x=_HT_X, p2=_HT_P2C)} AS {_HT_S}
+        FROM s1
+    ), terms AS (
+        SELECT n, {_MI_TERM} AS mi_q, {_HT_TERM} AS ht_q FROM s2
     )
     SELECT CAST(max(n) AS BIGINT) AS n_events,
            count(*) AS n_cells,
-           round(CAST(sum(CAST(floor(
-               (CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))
-               * log2((CAST(nij AS DOUBLE) * CAST(n AS DOUBLE))
-                      / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))
-               * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12, 6)
-               AS mi_bits,
-           round(CAST(-sum(CAST(floor(
-               CASE WHEN nij = ni
-                    THEN (CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
-                         * log2(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))
-                    ELSE 0.0 END * 1e12 + 0.5) AS BIGINT))
-               AS DOUBLE) / 1e12, 6) AS h_type_partial_bits
-    FROM m
+           floor(CAST(CAST(sum(mi_q) AS BIGINT) AS DOUBLE) / 1.0e6 + 5.0e-1)
+               / 1.0e6 AS mi_bits,
+           floor(CAST(-CAST(sum(ht_q) AS BIGINT) AS DOUBLE) / 1.0e6 + 5.0e-1)
+               / 1.0e6 AS h_type_partial_bits
+    FROM terms
     """,
 )
 def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between event type and day-of-week, in bits
     — the strength-of-dependence companion to agg_chi_square's
     significance test (chi-square says "dependent", MI says "by how
-    many bits").  The agg_cat_entropy parity pattern: every per-cell
-    float term is one textually shared IEEE expression (exact BIGINT
-    counts cast to double; /, *, log2 on identical inputs) quantized
-    to 1e-12 units BEFORE the sum, so the accumulation is exact
-    integer math with no float-order sensitivity; one final rounded
-    display division.  The h_type_partial_bits rider (entropy terms
-    where a type concentrates on one dow cell, i.e. nij == ni) is a
-    degenerate-distribution canary: it is 0 unless some type is
+    many bits").  The agg_cat_entropy parity pattern, r7 libm-free:
+    both log2 terms ride the staged deterministic ln ladders
+    (parity.sql_ln_*; two chains with distinct stage names, one per
+    ratio domain), so every per-cell term is identical bits on both
+    engines before it quantizes to 1e-12 integer units; the
+    accumulation is exact BIGINT math and the display values are
+    floor-based 1e-6 snaps.  The h_type_partial_bits rider (entropy
+    terms where a type concentrates on one dow cell, i.e. nij == ni)
+    is a degenerate-distribution canary: it is 0 unless some type is
     perfectly predicted by dow — the case MI must then equal that
     type's entropy contribution.
 
     Scale: the (type, dow) census is the only fact-width aggregate;
-    margins ride windows over the 35-cell matrix.  Note the dow
-    bucket itself never crosses engines (both sides derive margins
-    from their own bucketing; the cell/margin COUNTS are engine-local
-    and identical because the underlying instants are)."""
+    margins ride windows over the 35-cell matrix (the ladders run on
+    those 35 rows, never per event).  Note the dow bucket itself
+    never crosses engines (both sides derive margins from their own
+    bucketing; the cell/margin COUNTS are engine-local and identical
+    because the underlying instants are)."""
     e = load_table(spark, sf_dir, "events")
     obs = e.groupBy(
         "event_type", F.expr("CAST(dayofweek(ts) AS BIGINT)").alias("dow")
@@ -2025,27 +2098,38 @@ def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nij").over(wj).cast("bigint").alias("nj"),
         F.sum("nij").over(wall).cast("bigint").alias("n"),
     )
-    term = (
-        "CAST(floor((CAST(nij AS DOUBLE) / CAST(n AS DOUBLE))"
-        " * log2((CAST(nij AS DOUBLE) * CAST(n AS DOUBLE))"
-        " / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE)))"
-        " * 1e12 + 0.5) AS BIGINT)"
+    staged = (
+        m.withColumn(
+            _MI_X,
+            F.expr(
+                "CAST(nij AS DOUBLE) * CAST(n AS DOUBLE)"
+                " / (CAST(ni AS DOUBLE) * CAST(nj AS DOUBLE))"
+            ),
+        )
+        .withColumn(_HT_X, F.expr("CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .withColumn(_MI_P2C, F.expr(_MI_P2))
+        .withColumn(_MI_EL, F.expr(_MI_ELN2))
+        .withColumn(_HT_P2C, F.expr(_HT_P2))
+        .withColumn(_HT_EL, F.expr(_HT_ELN2))
+        .withColumn(_MI_S, F.expr(sql_ln_s(x=_MI_X, p2=_MI_P2C)))
+        .withColumn(_HT_S, F.expr(sql_ln_s(x=_HT_X, p2=_HT_P2C)))
+        .select(
+            "n",
+            F.expr(_MI_TERM).alias("mi_q"),
+            F.expr(_HT_TERM).alias("ht_q"),
+        )
     )
-    hterm = (
-        "CAST(floor(CASE WHEN nij = ni"
-        " THEN (CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))"
-        " * log2(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE))"
-        " ELSE 0.0D END * 1e12 + 0.5) AS BIGINT)"
-    )
-    return m.agg(
+    return staged.agg(
         F.max("n").cast("bigint").alias("n_events"),
         F.count(F.lit(1)).alias("n_cells"),
-        F.round(F.expr(f"CAST(sum({term}) AS DOUBLE) / 1e12"), 6).alias(
-            "mi_bits"
-        ),
-        F.round(F.expr(f"CAST(-sum({hterm}) AS DOUBLE) / 1e12"), 6).alias(
-            "h_type_partial_bits"
-        ),
+        F.expr(
+            "floor(CAST(CAST(sum(mi_q) AS BIGINT) AS DOUBLE) / 1.0e6"
+            " + 5.0e-1) / 1.0e6"
+        ).alias("mi_bits"),
+        F.expr(
+            "floor(CAST(-CAST(sum(ht_q) AS BIGINT) AS DOUBLE) / 1.0e6"
+            " + 5.0e-1) / 1.0e6"
+        ).alias("h_type_partial_bits"),
     )
 
 
@@ -2827,6 +2911,15 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: divergence at a floor-rounding boundary could flip a BIGINT term and
 #: split the driver hash; this makes the op genuinely libm-free at
 #: query time).
+#:
+#: Domain bound (ADVICE r6): agg_ndcg_eval multiplies rel * D(k) in
+#: BIGINT with D(1) = 1e9, so a per-(dow,user) relevance count above
+#: ~9.2e9 (int64_max / 1e9) would overflow — silently and identically
+#: on both engines.  rel here is a purchase count per (user, weekday):
+#: reaching 9.2e9 would need ~1e10 events for ONE user on one weekday
+#: (more than the entire 100 TB fixture's event count).  If the op is
+#: ever repointed at an unbounded relevance column, clamp rel (e.g.
+#: least(rel, 4e9)) or drop the weights to 1e-6 units first.
 def _ndcg_discounts_q9() -> dict[int, int]:
     import math
 

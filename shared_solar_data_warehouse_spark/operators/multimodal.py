@@ -38,7 +38,18 @@ from shared_solar_data_warehouse_spark.sources.io import load_table, scratch_dir
 
 
 def _bmp_geometry(doc_id: int, n_chars: int) -> tuple[int, int]:
-    """Deterministic per-document image geometry (1..13 x 1..7)."""
+    """Deterministic per-document image geometry (1..13 x 1..7).
+
+    ``n_chars`` is CHARACTER length — the builders use Spark
+    ``length(text)`` (code points) and the oracles DuckDB
+    ``length(text)`` (grapheme clusters), which agree because the
+    fixture corpus is pure ASCII (verified: every sf's documents.text
+    is 7-bit).  ADVICE r6: this is a deliberate char-length choice,
+    NOT byte semantics — if a future fixture regen introduces
+    non-ASCII text, switch BOTH engine sides of the `length(text) %
+    13` geometry fragments to ``octet_length(encode(text))`` for
+    byte-exact parity (code points vs graphemes diverge on combining
+    sequences)."""
     return 1 + (n_chars % 13), 1 + (doc_id % 7)
 
 

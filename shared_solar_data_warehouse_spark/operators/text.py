@@ -27,6 +27,7 @@ from shared_solar_data_warehouse_spark.parity import (
     sql_ln_final,
     sql_ln_ladders,
     sql_ln_s,
+    sql_log2_from_ln,
 )
 from shared_solar_data_warehouse_spark.registry import op
 from shared_solar_data_warehouse_spark.sources.io import load_table
@@ -38,6 +39,21 @@ STOPWORDS = ("the", "a")
 #: the shared SQL fragments both text_tfidf and text_keywords stage on
 #: the vocab-sized df table (parity.sql_ln_ladders docstring).
 _IDF_P2, _IDF_ELN2 = sql_ln_ladders(lo_e=0, hi_e=50)
+
+#: Probability-domain ladder (x in (0, 1], i.e. count ratios k/n): the
+#: entropy / perplexity family's r7 libm retirement stages these on
+#: their count tables.  lo_e=-62 covers p >= 2^-62 — any realizable
+#: per-group count ratio (a group would need > 4.6e18 rows to go
+#: below it, past BIGINT count range).
+_P_P2, _P_ELN2 = sql_ln_ladders(lo_e=-62, hi_e=0)
+
+#: Deterministic log2 of the staged ln, shared by the Spark builders
+#: and oracle SQL below (textually identical on both sides).
+_P_LOG2 = sql_log2_from_ln(sql_ln_final())
+
+#: Full-domain ladder for PMI ratios N·c_ab/(c_a·c_b), which span both
+#: sides of 1 (positive and negative association).
+_PMI_P2, _PMI_ELN2 = sql_ln_ladders()
 
 
 def _idf_table(df_counts: DataFrame, n_docs: int) -> DataFrame:
@@ -507,7 +523,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "text_char_entropy",
-    oracle="""
+    oracle=f"""
     WITH chars AS (
         SELECT doc_id, length(text) AS n,
                unnest(string_split(text, '')) AS ch
@@ -516,12 +532,22 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), counts AS (
         SELECT doc_id, n, ch, count(*) AS k
         FROM chars GROUP BY doc_id, n, ch
+    ), s0 AS (
+        SELECT doc_id, k, n, k / n AS {LN_X} FROM counts
+    ), s1 AS (
+        SELECT *, {_P_P2} AS {LN_P2}, {_P_ELN2} AS {LN_ELN2} FROM s0
+    ), s2 AS (
+        SELECT doc_id, k, n, {LN_ELN2}, {sql_ln_s()} AS {LN_S} FROM s1
+    ), terms AS (
+        SELECT doc_id,
+               CAST(floor((k / n) * {_P_LOG2} * 1.0e12 + 5.0e-1) AS BIGINT)
+                   AS q
+        FROM s2
     )
     SELECT doc_id,
-           round(CAST(-CAST(sum(CAST(floor((k / n) * log2(k / n) * 1e12 + 0.5)
-                                     AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e12,
-                 6) AS entropy_bits
-    FROM counts GROUP BY doc_id
+           floor(CAST(-CAST(sum(q) AS BIGINT) AS DOUBLE) / 1.0e6 + 5.0e-1)
+               / 1.0e6 AS entropy_bits
+    FROM terms GROUP BY doc_id
     """,
 )
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,20 +555,26 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish/boilerplate detector in pretraining quality pipelines
     (low entropy = repeated chars/padding, high = random noise).
 
-    Parity: each term p*log2(p) is quantized to integer 1e-12 units
-    BEFORE the per-doc sum (floor(x*1e12+0.5) as BIGINT), making the
-    float sum order-independent and immune to JVM-vs-DuckDB libm ulp
-    drift in log2 (verified bit-equal on both engines for the md5-style
-    probe set).  Both engines' `/` on BIGINTs is float division, and
-    split('')/string_split('') agree on multibyte chars (verified).
+    Parity (r7, retired from the ``libm-quantized`` class): log2 is
+    the staged deterministic ladder from ``parity.sql_ln_*`` divided
+    by the ln2 literal — correctly-rounded IEEE ops only, bit-equal
+    across Spark/DuckDB/Python by construction (tests/test_ieee_ln.py)
+    — so each p*log2(p) term is IDENTICAL bits on both engines before
+    it quantizes to integer 1e-12 units, and the per-doc sum is exact
+    BIGINT math; the display value is one floor-based 1e-6 grid snap
+    (parity.dround's formula — immune to the round() half-even vs
+    half-up engine split).  Both engines' `/` on BIGINTs is float
+    division, and split('')/string_split('') agree on multibyte chars
+    (verified).
 
     Plan: explode chars -> two-level groupBy (doc,char) then (doc) —
     both shuffles key on doc_id so AQE coalesces them; map-side partial
-    aggregation absorbs the 1-row-per-char blowup before the exchange.
-    At 100 TB you'd replace the explode with a per-document Pandas UDF
-    computing the histogram in one pass (numpy bincount over codepoints)
-    to avoid materializing n_chars rows — the explode form is the
-    oracle-checkable reference semantics.
+    aggregation absorbs the 1-row-per-char blowup before the exchange;
+    the ~63-rung CASE ladder is whole-stage-codegen'd per (doc,char)
+    row, NOT per char.  At 100 TB you'd replace the explode with a
+    per-document Pandas UDF computing the histogram in one pass (numpy
+    bincount over codepoints) to avoid materializing n_chars rows —
+    the explode form is the oracle-checkable reference semantics.
     """
     d = (
         load_table(spark, sf_dir, "documents")
@@ -554,14 +586,23 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = d.groupBy("doc_id", "n", "ch").agg(F.count(F.lit(1)).alias("k"))
-    q = F.expr("CAST(floor((k / n) * log2(k / n) * 1e12 + 0.5) AS BIGINT)")
+    staged = (
+        counts.withColumn(LN_X, F.expr("k / n"))
+        .withColumn(LN_P2, F.expr(_P_P2))
+        .withColumn(LN_ELN2, F.expr(_P_ELN2))
+        .withColumn(LN_S, F.expr(sql_ln_s()))
+    )
+    q = F.expr(
+        f"CAST(floor((k / n) * {_P_LOG2} * 1.0e12 + 5.0e-1) AS BIGINT)"
+    )
     return (
-        counts.select("doc_id", q.alias("q"))
+        staged.select("doc_id", q.alias("q"))
         .groupBy("doc_id")
         .agg(
-            F.round(-F.sum("q").cast("double") / F.lit(1e12), 6).alias(
-                "entropy_bits"
-            )
+            F.expr(
+                "floor(CAST(-CAST(sum(q) AS BIGINT) AS DOUBLE) / 1.0e6"
+                " + 5.0e-1) / 1.0e6"
+            ).alias("entropy_bits")
         )
     )
 
@@ -954,7 +995,7 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "text_unigram_perplexity",
-    oracle="""
+    oracle=f"""
     WITH tf AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents
@@ -964,17 +1005,25 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT token, CAST(sum(tf) AS BIGINT) AS ctf FROM dtf GROUP BY token
     ), tot AS (
         SELECT CAST(sum(ctf) AS BIGINT) AS n_total FROM corpus
+    ), m0 AS (
+        SELECT token, ctf / n_total AS {LN_X} FROM corpus CROSS JOIN tot
+    ), m1 AS (
+        SELECT *, {_P_P2} AS {LN_P2}, {_P_ELN2} AS {LN_ELN2} FROM m0
+    ), m2 AS (
+        SELECT token, {LN_ELN2}, {sql_ln_s()} AS {LN_S} FROM m1
+    ), model AS (
+        SELECT token,
+               CAST(floor({_P_LOG2} * 1.0e12 - 5.0e-1) AS BIGINT) + 1 AS q
+        FROM m2
     ), terms AS (
-        SELECT d.doc_id,
-               CAST(d.tf AS BIGINT) AS tf,
-               CAST(floor(log2(c.ctf / t.n_total) * 1e12 - 0.5) + 1
-                    AS BIGINT) AS q
-        FROM dtf d JOIN corpus c USING (token) CROSS JOIN tot t
+        SELECT d.doc_id, CAST(d.tf AS BIGINT) AS tf, m.q
+        FROM dtf d JOIN model m USING (token)
     )
     SELECT doc_id,
            CAST(sum(tf) AS BIGINT) AS n_tokens,
-           round(CAST(-sum(tf * q) AS DOUBLE)
-                 / (CAST(sum(tf) AS DOUBLE) * 1e12), 6) AS xent_bits
+           floor(CAST(-CAST(sum(tf * q) AS BIGINT) AS DOUBLE)
+                 / (CAST(sum(tf) AS DOUBLE) * 1.0e6) + 5.0e-1) / 1.0e6
+               AS xent_bits
     FROM terms GROUP BY doc_id
     """,
 )
@@ -986,35 +1035,42 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself: p(tok) = ctf/N from the shared term-frequency
     artifact; per doc, H = -Σ tf·log2 p / Σ tf bits.
 
-    Parity: each token type's log2 p is quantized to integer 1e-12
-    units (round-half-up via floor(x·1e12-0.5)+1, exact for the
-    negative log terms) BEFORE the weighted per-doc sum; the final
-    division is one double op on identical integers.  Plan: the tf
-    table materializes once (memo_checkpoint); the corpus table is a
-    31-row broadcast; the per-doc agg shuffles on doc_id only.  At
+    Parity (r7 libm retirement): log2 p is the staged deterministic
+    ln ladder / ln2 (parity.sql_ln_*, bit-equal across engines),
+    evaluated ONCE PER VOCAB TOKEN on the model table — never per
+    corpus row — then quantized to integer 1e-12 units (round-half-up
+    via floor(x·1e12-0.5)+1, exact for the negative log terms) BEFORE
+    the weighted per-doc sum; the display value is one floor-based
+    1e-6 grid snap of a ratio of exact BIGINTs.  Plan: the tf table
+    materializes once (memo_checkpoint); the model table is a
+    vocab-row broadcast; the per-doc agg shuffles on doc_id only.  At
     100 TB the vocab table is the only global state — a few million
     rows, broadcastable, exactly how distributed KenLM scoring
     ships its model."""
     tf = _tf_table(spark, sf_dir)
     corpus = tf.groupBy("token").agg(F.sum("tf").alias("ctf"))
     tot = corpus.agg(F.sum("ctf").alias("n_total"))
-    terms = (
-        tf.join(F.broadcast(corpus), "token")
-        .crossJoin(F.broadcast(tot))
+    model = (
+        corpus.crossJoin(F.broadcast(tot))
+        .withColumn(LN_X, F.expr("ctf / n_total"))
+        .withColumn(LN_P2, F.expr(_P_P2))
+        .withColumn(LN_ELN2, F.expr(_P_ELN2))
+        .withColumn(LN_S, F.expr(sql_ln_s()))
         .select(
-            "doc_id",
-            F.col("tf").cast("bigint").alias("tf"),
+            "token",
             F.expr(
-                "CAST(floor(log2(ctf / n_total) * 1e12 - 0.5) + 1 AS BIGINT)"
+                f"CAST(floor({_P_LOG2} * 1.0e12 - 5.0e-1) AS BIGINT) + 1"
             ).alias("q"),
         )
     )
+    terms = tf.join(F.broadcast(model), "token").select(
+        "doc_id", F.col("tf").cast("bigint").alias("tf"), "q"
+    )
     return terms.groupBy("doc_id").agg(
         F.sum("tf").alias("n_tokens"),
-        F.round(
-            -F.sum(F.expr("tf * q")).cast("double")
-            / (F.sum("tf").cast("double") * F.lit(1e12)),
-            6,
+        F.expr(
+            "floor(CAST(-CAST(sum(tf * q) AS BIGINT) AS DOUBLE)"
+            " / (CAST(sum(tf) AS DOUBLE) * 1.0e6) + 5.0e-1) / 1.0e6"
         ).alias("xent_bits"),
     )
 
@@ -1228,7 +1284,7 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "text_bigram_perplexity",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
         SELECT doc_id,
                CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT)
@@ -1246,16 +1302,25 @@ def text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n2 FROM dtf GROUP BY w1, w2
     ), c1 AS (
         SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1
+    ), m0 AS (
+        SELECT w1, w2, n2 / n1 AS {LN_X} FROM c2 JOIN c1 USING (w1)
+    ), m1 AS (
+        SELECT *, {_P_P2} AS {LN_P2}, {_P_ELN2} AS {LN_ELN2} FROM m0
+    ), m2 AS (
+        SELECT w1, w2, {LN_ELN2}, {sql_ln_s()} AS {LN_S} FROM m1
+    ), model AS (
+        SELECT w1, w2,
+               CAST(floor({_P_LOG2} * 1.0e12 - 5.0e-1) AS BIGINT) + 1 AS q
+        FROM m2
     ), terms AS (
-        SELECT d.doc_id, CAST(d.tf AS BIGINT) AS tf,
-               CAST(floor(log2(c2.n2 / c1.n1) * 1e12 - 0.5) + 1 AS BIGINT)
-                   AS q
-        FROM dtf d JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        SELECT d.doc_id, CAST(d.tf AS BIGINT) AS tf, m.q
+        FROM dtf d JOIN model m USING (w1, w2)
     )
     SELECT doc_id,
            CAST(sum(tf) AS BIGINT) AS n_bigrams,
-           round(CAST(-sum(tf * q) AS DOUBLE)
-                 / (CAST(sum(tf) AS DOUBLE) * 1e12), 6) AS xent2_bits
+           floor(CAST(-CAST(sum(tf * q) AS BIGINT) AS DOUBLE)
+                 / (CAST(sum(tf) AS DOUBLE) * 1.0e6) + 5.0e-1) / 1.0e6
+               AS xent2_bits
     FROM terms GROUP BY doc_id
     """,
 )
@@ -1265,12 +1330,15 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from text_unigram_perplexity, and the two together give the
     information-gain of context (unigram H minus bigram H), the
     standard repetitiveness/fluency axis in corpus-quality suites.
-    Same exactness scheme: per-bigram-type log2 quantized to integer
-    1e-12 units (round-half-up via floor(x·1e12-0.5)+1) BEFORE the
-    tf-weighted per-doc sum; one final double division.  Plan: doc
-    bigrams from a (doc_id)-partitioned lead window, then the model
-    tables (≤ vocab² rows) broadcast back over the doc tf table —
-    one window exchange + one (doc_id) agg; exactly the distributed
+    Same exactness scheme as the unigram op (r7 libm retirement):
+    per-bigram-type log2 via the staged deterministic ln ladder / ln2
+    (parity.sql_ln_*, evaluated on the ≤vocab² MODEL table, never per
+    corpus row), quantized to integer 1e-12 units (round-half-up via
+    floor(x·1e12-0.5)+1) BEFORE the tf-weighted per-doc sum; display
+    is one floor-based 1e-6 snap of a ratio of exact BIGINTs.  Plan:
+    doc bigrams from a (doc_id)-partitioned lead window, then the
+    model tables (≤ vocab² rows) broadcast back over the doc tf table
+    — one window exchange + one (doc_id) agg; exactly the distributed
     KenLM-scoring shape of the unigram op with a bigger broadcast."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
@@ -1283,23 +1351,28 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
     c2 = dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
-    terms = (
-        dtf.join(F.broadcast(c2), ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+    model = (
+        c2.join(c1, "w1")
+        .withColumn(LN_X, F.expr("n2 / n1"))
+        .withColumn(LN_P2, F.expr(_P_P2))
+        .withColumn(LN_ELN2, F.expr(_P_ELN2))
+        .withColumn(LN_S, F.expr(sql_ln_s()))
         .select(
-            "doc_id",
-            F.col("tf").cast("bigint").alias("tf"),
+            "w1",
+            "w2",
             F.expr(
-                "CAST(floor(log2(n2 / n1) * 1e12 - 0.5) + 1 AS BIGINT)"
+                f"CAST(floor({_P_LOG2} * 1.0e12 - 5.0e-1) AS BIGINT) + 1"
             ).alias("q"),
         )
     )
+    terms = dtf.join(F.broadcast(model), ["w1", "w2"]).select(
+        "doc_id", F.col("tf").cast("bigint").alias("tf"), "q"
+    )
     return terms.groupBy("doc_id").agg(
         F.sum("tf").alias("n_bigrams"),
-        F.round(
-            -F.sum(F.expr("tf * q")).cast("double")
-            / (F.sum("tf").cast("double") * F.lit(1e12)),
-            6,
+        F.expr(
+            "floor(CAST(-CAST(sum(tf * q) AS BIGINT) AS DOUBLE)"
+            " / (CAST(sum(tf) AS DOUBLE) * 1.0e6) + 5.0e-1) / 1.0e6"
         ).alias("xent2_bits"),
     )
 
@@ -2092,7 +2165,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @op(
     "text_cooccurrence_pmi",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT DISTINCT d.doc_id, t.tok
         FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
@@ -2105,16 +2178,26 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks a JOIN toks b
           ON a.doc_id = b.doc_id AND a.tok < b.tok
         GROUP BY a.tok, b.tok
+    ), j AS (
+        SELECT p.token_a, p.token_b, p.n_docs_both,
+               CAST(p.n_docs_both AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                   / (CAST(da.dfreq AS DOUBLE) * CAST(db.dfreq AS DOUBLE))
+                   AS {LN_X}
+        FROM pairs p
+        JOIN df da ON p.token_a = da.tok
+        JOIN df db ON p.token_b = db.tok
+        CROSS JOIN n
+    ), j1 AS (
+        SELECT *, {_PMI_P2} AS {LN_P2}, {_PMI_ELN2} AS {LN_ELN2} FROM j
+    ), j2 AS (
+        SELECT token_a, token_b, n_docs_both, {LN_ELN2},
+               {sql_ln_s()} AS {LN_S}
+        FROM j1
     )
-    SELECT p.token_a, p.token_b,
-           CAST(p.n_docs_both AS BIGINT) AS n_docs_both,
-           floor(ln(CAST(p.n_docs_both AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
-                    / (CAST(da.dfreq AS DOUBLE) * CAST(db.dfreq AS DOUBLE)))
-                 * 1000000.0 + 0.5) / 1000000.0 AS pmi
-    FROM pairs p
-    JOIN df da ON p.token_a = da.tok
-    JOIN df db ON p.token_b = db.tok
-    CROSS JOIN n
+    SELECT token_a, token_b,
+           CAST(n_docs_both AS BIGINT) AS n_docs_both,
+           floor({sql_ln_final()} * 1.0e6 + 5.0e-1) / 1.0e6 AS pmi
+    FROM j2
     """,
 )
 def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2127,7 +2210,10 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, token) distinct is the only corpus-sized shuffle, and real
     deployments first prune to a broadcast top-V vocabulary (the df
     table here is exactly that dimension, broadcast onto the pairs).
-    One shared IEEE ln per output row, floor-rounded to 1e-6."""
+    ln is the staged deterministic ladder (parity.sql_ln_*, r7 libm
+    retirement — the PMI ratio spans both sides of 1, so the ladder
+    uses the full ±62-rung domain), one per OUTPUT row (vocab²-
+    bounded), floor-snapped to the 1e-6 grid."""
     d = load_table(spark, sf_dir, "documents")
     toks = (
         d.filter(F.length("text") > 0)
@@ -2155,16 +2241,25 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(n))
     )
-    pmi = F.log(
-        F.col("n_docs_both").cast("double")
-        * F.col("n_docs").cast("double")
-        / (F.col("df_a").cast("double") * F.col("df_b").cast("double"))
+    staged = (
+        joined.withColumn(
+            LN_X,
+            F.expr(
+                "CAST(n_docs_both AS DOUBLE) * CAST(n_docs AS DOUBLE)"
+                " / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))"
+            ),
+        )
+        .withColumn(LN_P2, F.expr(_PMI_P2))
+        .withColumn(LN_ELN2, F.expr(_PMI_ELN2))
+        .withColumn(LN_S, F.expr(sql_ln_s()))
     )
-    return joined.select(
+    return staged.select(
         "token_a",
         "token_b",
         F.col("n_docs_both").cast("long").alias("n_docs_both"),
-        (F.floor(pmi * 1000000.0 + 0.5) / 1000000.0).alias("pmi"),
+        F.expr(f"floor({sql_ln_final()} * 1.0e6 + 5.0e-1) / 1.0e6").alias(
+            "pmi"
+        ),
     )
 
 

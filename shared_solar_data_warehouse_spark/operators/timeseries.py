@@ -26,10 +26,26 @@ from pyspark.sql import functions as F
 from shared_solar_data_warehouse_spark.materialize import memo_checkpoint
 from shared_solar_data_warehouse_spark.parity import (
     DEC,
+    EXP_K,
+    EXP_KLN2,
+    EXP_P2K,
+    EXP_R,
+    EXP_Y,
+    LN_ELN2,
+    LN_P2,
+    LN_S,
+    LN_X,
     davg,
     dsum,
     sql_davg,
     sql_dsum,
+    sql_exp_final,
+    sql_exp_k,
+    sql_exp_ladders,
+    sql_exp_r,
+    sql_ln_final,
+    sql_ln_ladders,
+    sql_ln_s,
     sql_powi,
 )
 
@@ -3069,9 +3085,28 @@ def ts_peak_valley(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ts_survival_km's deterministic transcendentals (r7, the LAST libm
+#: retirement): a probability-domain ln ladder for the per-step hazard
+#: factors (r-d)/r in (0, 1], and an exp ladder for the product-limit
+#: reconstruction.  exp domain: the km prefix sum is gated at -40
+#: (survival < exp(-40) ~ 4e-18 floors to 0 on the 1e-6 grid), so
+#: lo_k=-60 leaves the clamped edge rung unreachable by construction.
+_KM_P2, _KM_ELN2 = sql_ln_ladders(lo_e=-62, hi_e=0)
+_KM_EXP_P2K, _KM_EXP_KLN2 = sql_exp_ladders(lo_k=-60, hi_k=0)
+_KM_TERM_Q = (
+    f"CASE WHEN n_deaths >= at_risk THEN CAST(0 AS BIGINT)"
+    f" ELSE CAST(floor({sql_ln_final()} * 1.0e12 - 5.0e-1) AS BIGINT) + 1 END"
+)
+_KM_SURVIVAL = (
+    f"CASE WHEN dead_flag = 1 THEN 0.0e0"
+    f" WHEN {EXP_Y} < -4.0e1 THEN 0.0e0"
+    f" ELSE floor({sql_exp_final()} * 1.0e6 + 5.0e-1) / 1.0e6 END"
+)
+
+
 @op(
     "ts_survival_km",
-    oracle="""
+    oracle=f"""
     WITH mx AS (SELECT max(ts) AS max_ts FROM events),
     per_user AS (
         SELECT e.user_id,
@@ -3095,25 +3130,46 @@ def ts_peak_valley(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS at_risk
         FROM by_dur
     ),
-    terms AS (
-        SELECT *,
-               CASE WHEN n_deaths >= at_risk THEN 0.0
-                    ELSE ln(CAST(at_risk - n_deaths AS DOUBLE)
-                            / CAST(at_risk AS DOUBLE)) END AS term,
+    s0 AS (
+        SELECT *, CAST(at_risk - n_deaths AS DOUBLE)
+                      / CAST(at_risk AS DOUBLE) AS {LN_X}
+        FROM risk
+    ), s1 AS (
+        SELECT *, {_KM_P2} AS {LN_P2}, {_KM_ELN2} AS {LN_ELN2} FROM s0
+    ), s2 AS (
+        SELECT dur, n_deaths, n_censored, at_risk, {LN_ELN2},
+               {sql_ln_s()} AS {LN_S}
+        FROM s1
+    ), terms AS (
+        SELECT dur, n_deaths, n_censored, at_risk,
+               {_KM_TERM_Q} AS term_q,
                max(CASE WHEN n_deaths >= at_risk THEN 1 ELSE 0 END)
                    OVER (ORDER BY dur
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS dead_flag
-        FROM risk
+        FROM s2
+    ), acc AS (
+        SELECT dur, n_deaths, n_censored, at_risk, dead_flag,
+               CAST(CAST(sum(term_q)
+                         OVER (ORDER BY dur
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+                   / 1.0e12 AS {EXP_Y}
+        FROM terms
+    ), e0 AS (
+        SELECT *, {sql_exp_k()} AS {EXP_K} FROM acc
+    ), e1 AS (
+        SELECT *, {_KM_EXP_P2K} AS {EXP_P2K},
+               {_KM_EXP_KLN2} AS {EXP_KLN2}
+        FROM e0
+    ), e2 AS (
+        SELECT dur, n_deaths, n_censored, at_risk, dead_flag, {EXP_Y},
+               {EXP_P2K}, {sql_exp_r()} AS {EXP_R}
+        FROM e1
     )
     SELECT dur AS dur_days, n_deaths, n_censored, at_risk,
-           CASE WHEN dead_flag = 1 THEN 0.0
-                ELSE floor(exp(sum(term)
-                               OVER (ORDER BY dur
-                                     ROWS BETWEEN UNBOUNDED PRECEDING
-                                     AND CURRENT ROW)) * 1000000.0 + 0.5)
-                     / 1000000.0 END AS km_survival
-    FROM terms
+           {_KM_SURVIVAL} AS km_survival
+    FROM e2
     """,
 )
 def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3123,13 +3179,23 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     unknown, but they stay in every earlier risk set — discarding them
     is the classic churn-analysis bias this estimator exists to fix).
     At-risk counts come from a suffix-sum window over the DAY-bounded
-    duration domain (never over users), the product-limit estimator is
-    exp(Σ ln((r−d)/r)) — an ordered prefix sum of identically-derived
-    doubles, so both engines add the same bits in the same order — and
-    a running flag pins survival to exactly 0.0 once a risk set is
-    exhausted (ln(0) never evaluates).  At 100 TB: one user-keyed
-    aggregate (shuffles user cardinality), one day-bounded aggregate,
-    two tiny windows."""
+    duration domain (never over users).
+
+    Float discipline (r7 — the registry's LAST libm retirement): the
+    product-limit estimator exp(Σ ln((r−d)/r)) now runs BOTH
+    transcendentals on the deterministic staged generators
+    (parity.sql_ln_* / sql_exp_* — correctly-rounded IEEE ops only,
+    bit-equal across Spark/DuckDB/Python, tests/test_ieee_ln.py):
+    each hazard ln quantizes to integer 1e-12 units, the prefix sum
+    is exact BIGINT math, exp reconstructs from the identical sum on
+    both engines, and the display value floor-snaps to the 1e-6
+    grid.  A running flag pins survival to exactly 0.0 once a risk
+    set is exhausted (the ladder's x=0 lane is deterministic but
+    gated off), and sums below -40 short-circuit to 0.0 (exp(-40)
+    floors to 0 anyway — keeps the exp ladder inside its accurate
+    domain).  At 100 TB: one user-keyed aggregate (shuffles user
+    cardinality), one day-bounded aggregate, two tiny windows — the
+    ladders run on the duration-domain table, never per event."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("max_ts"))
     per_user = (
@@ -3159,33 +3225,50 @@ def ts_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "at_risk",
         F.sum(F.col("n_deaths") + F.col("n_censored")).over(w_suffix).cast("long"),
     )
-    terms = risk.withColumn(
-        "term",
-        F.when(F.col("n_deaths") >= F.col("at_risk"), F.lit(0.0)).otherwise(
-            F.log(
-                (F.col("at_risk") - F.col("n_deaths")).cast("double")
-                / F.col("at_risk").cast("double")
-            )
-        ),
-    ).withColumn(
-        "dead_flag",
-        F.max(
-            F.when(F.col("n_deaths") >= F.col("at_risk"), F.lit(1)).otherwise(
-                F.lit(0)
-            )
-        ).over(w_prefix),
+    terms = (
+        risk.withColumn(
+            LN_X,
+            F.expr(
+                "CAST(at_risk - n_deaths AS DOUBLE)"
+                " / CAST(at_risk AS DOUBLE)"
+            ),
+        )
+        .withColumn(LN_P2, F.expr(_KM_P2))
+        .withColumn(LN_ELN2, F.expr(_KM_ELN2))
+        .withColumn(LN_S, F.expr(sql_ln_s()))
+        .withColumn("term_q", F.expr(_KM_TERM_Q))
+        .withColumn(
+            "dead_flag",
+            F.max(
+                F.when(
+                    F.col("n_deaths") >= F.col("at_risk"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).over(w_prefix),
+        )
     )
-    return terms.select(
+    acc = terms.select(
+        "dur",
+        "n_deaths",
+        "n_censored",
+        "at_risk",
+        "dead_flag",
+        (
+            F.sum("term_q").over(w_prefix).cast("bigint").cast("double")
+            / F.lit(1e12)
+        ).alias(EXP_Y),
+    )
+    staged = (
+        acc.withColumn(EXP_K, F.expr(sql_exp_k()))
+        .withColumn(EXP_P2K, F.expr(_KM_EXP_P2K))
+        .withColumn(EXP_KLN2, F.expr(_KM_EXP_KLN2))
+        .withColumn(EXP_R, F.expr(sql_exp_r()))
+    )
+    return staged.select(
         F.col("dur").alias("dur_days"),
         "n_deaths",
         "n_censored",
         "at_risk",
-        F.when(F.col("dead_flag") == 1, F.lit(0.0))
-        .otherwise(
-            F.floor(F.exp(F.sum("term").over(w_prefix)) * 1000000.0 + 0.5)
-            / 1000000.0
-        )
-        .alias("km_survival"),
+        F.expr(_KM_SURVIVAL).alias("km_survival"),
     )
 
 

@@ -239,7 +239,15 @@ def sql_powi(base: float, exp_col: str, max_bits: int = 16) -> str:
     integer `&` or one correctly-rounded IEEE multiply, so both
     engines produce identical bits (relative accuracy ~max_bits ulps
     vs true pow, deterministic by construction).  Replaces the libm
-    `pow(base, CAST(n AS DOUBLE))` pattern (ts_npv_cashflows r6)."""
+    `pow(base, CAST(n AS DOUBLE))` pattern (ts_npv_cashflows r6).
+
+    Out-of-domain guard (ADVICE r6): exponent bits at or above
+    max_bits used to be SILENTLY ignored — both engines computed the
+    same wrong value, so parity held while the answer was off.  The
+    expression now yields NULL for n < 0 or n >= 2^max_bits, making a
+    domain overrun fail loudly (NULL output splits the driver hash
+    and trips any NOT NULL expectation) instead of producing a
+    consistent wrong number."""
     factors = []
     b = float(base)
     for j in range(max_bits):
@@ -248,11 +256,18 @@ def sql_powi(base: float, exp_col: str, max_bits: int = 16) -> str:
             f" THEN {_dlit(b)} ELSE 1.0e0 END)"
         )
         b = b * b
-    return "(" + " * ".join(factors) + ")"
+    product = " * ".join(factors)
+    return (
+        f"(CASE WHEN ({exp_col}) < 0 OR ({exp_col}) >= {1 << max_bits}"
+        f" THEN CAST(NULL AS DOUBLE) ELSE ({product}) END)"
+    )
 
 
-def py_powi(base: float, n: int, max_bits: int = 16) -> float:
-    """Python-reference twin of :func:`sql_powi` (same op sequence)."""
+def py_powi(base: float, n: int, max_bits: int = 16) -> float | None:
+    """Python-reference twin of :func:`sql_powi` (same op sequence,
+    including the out-of-domain NULL -> None guard)."""
+    if n < 0 or n >= (1 << max_bits):
+        return None
     out = 1.0
     b = float(base)
     for j in range(max_bits):
@@ -260,3 +275,107 @@ def py_powi(base: float, n: int, max_bits: int = 16) -> float:
             out = out * b
         b = b * b
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exp (round 7 — retires the last libm call in the
+# registry, ts_survival_km's product-limit exp(sum(ln ...))).
+#
+# Same contract as the ln ladder: only correctly-rounded IEEE ops
+# (+, -, *, /, floor, integer compares) over literals that parse to
+# identical doubles in both engines, so Spark, DuckDB, and the Python
+# reference produce BIT-IDENTICAL outputs (tests/test_ieee_ln.py).
+#
+# exp(y) scheme (classic ln2 argument reduction + Taylor/Horner):
+#   1. k = floor(y / ln2 + 1/2)  — nearest integer multiple of ln 2;
+#      one correctly-rounded divide + add + floor, cast to BIGINT.
+#   2. ladder on k: emit p2k = 2^k (EXACT literal) and
+#      kln2 = nearest-double(k * ln 2) (high-precision Decimal
+#      literal, one per rung — same trick as the ln ladder's eln2).
+#      Valid domain: k in [lo_k, hi_k]; outside it the clamped edge
+#      rung degrades accuracy (still deterministic) — callers pick
+#      bounds from their data domain and gate (e.g. a survival curve
+#      below exp(-40) floors to 0 on a 1e-6 grid anyway).
+#   3. r = y - kln2, |r| <= ln2/2 + ~1 ulp  (one subtract).
+#   4. exp(r) via Horner over literal 1/i! coefficients through r^13
+#      (truncation < 1e-17 at |r| <= 0.347).
+#   5. exp(y) = p2k * exp(r)  (one multiply; p2k exact).
+# ---------------------------------------------------------------------------
+
+#: Staged column names for the exp pipeline (mirror of the LN_* names).
+EXP_Y = "__exp_y"
+EXP_K = "__exp_k"
+EXP_P2K = "__exp_p2k"
+EXP_KLN2 = "__exp_kln2"
+EXP_R = "__exp_r"
+
+#: Nearest-double of ln 2 — the literal both engines divide by in
+#: stage 1 (also the log2 conversion divisor, see sql_log2_from_ln).
+LN2_LIT = _dlit(float(_LN2))
+
+import math as _math
+
+#: Taylor degree for exp(r), |r| <= ln2/2: r^14/14! < 1e-17.
+_EXP_TERMS = 13
+
+
+def sql_exp_k(y: str = EXP_Y) -> str:
+    """Stage-1 fragment: k = floor(y/ln2 + 1/2) as BIGINT.  Alias
+    ``EXP_K``.  (Spark floor(double) already returns BIGINT; DuckDB
+    returns DOUBLE — the explicit CAST is exact and portable.)"""
+    return f"CAST(floor(({y}) / {LN2_LIT} + 5.0e-1) AS BIGINT)"
+
+
+def sql_exp_ladders(
+    k: str = EXP_K, lo_k: int = -64, hi_k: int = 63
+) -> tuple[str, str]:
+    """Stage-2 fragments: (p2k_expr, kln2_expr) over integer column
+    ``k``.  Alias them ``EXP_P2K`` / ``EXP_KLN2``.  k outside
+    [lo_k, hi_k] clamps to the edge rung (deterministic, degraded
+    accuracy) — callers gate out-of-domain y themselves."""
+    rungs_p2, rungs_kl = [], []
+    for e in range(hi_k, lo_k, -1):
+        p2 = _dlit(2.0**e)
+        kl = _dlit(float(_decimal.Decimal(e) * _LN2))
+        rungs_p2.append(f"WHEN ({k}) >= {e} THEN {p2}")
+        rungs_kl.append(f"WHEN ({k}) >= {e} THEN {kl}")
+    else_p2 = _dlit(2.0**lo_k)
+    else_kl = _dlit(float(_decimal.Decimal(lo_k) * _LN2))
+    return (
+        f"(CASE {' '.join(rungs_p2)} ELSE {else_p2} END)",
+        f"(CASE {' '.join(rungs_kl)} ELSE {else_kl} END)",
+    )
+
+
+def sql_exp_r(y: str = EXP_Y, kln2: str = EXP_KLN2) -> str:
+    """Stage-3 fragment: r = y - kln2.  Alias ``EXP_R``."""
+    return f"(({y}) - ({kln2}))"
+
+
+def sql_exp_final(p2k: str = EXP_P2K, r: str = EXP_R) -> str:
+    """Stage-4/5 fragment: exp(y) = p2k * Horner_13(r)."""
+    horner = _dlit(1.0 / _math.factorial(_EXP_TERMS))
+    for i in range(_EXP_TERMS - 1, -1, -1):
+        horner = f"({_dlit(1.0 / _math.factorial(i))} + ({r}) * {horner})"
+    return f"(({p2k}) * {horner})"
+
+
+def py_ieee_exp(y: float, lo_k: int = -64, hi_k: int = 63) -> float:
+    """Python-reference evaluation of the EXACT same IEEE op sequence
+    (the test oracle for the SQL fragments; CPython floats are IEEE
+    doubles)."""
+    k_f = _math.floor(y / float(LN2_LIT) + 0.5)
+    k = int(min(max(k_f, lo_k), hi_k))
+    p2k = 2.0**k
+    kln2 = float(_decimal.Decimal(k) * _LN2)
+    r = y - kln2
+    horner = 1.0 / _math.factorial(_EXP_TERMS)
+    for i in range(_EXP_TERMS - 1, -1, -1):
+        horner = 1.0 / _math.factorial(i) + r * horner
+    return p2k * horner
+
+
+def sql_log2_from_ln(ln_expr: str) -> str:
+    """log2(x) = ln(x)/ln2 — one correctly-rounded divide on top of a
+    staged deterministic ln (the entropy/perplexity ops' conversion)."""
+    return f"(({ln_expr}) / {LN2_LIT})"

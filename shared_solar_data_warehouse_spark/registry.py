@@ -200,77 +200,75 @@ def _bench_cost() -> dict[str, float]:
 #: Ops to confirm FIRST in the next driver round: ops edited this
 #: round (their old green rows are fingerprint-invalidated), then
 #: high-risk never-sampled families.  Prune entries once they turn
-#: driver-green.  Round 6 composes the full 50-row sample window
+#: driver-green.  Round 7 composes the full 50-row sample window
 #: explicitly (the driver checks the first 50 rows of queries()):
-#: 11 fingerprint-stale re-verifies + 39 never-sampled, front-loading
-#: the whole unsampled sql_* family and the two unsampled dedup ops
-#: (VERDICT r5 items 1 and 8).
+#: 8 fingerprint-stale re-verifies (the seven libm retirements onto
+#: parity.sql_ln_*/sql_exp_* plus ts_npv_cashflows, whose sql_powi
+#: gained the out-of-domain NULL guard) + 42 never-sampled picks,
+#: prioritizing the core ts_* domain ops, the whole win_* family,
+#: the agg_* §2.4 ladder, and fn_date/fn_json (VERDICT r6 items 1-2).
 _FRONTLOAD: tuple[str, ...] = (
-    # -- r6 edits with driver-green history (fingerprint-stale; the
-    # old green rows are invalidated until these re-verify): the four
-    # libm retirements (integer outputs now), the real multimodal
-    # decoders, the update-mode snapshot collapse, the attribution
-    # epoch-truncation fix, and the ndcg literal-discount rewrite:
-    "text_tfidf",
-    "text_keywords",
-    "agg_welch_ttest",
+    # -- r7 edits with driver-green history (fingerprint-stale; the
+    # old green rows are invalidated until these re-verify): the last
+    # seven libm-quantized ops converted to the deterministic staged
+    # ln/exp ladders, and the sql_powi guard rider:
+    "agg_cat_entropy",
+    "agg_mutual_info",
+    "text_char_entropy",
+    "text_unigram_perplexity",
+    "text_bigram_perplexity",
+    "text_cooccurrence_pmi",
+    "ts_survival_km",
     "ts_npv_cashflows",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_resize",
-    "stream_stateful",
-    "stream_ewma",
-    "ts_attribution_last_touch",
-    "agg_ndcg_eval",
-    # -- r6 edits never driver-sampled: the three DECIMAL-output leaks
-    # the strict mirror caught (would have been driver hash fails on
-    # first sample), and pagerank's co-partition pin:
-    "win_zscore",
-    "ts_daily_acf",
-    "ts_acf_profile",
-    "graph_pagerank",
-    # -- the never-sampled sql_* family (VERDICT r5 item 1 priority;
-    # the whole §2.11 surface plus the late §2.12 sql additions):
-    "sql_tpch_q1",
-    "sql_tpch_q2",
-    "sql_tpch_q3",
-    "sql_tpch_q4",
-    "sql_tpch_q5",
-    "sql_tpch_q6",
-    "sql_tpch_q7",
-    "sql_tpch_q8",
-    "sql_tpch_q9",
-    "sql_tpch_q10",
-    "sql_tpch_q11",
-    "sql_tpch_q13",
-    "sql_tpch_q14",
-    "sql_tpch_q15",
-    "sql_tpch_q16",
-    "sql_tpch_q17",
-    "sql_tpch_q18",
-    "sql_tpch_q19",
-    "sql_tpch_q20",
-    "sql_tpch_q21",
-    "sql_tpch_q22",
-    "sql_recursive_cte",
-    "sql_lateral_topk",
-    "sql_pivot_clause",
-    "sql_group_by_all",
-    "sql_star_except",
-    "sql_scalar_subquery",
-    "sql_distinct_on",
-    # -- the two never-sampled dedup ops (VERDICT r5 item 1):
-    "dedup_containment",
-    "dedup_fuzzy_blocked",
-    # -- remaining high-value never-sampled picks to fill the window:
-    # the two unsampled §2.9 ops (completes streaming driver coverage),
-    # the Arrow/pandas grouped-map surface, and the GEMM kNN tier that
-    # r6 upgraded from rows-only to a full integer-exact oracle:
-    "stream_stream_join",
-    "stream_static_join",
-    "udf_apply_in_pandas",
-    "udf_apply_in_arrow",
-    "sim_knn_block_matmul",
+    # -- never-sampled: the core §2.8 ts_* domain ops (the reference's
+    # flagship analytics — VERDICT r6 item 1's named priority):
+    "ts_bucket_agg",
+    "ts_ewma",
+    "ts_gap_fill",
+    "ts_sessionize",
+    "ts_funnel",
+    "ts_retention",
+    "ts_delta",
+    "ts_peak",
+    "ts_resample",
+    "ts_topk_users",
+    # -- never-sampled: the whole win_* §2.5 family:
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_running",
+    "win_sliding_rows",
+    "win_range_frame",
+    "win_count_distinct",
+    "win_first_last_nth",
+    "win_moving_median",
+    "win_share_of_total",
+    "win_drawdown",
+    # -- never-sampled: the §2.4 aggregate ladder:
+    "agg_global",
+    "agg_groupby",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_filtered",
+    "agg_having",
+    "agg_rollup",
+    "agg_cube",
+    "agg_weighted_avg",
+    "agg_linreg",
+    # -- never-sampled: scalar-function and remaining surface pockets
+    # (fn_date/fn_json named in VERDICT r6 item 1; the etl_* core;
+    # the grouped-agg pandas UDF; graph census ops; IO riders):
+    "fn_date",
+    "fn_json",
+    "fn_variant",
+    "etl_upsert",
+    "etl_scd2_intervals",
+    "etl_scd2_snapshot",
+    "udf_pandas_grouped_agg",
+    "graph_degree_dist",
+    "graph_triangle_count",
+    "join_asof_tolerance",
+    "scan_partition_pruned_dynamic",
+    "sink_json",
 )
 
 

@@ -85,6 +85,13 @@ GOLDEN_OPS = (
     "sim_mips_topk",
     "ts_attribution_last_touch",
     "etl_backfill_plan",
+    # round-7 libm retirements (the staged deterministic ln/exp
+    # conversions — agg_mutual_info / text_cooccurrence_pmi /
+    # text_unigram_perplexity / ts_survival_km were already frozen
+    # above; these complete the 7-op set):
+    "agg_cat_entropy",
+    "text_char_entropy",
+    "text_bigram_perplexity",
 )
 
 

@@ -22,12 +22,22 @@ import pytest
 from pyspark.sql import functions as F
 
 from shared_solar_data_warehouse_spark.parity import (
+    EXP_K,
+    EXP_KLN2,
+    EXP_P2K,
+    EXP_R,
+    EXP_Y,
     LN_ELN2,
     LN_P2,
     LN_S,
     LN_X,
+    py_ieee_exp,
     py_ieee_ln,
     py_powi,
+    sql_exp_final,
+    sql_exp_k,
+    sql_exp_ladders,
+    sql_exp_r,
     sql_ln_final,
     sql_ln_ladders,
     sql_ln_s,
@@ -190,3 +200,126 @@ def test_duckdb_bits_match_python_fuzz(xs):
     got = _duck_ln(xs)
     for x, g in zip(xs, got):
         assert _bits(g) == _bits(py_ieee_ln(x)), (x, g, py_ieee_ln(x))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic exp tier (round 7 — parity.sql_exp_*, the ts_survival_km
+# libm retirement): same three-way bit guarantee as ln, plus accuracy.
+# ---------------------------------------------------------------------------
+
+#: exp sweep: ln-of-ratio shapes (the survival-curve input domain is
+#: sums of negative ln terms), rung boundaries k*ln2, and the gate edge.
+def _exp_sweep() -> list[float]:
+    ys: list[float] = [0.0, -1e-15, 1e-15]
+    for num, den in ((1, 2), (2, 3), (9, 10), (99, 100), (1, 997)):
+        ys.append(math.log(num / den) * 1.0)
+        ys.append(math.log(num / den) * 7.0)
+    ys += [-0.25 * i for i in range(1, 170)]  # down to -42.25
+    ys += [k * math.log(2.0) for k in range(-40, 5)]
+    ys += [0.1, 0.5, 1.0, 2.5]
+    # Accuracy domain with the default ladder (lo_k=-64): y such that
+    # k = round(y/ln2) stays un-clamped, i.e. y >= ~-44.0.  Beyond it
+    # the edge rung stays DETERMINISTIC (the bit tests below still
+    # sweep it via fuzz bounds) but accuracy degrades by contract —
+    # callers gate (ts_survival_km floors to 0 well before -40).
+    return sorted({y for y in ys if y >= -43.5})
+
+
+def test_py_ieee_exp_accuracy_vs_libm():
+    for y in _exp_sweep():
+        approx = py_ieee_exp(y)
+        true = math.exp(y)
+        assert abs(approx - true) <= abs(true) * 1e-13, (y, approx, true)
+
+
+def _duck_exp(ys: list[float]) -> list[float]:
+    con = duckdb.connect()
+    con.register("ys_tbl", pd.DataFrame({EXP_Y: pd.Series(ys, dtype="float64")}))
+    p2k, kln2 = sql_exp_ladders()
+    q = f"""
+    SELECT {sql_exp_final()} AS v FROM (
+      SELECT *, {sql_exp_r()} AS {EXP_R} FROM (
+        SELECT *, {p2k} AS {EXP_P2K}, {kln2} AS {EXP_KLN2} FROM (
+          SELECT *, {sql_exp_k()} AS {EXP_K} FROM ys_tbl)))
+    """
+    return [r[0] for r in con.execute(q).fetchall()]
+
+
+def test_exp_duckdb_bits_match_python_reference():
+    ys = _exp_sweep()
+    for y, g in zip(ys, _duck_exp(ys)):
+        assert _bits(g) == _bits(py_ieee_exp(y)), (y, g, py_ieee_exp(y))
+
+
+def test_exp_spark_bits_match_python_reference(spark):
+    ys = _exp_sweep()
+    df = spark.createDataFrame([(float(y),) for y in ys], f"{EXP_Y} double")
+    p2k, kln2 = sql_exp_ladders()
+    out = (
+        df.withColumn(EXP_K, F.expr(sql_exp_k()))
+        .withColumn(EXP_P2K, F.expr(p2k))
+        .withColumn(EXP_KLN2, F.expr(kln2))
+        .withColumn(EXP_R, F.expr(sql_exp_r()))
+        .select(EXP_Y, F.expr(sql_exp_final()).alias("v"))
+        .collect()
+    )
+    assert len(out) == len(ys)
+    for row in out:
+        assert _bits(row.v) == _bits(py_ieee_exp(row[EXP_Y])), (row[EXP_Y], row.v)
+
+
+def test_exp_spark_output_is_double_not_decimal(spark):
+    """Literal-discipline guard for the exp generators (the win_zscore
+    r6 DECIMAL-typing leak class, applied to the new fragments)."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    df = spark.createDataFrame([(-1.5,)], f"{EXP_Y} double")
+    p2k, kln2 = sql_exp_ladders()
+    staged = (
+        df.withColumn(EXP_K, F.expr(sql_exp_k()))
+        .withColumn(EXP_P2K, F.expr(p2k))
+        .withColumn(EXP_KLN2, F.expr(kln2))
+        .withColumn(EXP_R, F.expr(sql_exp_r()))
+        .select(EXP_K, F.expr(sql_exp_final()).alias("v"))
+    )
+    assert isinstance(staged.schema[EXP_K].dataType, LongType)
+    assert isinstance(staged.schema["v"].dataType, DoubleType)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(min_value=-43.0, max_value=4.0, allow_nan=False))
+def test_py_ieee_exp_accuracy_fuzz(y):
+    approx = py_ieee_exp(y)
+    true = math.exp(y)
+    assert abs(approx - true) <= abs(true) * 1e-13, (y, approx, true)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-43.0, max_value=4.0, allow_nan=False),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_exp_duckdb_bits_match_python_fuzz(ys):
+    for y, g in zip(ys, _duck_exp(ys)):
+        assert _bits(g) == _bits(py_ieee_exp(y)), (y, g, py_ieee_exp(y))
+
+
+def test_powi_out_of_domain_is_null(spark):
+    """ADVICE r6: exponents at or above 2^max_bits (or negative) must
+    fail LOUDLY (NULL) instead of silently dropping high bits."""
+    base = 1.0 / (1.0 + 0.10 / 365.0)
+    expr = sql_powi(base, "n")
+    for n in (-1, 65536, 1 << 20):
+        duck = duckdb.connect().execute(
+            f"SELECT {expr} AS v FROM (SELECT CAST({n} AS BIGINT) AS n)"
+        ).fetchone()[0]
+        srow = (
+            spark.range(1)
+            .select(F.lit(n).cast("bigint").alias("n"))
+            .select(F.expr(expr).alias("v"))
+            .collect()[0]
+        )
+        assert duck is None and srow.v is None and py_powi(base, n) is None, n

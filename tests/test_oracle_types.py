@@ -78,10 +78,13 @@ def test_no_unregistered_double_outputs(spark, registry):
 # Oracle result-type drift guard (VERDICT r01 item 8, rewritten r03,
 # RESTORED r06 per ADVICE r5: the ieee_ok register above cannot catch
 # HUGEINT-vs-BIGINT — both fetch as Python int, so the bit-exact mirror
-# compares them equal — and mirror.canon_value deliberately folds DECIMAL
-# into float, so without this DESCRIBE sweep the r1/r2 class of
-# numerically-equal-but-dtype-split driver hash failures has no local
-# tripwire.)
+# compares them equal.  mirror.canon_value DOES split Decimal from
+# float since r6 (the 'dec:' token; test_mirror asserts the
+# inequality), so a DECIMAL oracle output would also fail the mirror —
+# this DESCRIBE sweep is the complementary STATIC ban on DECIMAL/
+# HUGEINT oracle output (belt and suspenders: it names the offending
+# column and type directly instead of surfacing as a row-level hash
+# diff, and it catches columns the sf0.001 fixtures leave empty).
 #
 # The driver's correctness gate hashes raw cell values, so a DuckDB
 # oracle that returns HUGEINT (``sum(BIGINT)``, ``count_if``) or DECIMAL

@@ -60,18 +60,22 @@ def test_changed_op_loses_coverage(fake_repo):
     """A green op whose recorded fingerprint no longer matches the
     current source is NOT covered — it must rotate back to the head."""
     reg.load_all_ops()
-    cur = reg.op_fingerprint(reg.REGISTRY["agg_global"])
+    # Pick two ops guaranteed OUTSIDE _FRONTLOAD (its membership is a
+    # per-round editorial choice — the r7 window absorbed agg_global/
+    # agg_groupby, which this test previously hardcoded).
+    valid_op, stale_op = sorted(set(reg.REGISTRY) - set(reg._FRONTLOAD))[:2]
+    cur = reg.op_fingerprint(reg.REGISTRY[valid_op])
     _write(fake_repo / "CORRECTNESS_r01.json",
-           {"agg_global": GREEN, "agg_groupby": GREEN})
+           {valid_op: GREEN, stale_op: GREEN})
     _write(fake_repo / "OP_FINGERPRINTS.json",
-           {"agg_global": cur, "agg_groupby": "0000deadbeef0000"})
+           {valid_op: cur, stale_op: "0000deadbeef0000"})
     covered = reg.driver_covered()
-    assert "agg_global" in covered          # fingerprint matches -> valid
-    assert "agg_groupby" not in covered     # stale fingerprint -> invalid
+    assert valid_op in covered          # fingerprint matches -> valid
+    assert stale_op not in covered      # stale fingerprint -> invalid
     order = reg.driver_order()
     # the invalidated op sorts into the uncovered band, before the
     # covered one (both are outside _FRONTLOAD)
-    assert order.index("agg_groupby") < order.index("agg_global")
+    assert order.index(stale_op) < order.index(valid_op)
 
 
 def test_missing_fingerprint_file_fails_open(fake_repo):

@@ -222,6 +222,142 @@ def test_watermark_drops_straggler_beyond_bound(spark, registry):
     assert {d: n for d, n in got.items() if d != s_day} == others
 
 
+def test_checkpoint_recovery_restores_state_store(spark, registry,
+                                                  replay_ordered_sf):
+    """r7 (VERDICT r6 item 3): checkpoint RECOVERY — the one §2.9
+    behavior the availableNow drains cannot exercise.  Run the
+    stream_stateful per-user gap state machine over 2 of 3 batches,
+    let the query TERMINATE, add the third file, and restart a fresh
+    query from the SAME checkpoint dir.  Recovery is proven three
+    ways: (a) the restarted query drains ONLY the new file (its
+    emissions cover exactly the batch-3 keys — the checkpointed source
+    offsets skip files 1-2); (b) for every batch-3 key the emitted
+    n_events EXCEEDS its batch-3-only row count (the count resumed
+    from the RESTORED state store, it was not recomputed); (c) the
+    merged final state matches the exact batch twin over all 3 files.
+
+    The pipeline is a test-local twin of stream_stateful's builder
+    (same source schema, same applyInPandasWithState state machine,
+    same update mode): the op's own drain() uses a fresh implicit
+    checkpoint per call by design, so recovery must be driven with an
+    explicit checkpointLocation — and a fault-tolerant foreachBatch
+    parquet sink, because the memory sink refuses checkpoint recovery
+    ("This query does not support recovering from checkpoint
+    location", verified)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import Window
+
+    from shared_solar_data_warehouse_spark.sources.io import table_path
+    from shared_solar_data_warehouse_spark.streaming.streams import (
+        _EVENTS_RAW_SCHEMA,
+    )
+
+    base = os.path.join(REPLAY_BASE, "ckpt_recovery")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    os.makedirs(src)
+    ev_dir = table_path(replay_ordered_sf, "events")
+    parts = sorted(os.listdir(ev_dir))
+    assert len(parts) == 3
+    for p in parts[:2]:
+        os.symlink(os.path.join(ev_dir, p), os.path.join(src, p))
+
+    def pipeline():
+        def track_gaps(key, pdf_iter, state: GroupState):
+            n, last_es, max_gap = state.get if state.exists else (0, None, 0)
+            for pdf in pdf_iter:
+                pdf = pdf.sort_values("es")
+                for es in pdf["es"]:
+                    es = int(es)
+                    if last_es is not None and es - last_es > max_gap:
+                        max_gap = es - last_es
+                    last_es = es
+                    n += 1
+            state.update((n, last_es, max_gap))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_gap_s": [max_gap]}
+            )
+
+        s = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+            .select("user_id", F.unix_timestamp("ts").alias("es"))
+        )
+        return s.groupBy("user_id").applyInPandasWithState(
+            track_gaps,
+            outputStructType="user_id long, n_events long, max_gap_s long",
+            stateStructType="n long, last_es long, max_gap long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def run_to_completion():
+        q = (
+            pipeline()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_to_completion()  # batches 1-2, then the query STOPS
+    n_run1 = spark.read.parquet(out).count()
+    assert n_run1 > 0
+
+    # third file arrives while no query is running; restart from ckpt
+    os.symlink(os.path.join(ev_dir, parts[2]), os.path.join(src, parts[2]))
+    run_to_completion()
+    emissions = spark.read.parquet(out)
+    n_run2 = emissions.count() - n_run1
+    assert n_run2 > 0, "restarted query drained nothing"
+
+    batch3 = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(
+        os.path.join(ev_dir, parts[2])
+    )
+    batch3_counts = {
+        r["user_id"]: r["n3"]
+        for r in batch3.groupBy("user_id").agg(F.count(F.lit(1)).alias("n3")).collect()
+    }
+    # (a) run-2 emissions = exactly one per batch-3 key
+    assert n_run2 == len(batch3_counts)
+    # (b) every run-2 n_events resumed from restored state: the final
+    # per-key count (max over emissions, monotone) exceeds the key's
+    # batch-3-only rows — impossible unless the state store survived.
+    final = (
+        emissions.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "max_gap_s")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.max_gap_s").alias("max_gap_s"),
+        )
+    )
+    for r in final.collect():
+        n3 = batch3_counts.get(r["user_id"])
+        if n3 is not None:
+            assert r["n_events"] > n3, (r, n3)
+    # (c) merged state == exact batch twin over all 3 files
+    ev = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap", F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    )
+    twin = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_s"),
+    )
+    assert _canon(final) == _canon(twin)
+
+
 def _canon(df):
     cols = sorted(df.columns)
     return sorted(tuple(r[c] for c in cols) for r in df.collect())
