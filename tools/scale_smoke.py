@@ -77,6 +77,15 @@ def main() -> int:
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--only", default=None)
     ap.add_argument("--top", type=int, default=0, help="run only the N slowest (by BENCH.json)")
+    ap.add_argument(
+        "--defer",
+        default=None,
+        help="comma list of ops moved to the END of the sweep, run after a "
+        "session-wide clearCache() — separates executor-memory pressure "
+        "from host noise on the quadratic ground-truth tiers (VERDICT r6 "
+        "item 4: dedup_cluster measured 516 s in-sweep vs 338 s standalone "
+        "at ~sf3)",
+    )
     args = ap.parse_args()
 
     from shared_solar_data_warehouse_spark.registry import REGISTRY, load_all_ops
@@ -101,8 +110,16 @@ def main() -> int:
             # same thing here: no cost hints — fall back to plain order.
             names = names[: args.top]
 
+    deferred = args.defer.split(",") if args.defer else []
+    if deferred:
+        names = [n for n in names if n not in deferred]
+
     timings, failures = {}, {}
-    for name in names:
+    for name in list(names) + ["__defer_barrier__"] * bool(deferred) + deferred:
+        if name == "__defer_barrier__":
+            spark.catalog.clearCache()
+            print("-- clearCache(); deferred tier starts --", flush=True)
+            continue
         started = time.time()
         try:
             df = REGISTRY[name].builder(spark, sf_dir)
