@@ -1,0 +1,97 @@
+"""Propose the next round's driver sample window.
+
+The grading driver hash-verifies the first 50 rows of ``queries()``
+(dict order = ``registry.driver_order()``, whose front rank is the
+``_FRONTLOAD`` tuple).  A stale ``_FRONTLOAD`` makes the driver
+re-sample already-green ops and the round produces zero new evidence
+— VERDICT r6 called that "the one genuine landmine in the repo".
+
+This tool prints the window a fresh round SHOULD carry:
+
+1. **stale re-verifies** — ops with a past driver-green row whose
+   current source fingerprint no longer matches the recorded one
+   (every op edited since its green round MUST cycle first, or its
+   record stays invalid), and
+2. **never-sampled picks** — ops with no driver record at all,
+   cheapest first by BENCH.json so more fit the driver's per-round
+   time budget,
+
+capped at 50 total.  Paste the emitted tuple into
+``registry._FRONTLOAD`` at round start, then re-run this tool to
+confirm ``driver_order()[:50]`` matches.
+
+The stale-re-verify set is MANDATORY (a differing window that misses
+one is a bug); the never-sampled picks are a cheapest-first DEFAULT —
+a verdict that names priority families (as r6 item 1 named the core
+ts_*/win_*/agg_* domains for round 7) overrides cost order, so a
+"current window differs" report on that half is informational, not an
+error.
+
+Usage:
+    python tools/compose_window.py [--window 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--window", type=int, default=50)
+    args = ap.parse_args()
+
+    from shared_solar_data_warehouse_spark.registry import (
+        REGISTRY,
+        _FRONTLOAD,
+        _bench_cost,
+        driver_covered,
+        driver_green,
+        driver_order,
+        load_all_ops,
+    )
+
+    load_all_ops()
+    covered = driver_covered()
+    green = set(driver_green())
+    cost = _bench_cost()
+
+    # Green-once but fingerprint-stale: must re-verify before anything else.
+    stale = sorted(n for n in green if n not in covered)
+    # Never driver-sampled at all.
+    never = sorted(
+        (n for n in REGISTRY if n not in green),
+        key=lambda n: (cost.get(n, 0.5), n),
+    )
+
+    window = (stale + [n for n in never if n not in stale])[: args.window]
+
+    print(f"registry: {len(REGISTRY)} ops")
+    print(f"driver-green (valid): {len(covered)}")
+    print(f"stale re-verifies (edited since green): {len(stale)}")
+    print(f"never-sampled remaining: {len(never)}")
+    print(f"\nproposed window ({len(window)}):")
+    print("_FRONTLOAD: tuple[str, ...] = (")
+    for n in window:
+        print(f'    "{n}",')
+    print(")")
+
+    current = driver_order()[: args.window]
+    if set(current) == set(window):
+        print("\ncurrent _FRONTLOAD window already matches the proposal.")
+    else:
+        gone = sorted(set(current) - set(window))
+        new = sorted(set(window) - set(current))
+        print(f"\ncurrent window differs — drop {len(gone)}: {gone[:10]}...")
+        print(f"add {len(new)}: {new[:10]}...")
+        if len(_FRONTLOAD) != len(set(_FRONTLOAD)):
+            print("WARNING: _FRONTLOAD has duplicate entries")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
