@@ -200,75 +200,72 @@ def _bench_cost() -> dict[str, float]:
 #: Ops to confirm FIRST in the next driver round: ops edited this
 #: round (their old green rows are fingerprint-invalidated), then
 #: high-risk never-sampled families.  Prune entries once they turn
-#: driver-green.  Round 7 composes the full 50-row sample window
+#: driver-green.  Round 8 composes the full 50-row sample window
 #: explicitly (the driver checks the first 50 rows of queries()):
-#: 8 fingerprint-stale re-verifies (the seven libm retirements onto
-#: parity.sql_ln_*/sql_exp_* plus ts_npv_cashflows, whose sql_powi
-#: gained the out-of-domain NULL guard) + 42 never-sampled picks,
-#: prioritizing the core ts_* domain ops, the whole win_* family,
-#: the agg_* §2.4 ladder, and fn_date/fn_json (VERDICT r6 items 1-2).
+#: 2 fingerprint-stale re-verifies (stream_cdc_apply /
+#: stream_topk_snapshot gained the crash-safe swap recovery + epoch
+#: idempotence stamp for the failure-injection tier, VERDICT r7
+#: item 6) + 48 never-sampled picks from the 65 remaining — every
+#: never-sampled agg_* and graph_* op, join_interval_overlap and
+#: join_band, and ts_interp_linear (VERDICT r7 item 1's named
+#: priorities) with the rest cheapest-first per BENCH.json; the 17
+#: deferred non-priority ops (~15 s summed) close out in round 9.
 _FRONTLOAD: tuple[str, ...] = (
-    # -- r7 edits with driver-green history (fingerprint-stale; the
-    # old green rows are invalidated until these re-verify): the last
-    # seven libm-quantized ops converted to the deterministic staged
-    # ln/exp ladders, and the sql_powi guard rider:
-    "agg_cat_entropy",
-    "agg_mutual_info",
-    "text_char_entropy",
-    "text_unigram_perplexity",
-    "text_bigram_perplexity",
-    "text_cooccurrence_pmi",
-    "ts_survival_km",
-    "ts_npv_cashflows",
-    # -- never-sampled: the core §2.8 ts_* domain ops (the reference's
-    # flagship analytics — VERDICT r6 item 1's named priority):
-    "ts_bucket_agg",
-    "ts_ewma",
-    "ts_gap_fill",
-    "ts_sessionize",
-    "ts_funnel",
-    "ts_retention",
-    "ts_delta",
-    "ts_peak",
-    "ts_resample",
-    "ts_topk_users",
-    # -- never-sampled: the whole win_* §2.5 family:
-    "win_rank_dense",
-    "win_lag_lead",
-    "win_running",
-    "win_sliding_rows",
-    "win_range_frame",
-    "win_count_distinct",
-    "win_first_last_nth",
-    "win_moving_median",
-    "win_share_of_total",
-    "win_drawdown",
-    # -- never-sampled: the §2.4 aggregate ladder:
-    "agg_global",
-    "agg_groupby",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_filtered",
-    "agg_having",
-    "agg_rollup",
-    "agg_cube",
-    "agg_weighted_avg",
-    "agg_linreg",
-    # -- never-sampled: scalar-function and remaining surface pockets
-    # (fn_date/fn_json named in VERDICT r6 item 1; the etl_* core;
-    # the grouped-agg pandas UDF; graph census ops; IO riders):
-    "fn_date",
-    "fn_json",
-    "fn_variant",
-    "etl_upsert",
-    "etl_scd2_intervals",
-    "etl_scd2_snapshot",
-    "udf_pandas_grouped_agg",
-    "graph_degree_dist",
-    "graph_triangle_count",
-    "join_asof_tolerance",
-    "scan_partition_pruned_dynamic",
-    "sink_json",
+    # -- fingerprint-stale re-verifies (edited this round):
+    "stream_cdc_apply",
+    "stream_topk_snapshot",
+    # -- never-sampled (no driver record at all), cheapest-first by
+    # BENCH.json with the verdict's priority families folded in; the
+    # six graph census ops and join_interval_overlap ride at the tail
+    # (they are the expensive picks that cost-order alone would defer):
+    "ts_out_of_order_audit",
+    "agg_lorenz_points",
+    "agg_quantile_sketch",
+    "etl_schema_drift_audit",
+    "ts_peak_valley",
+    "text_repetition",
+    "ts_running_balance",
+    "ts_trend_slope",
+    "sim_embedding_drift",
+    "text_pii_scrub",
+    "agg_hhi",
+    "text_dedup_normalized",
+    "agg_sketch_mergeable",
+    "ts_demand_charge",
+    "ts_cusum",
+    "join_band",
+    "ts_clock_phase_audit",
+    "etl_table_checksum",
+    "ts_streak",
+    "etl_incremental_rollup",
+    "agg_chi_square",
+    "sim_random_projection",
+    "ts_ramp_rate",
+    "ts_load_duration",
+    "agg_arg_extrema",
+    "ts_mom_growth",
+    "join_range_bucketed",
+    "ts_energy_integrate",
+    "ts_completeness",
+    "text_ngrams",
+    "text_rare_token_ratio",
+    "source_rate_stream",
+    "ts_event_transitions",
+    "agg_mode",
+    "text_paragraph_dedup",
+    "report_experiment_health",
+    "ts_ohlc",
+    "agg_tukey_outliers",
+    "graph_neighborhood_sample",
+    "ts_interp_linear",
+    "agg_decimal_exact",
+    "agg_corr_exact",
+    "graph_assortativity",
+    "graph_local_clustering",
+    "join_interval_overlap",
+    "graph_kcore",
+    "graph_connected_components",
+    "graph_jaccard_neighbors",
 )
 
 

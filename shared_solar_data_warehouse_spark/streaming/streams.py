@@ -562,6 +562,68 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recover_state_swap(base: str) -> str:
+    """Crash-recovery preamble for the write-new-then-swap foreachBatch
+    state dirs (``stream_cdc_apply`` / ``stream_topk_snapshot``).
+
+    The swap protocol is: write ``state_epoch_{e}`` (with an ``_epoch``
+    stamp inside), ``rename(current -> current.old)``,
+    ``rename(state_epoch_{e} -> current)``, ``rmtree(current.old)``.
+    A crash can land in two inconsistent-looking windows; both recover
+    to a CONSISTENT snapshot (pre- or post-batch, never torn):
+
+    - ``current`` missing + ``current.old`` present — crashed between
+      the two renames.  Roll back to the pre-batch snapshot; the
+      uncommitted epoch replays and re-folds it.
+    - both present — crashed after the commit rename, before cleanup.
+      ``current`` is the committed post-batch snapshot; drop the
+      leftover (also unblocks the next epoch's ``rename(cur -> old)``,
+      which would refuse a non-empty destination on POSIX).
+
+    Returns the ``current`` path.
+    """
+    import shutil
+
+    cur = os.path.join(base, "current")
+    old = cur + ".old"
+    if not os.path.exists(cur) and os.path.exists(old):
+        os.rename(old, cur)
+    elif os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+    return cur
+
+
+def _state_epoch(cur: str) -> int:
+    """Last epoch folded into the ``current`` snapshot (-1 if none).
+    foreachBatch is at-least-once: a crash after the commit rename but
+    before the checkpoint commit replays the epoch, and a non-idempotent
+    fold (the CDC op's ``sum(n_ops)``) would double-count it — the
+    stamp travels INSIDE the staged dir so it becomes visible atomically
+    with the data at the commit rename."""
+    try:
+        with open(os.path.join(cur, "_epoch")) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _commit_state_swap(base: str, nxt: str, epoch_id: int) -> None:
+    """Atomically promote staged state dir ``nxt`` to ``current``:
+    stamp the epoch inside ``nxt`` (Spark ignores ``_``-prefixed files,
+    like ``_SUCCESS``), then swap via the two-rename protocol whose
+    crash windows ``_recover_state_swap`` repairs."""
+    import shutil
+
+    with open(os.path.join(nxt, "_epoch"), "w") as fh:
+        fh.write(str(epoch_id))
+    cur = os.path.join(base, "current")
+    old = cur + ".old"
+    if os.path.exists(cur):
+        os.rename(cur, old)
+    os.rename(nxt, cur)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 @op(
     "stream_cdc_apply",
     oracle="""
@@ -617,17 +679,19 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # Crash-safe at-least-once fold: repair any torn swap from a
+        # prior crash, and skip epochs already committed into the
+        # snapshot (replaying one would double-count sum(n_ops)).
+        _recover_state_swap(base)
+        if _state_epoch(cur) >= epoch_id:
+            return
         b = pick_latest(batch_df)
         if os.path.exists(cur):
             prev = batch_df.sparkSession.read.parquet(cur)
             b = pick_latest(prev.unionByName(b))
         nxt = os.path.join(base, f"state_epoch_{epoch_id}")
         b.write.mode("overwrite").parquet(nxt)
-        old = cur + ".old"
-        if os.path.exists(cur):
-            os.rename(cur, old)
-        os.rename(nxt, cur)
-        shutil.rmtree(old, ignore_errors=True)
+        _commit_state_swap(base, nxt, epoch_id)
 
     feed = events_stream(spark, sf_dir).select(
         "user_id",
@@ -685,17 +749,19 @@ def stream_topk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.orderBy(F.col("value").desc(), F.col("event_id").desc()).limit(10)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        # Same crash-safe swap discipline as stream_cdc_apply (the
+        # top-k fold is idempotent, but a crash between the two swap
+        # renames would still lose the leaderboard without recovery).
+        _recover_state_swap(base)
+        if _state_epoch(cur) >= epoch_id:
+            return
         b = topk(batch_df.select("event_id", "value"))
         if os.path.exists(cur):
             prev = batch_df.sparkSession.read.parquet(cur)
             b = topk(prev.unionByName(b))
         nxt = os.path.join(base, f"state_epoch_{epoch_id}")
         b.write.mode("overwrite").parquet(nxt)
-        old = cur + ".old"
-        if os.path.exists(cur):
-            os.rename(cur, old)
-        os.rename(nxt, cur)
-        shutil.rmtree(old, ignore_errors=True)
+        _commit_state_swap(base, nxt, epoch_id)
 
     s = events_stream(spark, sf_dir).select("event_id", "value")
     query = (

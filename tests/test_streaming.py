@@ -418,3 +418,185 @@ def test_stream_ewma_matches_batch_twin(spark, registry):
     stream = registry["stream_ewma"].builder(spark, SF_SMALL)
     batch = registry["ts_ewma"].builder(spark, SF_SMALL)
     assert _canon(stream) == _canon(batch)
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (VERDICT r7 item 6): FAILURE INJECTION for the write-new-then-
+# swap foreachBatch state sinks (stream_cdc_apply / stream_topk_snapshot).
+# The swap protocol has two crash windows a drain can never exercise:
+#   (P2) between rename(current -> current.old) and
+#        rename(state_epoch_e -> current)  — state looks GONE;
+#   (P3) after the commit rename but before Spark commits the epoch to
+#        the checkpoint — foreachBatch is at-least-once, so the epoch
+#        REPLAYS and a non-idempotent fold (sum(n_ops)) double-counts.
+# _recover_state_swap + the _epoch stamp (streams.py) repair both; these
+# tests interrupt a live query at each point, restart from the same
+# checkpoint, and assert the sink recovers to a consistent snapshot —
+# pre- or post-batch, never torn, never double-counted.
+
+
+def _cdc_twin_parts(spark, src: str, base: str):
+    """Test-local twin of stream_cdc_apply's fold, calling the op's REAL
+    swap helpers (same module code paths), with an injectable fault."""
+    from shared_solar_data_warehouse_spark.streaming.streams import (
+        _EVENTS_RAW_SCHEMA,
+        _commit_state_swap,
+        _recover_state_swap,
+        _state_epoch,
+    )
+
+    cur = os.path.join(base, "current")
+
+    def pick_latest(df):
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("us", "event_id", "event_type", "value")
+                ).alias("last"),
+                F.sum("n_ops").cast("long").alias("n_ops"),
+            )
+            .select(
+                "user_id",
+                F.col("last.us").alias("us"),
+                F.col("last.event_id").alias("event_id"),
+                F.col("last.event_type").alias("event_type"),
+                F.col("last.value").alias("value"),
+                "n_ops",
+            )
+        )
+
+    fault = {"arm_epoch": None, "kind": None}
+
+    def apply_batch(batch_df, epoch_id):
+        _recover_state_swap(base)
+        if _state_epoch(cur) >= epoch_id:
+            return
+        b = pick_latest(batch_df)
+        if os.path.exists(cur):
+            prev = batch_df.sparkSession.read.parquet(cur)
+            b = pick_latest(prev.unionByName(b))
+        nxt = os.path.join(base, f"state_epoch_{epoch_id}")
+        b.write.mode("overwrite").parquet(nxt)
+        if fault["arm_epoch"] == epoch_id and fault["kind"] == "torn_swap":
+            # crash BETWEEN the two renames: perform only the first.
+            fault["arm_epoch"] = None
+            with open(os.path.join(nxt, "_epoch"), "w") as fh:
+                fh.write(str(epoch_id))
+            if os.path.exists(cur):
+                os.rename(cur, cur + ".old")
+            raise RuntimeError("injected crash between state renames")
+        _commit_state_swap(base, nxt, epoch_id)
+        if fault["arm_epoch"] == epoch_id and fault["kind"] == "post_commit":
+            # crash AFTER the swap but BEFORE the checkpoint commit:
+            # Spark will replay this epoch on restart (at-least-once).
+            fault["arm_epoch"] = None
+            raise RuntimeError("injected crash after state commit")
+
+    def run(ckpt):
+        feed = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("us"),
+                "event_id",
+                "event_type",
+                "value",
+                F.lit(1).alias("n_ops"),
+            )
+        )
+        q = (
+            feed.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    return run, fault, cur
+
+
+def _cdc_batch_oracle(spark, src: str):
+    """Exact batch twin over all replayed rows: latest op per key with a
+    total op count, tombstones (event_type='error') absent."""
+    from shared_solar_data_warehouse_spark.streaming.streams import (
+        _EVENTS_RAW_SCHEMA,
+    )
+
+    ev = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(src)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.unix_micros("ts").alias("us"), "event_id",
+                    "event_type", "value",
+                )
+            ).alias("last"),
+            F.count(F.lit(1)).cast("long").alias("n_ops"),
+        )
+        .filter(F.col("last.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("last.us").alias("us"),
+            F.col("last.event_id").alias("event_id"),
+            F.col("last.value").alias("value"),
+            "n_ops",
+        )
+    )
+
+
+@pytest.mark.parametrize("kind", ["torn_swap", "post_commit"])
+def test_swap_sink_crash_injection_recovers_consistent(
+    spark, replay_ordered_sf, kind
+):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from shared_solar_data_warehouse_spark.sources.io import table_path
+
+    base = os.path.join(REPLAY_BASE, f"swap_fault_{kind}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    src = table_path(replay_ordered_sf, "events")
+    ckpt = os.path.join(base, "_ckpt")
+
+    run, fault, cur = _cdc_twin_parts(spark, src, os.path.join(base, "state"))
+    os.makedirs(os.path.join(base, "state"))
+
+    # Crash while folding the SECOND of three micro-batches, so real
+    # pre-crash state exists and a post-crash batch still follows.
+    fault["arm_epoch"], fault["kind"] = 1, kind
+    with pytest.raises(StreamingQueryException):
+        run(ckpt)
+
+    old = cur + ".old"
+    if kind == "torn_swap":
+        # The crash left the torn window the old protocol could not
+        # survive: no current snapshot at all.
+        assert not os.path.exists(cur) and os.path.exists(old)
+    else:
+        # Post-commit crash: current IS the committed epoch-1 snapshot.
+        assert os.path.exists(cur)
+        epoch_file = os.path.join(cur, "_epoch")
+        assert open(epoch_file).read().strip() == "1"
+
+    # Restart from the SAME checkpoint with the fault disarmed: the
+    # interrupted epoch replays (at-least-once), recovery repairs the
+    # torn swap / the _epoch stamp suppresses the double-fold, and the
+    # remaining batch drains.
+    run(ckpt)
+    assert os.path.exists(cur) and not os.path.exists(old)
+
+    got = (
+        spark.read.parquet(cur)
+        .filter(F.col("event_type") != "error")
+        .select("user_id", "us", "event_id", "value", "n_ops")
+    )
+    want = _cdc_batch_oracle(spark, src)
+    # Exact parity INCLUDING n_ops: a replayed epoch folded twice would
+    # inflate n_ops for every batch-0/1 key; a torn swap left unrepaired
+    # would lose every key absent from batches 1-2.
+    assert _canon(got) == _canon(want)

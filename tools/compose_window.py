@@ -61,7 +61,11 @@ def main() -> int:
     cost = _bench_cost()
 
     # Green-once but fingerprint-stale: must re-verify before anything else.
-    stale = sorted(n for n in green if n not in covered)
+    # Restrict to names still in REGISTRY — past CORRECTNESS rows can name
+    # removed/renamed ops (driver_covered() skips unknown names), and a
+    # phantom entry would waste a window slot (ADVICE r7).
+    stale = sorted(n for n in green if n not in covered and n in REGISTRY)
+    phantoms = sorted(n for n in green if n not in REGISTRY)
     # Never driver-sampled at all.
     never = sorted(
         (n for n in REGISTRY if n not in green),
@@ -69,6 +73,22 @@ def main() -> int:
     )
 
     window = (stale + [n for n in never if n not in stale])[: args.window]
+
+    if phantoms:
+        print(
+            f"note: {len(phantoms)} green names no longer in REGISTRY "
+            f"(ignored): {phantoms}"
+        )
+    if len(stale) > args.window:
+        # The stale set is MANDATORY; a window that cannot hold it means
+        # some invalidated ops stay unverified this round (ADVICE r7).
+        print(
+            f"ERROR: {len(stale)} mandatory stale re-verifies exceed the "
+            f"{args.window}-row window — {len(stale) - args.window} dropped: "
+            f"{stale[args.window:]}",
+            file=sys.stderr,
+        )
+        return 1
 
     print(f"registry: {len(REGISTRY)} ops")
     print(f"driver-green (valid): {len(covered)}")
@@ -80,6 +100,12 @@ def main() -> int:
         print(f'    "{n}",')
     print(")")
 
+    # Duplicates can't change set membership, so check unconditionally —
+    # inside the differs-branch they'd go unflagged exactly when the
+    # window otherwise matches (ADVICE r7).
+    if len(_FRONTLOAD) != len(set(_FRONTLOAD)):
+        print("WARNING: _FRONTLOAD has duplicate entries")
+
     current = driver_order()[: args.window]
     if set(current) == set(window):
         print("\ncurrent _FRONTLOAD window already matches the proposal.")
@@ -88,8 +114,6 @@ def main() -> int:
         new = sorted(set(window) - set(current))
         print(f"\ncurrent window differs — drop {len(gone)}: {gone[:10]}...")
         print(f"add {len(new)}: {new[:10]}...")
-        if len(_FRONTLOAD) != len(set(_FRONTLOAD)):
-            print("WARNING: _FRONTLOAD has duplicate entries")
     return 0
 
 

@@ -110,7 +110,15 @@ def main() -> int:
             # same thing here: no cost hints — fall back to plain order.
             names = names[: args.top]
 
-    deferred = args.defer.split(",") if args.defer else []
+    # --defer tokens: strip whitespace ('a, b' must still match), validate
+    # against REGISTRY up front (a typo should fail here, not as a KeyError
+    # mid-sweep), and intersect with the --only/--top selection so deferring
+    # never widens the run list (ADVICE r7).
+    deferred = [t.strip() for t in args.defer.split(",") if t.strip()] if args.defer else []
+    unknown = [t for t in deferred if t not in REGISTRY]
+    if unknown:
+        ap.error(f"--defer names not in REGISTRY: {unknown}")
+    deferred = [t for t in deferred if t in set(names)]
     if deferred:
         names = [n for n in names if n not in deferred]
 
