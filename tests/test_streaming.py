@@ -600,3 +600,68 @@ def test_swap_sink_crash_injection_recovers_consistent(
     # inflate n_ops for every batch-0/1 key; a torn swap left unrepaired
     # would lose every key absent from batches 1-2.
     assert _canon(got) == _canon(want)
+
+
+def test_swap_helpers_all_crash_prefixes(tmp_path):
+    """Pure-filesystem sweep of the swap protocol's crash prefixes —
+    including the one the live injections above cannot leave behind:
+    a crash AFTER the commit rename but BEFORE the old-state cleanup
+    (both `current` and `current.old` on disk).  Recovery must keep
+    the committed post-batch snapshot, drop the leftover, and report
+    the epoch as applied."""
+    from shared_solar_data_warehouse_spark.streaming.streams import (
+        _commit_state_swap,
+        _recover_state_swap,
+        _state_epoch,
+    )
+
+    def mkstate(d, tag, epoch=None):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-00000"), "w") as fh:
+            fh.write(tag)
+        if epoch is not None:
+            with open(os.path.join(d, "_epoch"), "w") as fh:
+                fh.write(str(epoch))
+
+    def tag(d):
+        with open(os.path.join(d, "part-00000")) as fh:
+            return fh.read()
+
+    # clean commit over an existing snapshot: post-batch wins, no .old
+    base = str(tmp_path / "clean")
+    os.makedirs(base)
+    cur = os.path.join(base, "current")
+    mkstate(cur, "epoch0", epoch=0)
+    nxt = os.path.join(base, "state_epoch_1")
+    mkstate(nxt, "epoch1")
+    _commit_state_swap(base, nxt, 1)
+    assert tag(cur) == "epoch1" and _state_epoch(cur) == 1
+    assert not os.path.exists(cur + ".old") and not os.path.exists(nxt)
+
+    # crash between the renames: cur gone, old present -> roll back to
+    # the PRE-batch snapshot; epoch reads stale so the fold replays
+    base = str(tmp_path / "torn")
+    os.makedirs(base)
+    cur = os.path.join(base, "current")
+    mkstate(cur + ".old", "epoch0", epoch=0)
+    mkstate(os.path.join(base, "state_epoch_1"), "epoch1", epoch=1)
+    assert _recover_state_swap(base) == cur
+    assert tag(cur) == "epoch0" and _state_epoch(cur) == 0
+    assert not os.path.exists(cur + ".old")
+
+    # crash after the commit rename, before cleanup: cur AND old both
+    # present -> keep the committed POST-batch snapshot, drop old
+    base = str(tmp_path / "postswap")
+    os.makedirs(base)
+    cur = os.path.join(base, "current")
+    mkstate(cur, "epoch1", epoch=1)
+    mkstate(cur + ".old", "epoch0", epoch=0)
+    _recover_state_swap(base)
+    assert tag(cur) == "epoch1" and _state_epoch(cur) == 1
+    assert not os.path.exists(cur + ".old")
+
+    # fresh dir (first epoch, nothing on disk): no-op, epoch -1
+    base = str(tmp_path / "fresh")
+    os.makedirs(base)
+    cur = _recover_state_swap(base)
+    assert not os.path.exists(cur) and _state_epoch(cur) == -1
