@@ -1,0 +1,136 @@
+"""Round-8 (ADVICE r7): behavior pins for the round-maintenance tools.
+
+`tools/compose_window.py` composes the driver's 50-row sample window —
+a silent mistake there wastes an entire round's correctness evidence,
+so its three failure modes called out by the reviewer are pinned here:
+
+1. a stale re-verify set larger than the window must FAIL LOUDLY
+   (every stale op is mandatory; silently truncating drops required
+   re-verifies);
+2. green names that no longer exist in REGISTRY (removed/renamed ops)
+   must not be proposed into the window as phantom re-verifies;
+3. duplicate `_FRONTLOAD` entries must warn even when set membership
+   matches the proposal (set() collapses them, so the 'window matches'
+   path was exactly where they went unflagged).
+
+The tool reads the live registry inside main(), so the tests
+monkeypatch the registry module's accessors and capture stdout.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+import pytest
+
+
+@pytest.fixture()
+def compose(monkeypatch):
+    """Import tools/compose_window.py fresh and patch the registry
+    accessors it pulls inside main()."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.syspath_prepend(os.path.join(repo, "tools"))
+    mod = importlib.import_module("compose_window")
+
+    import shared_solar_data_warehouse_spark.registry as reg
+
+    def patch(
+        registry_names,
+        green,
+        covered,
+        frontload,
+        cost=None,
+    ):
+        monkeypatch.setattr(reg, "REGISTRY", {n: None for n in registry_names})
+        monkeypatch.setattr(reg, "driver_green", lambda: set(green))
+        monkeypatch.setattr(reg, "driver_covered", lambda: set(covered))
+        monkeypatch.setattr(reg, "_bench_cost", lambda: dict(cost or {}))
+        monkeypatch.setattr(reg, "_FRONTLOAD", tuple(frontload))
+        monkeypatch.setattr(reg, "load_all_ops", lambda: None)
+        monkeypatch.setattr(
+            reg,
+            "driver_order",
+            lambda: list(frontload)
+            + [n for n in registry_names if n not in frontload],
+        )
+
+    return mod, patch
+
+
+def _run(mod, monkeypatch, capsys, window):
+    monkeypatch.setattr(sys, "argv", ["compose_window.py", "--window", str(window)])
+    rc = mod.main()
+    out = capsys.readouterr()
+    return rc, out.out, out.err
+
+
+def test_stale_overflow_exits_nonzero(compose, monkeypatch, capsys):
+    mod, patch = compose
+    # 3 green-but-stale ops (green, not covered) but a window of 2:
+    # one MANDATORY re-verify would be silently dropped without the guard.
+    patch(
+        registry_names=["a", "b", "c", "d"],
+        green=["a", "b", "c"],
+        covered=[],
+        frontload=["a", "b"],
+    )
+    rc, out, err = _run(mod, monkeypatch, capsys, window=2)
+    assert rc == 1
+    assert "mandatory stale" in err and "1 dropped" in err
+    assert "['c']" in err  # names the dropped re-verifies
+
+
+def test_phantom_green_names_filtered(compose, monkeypatch, capsys):
+    mod, patch = compose
+    # 'ghost' is green in an old CORRECTNESS round but was removed from
+    # REGISTRY; it must be reported and excluded, not proposed.
+    patch(
+        registry_names=["a", "b"],
+        green=["a", "ghost"],
+        covered=[],
+        frontload=["a", "b"],
+    )
+    rc, out, err = _run(mod, monkeypatch, capsys, window=2)
+    assert rc == 0
+    assert "ghost" in out and "no longer in REGISTRY" in out
+    # proposed window = stale ['a'] + never ['b']; no phantom anywhere
+    assert '"ghost"' not in out
+    assert '"a"' in out and '"b"' in out
+
+
+def test_duplicate_frontload_warns_even_when_window_matches(
+    compose, monkeypatch, capsys
+):
+    mod, patch = compose
+    # _FRONTLOAD duplicates 'a'; set membership still equals the
+    # proposal, which used to skip the duplicate check entirely.
+    patch(
+        registry_names=["a", "b"],
+        green=[],
+        covered=[],
+        frontload=["a", "a", "b"],
+    )
+    rc, out, err = _run(mod, monkeypatch, capsys, window=3)
+    assert rc == 0
+    assert "already matches" in out
+    assert "duplicate entries" in out
+
+
+def test_clean_composition_round_trip(compose, monkeypatch, capsys):
+    mod, patch = compose
+    # stale ops lead, then never-sampled cheapest-first by bench cost.
+    patch(
+        registry_names=["w", "x", "y", "z"],
+        green=["w", "z"],
+        covered=["z"],
+        frontload=["w", "y", "x"],
+        cost={"x": 2.0, "y": 0.1},
+    )
+    rc, out, err = _run(mod, monkeypatch, capsys, window=3)
+    assert rc == 0
+    lines = [l.strip().strip('",') for l in out.splitlines() if l.startswith('    "')]
+    assert lines == ["w", "y", "x"]  # stale w first, then y (0.1) before x (2.0)
+    assert "already matches" in out
