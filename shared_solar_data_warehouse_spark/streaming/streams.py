@@ -734,8 +734,10 @@ def stream_topk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id as the total-order tie-break), merges with the persisted
     leaderboard, and keeps the combined top-10 — O(k) state however
     long the stream runs, the monoid-fold shape every streaming top-k
-    runs (per-batch partial top-k is associative, so replay order
-    cannot change the answer).  State lands via the same atomic
+    runs (per-batch partial top-k is associative and commutative, so
+    batch ARRIVAL order cannot change the answer; RE-DELIVERED epochs
+    would double-count and are fenced by the _epoch stamp instead —
+    the fold itself is not replay-idempotent).  State lands via the same atomic
     write-new-then-swap parquet dir as the CDC op; the oracle is the
     batch LIMIT with the identical tie-break."""
     import shutil
@@ -749,9 +751,13 @@ def stream_topk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.orderBy(F.col("value").desc(), F.col("event_id").desc()).limit(10)
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
-        # Same crash-safe swap discipline as stream_cdc_apply (the
-        # top-k fold is idempotent, but a crash between the two swap
-        # renames would still lose the leaderboard without recovery).
+        # Same crash-safe swap discipline as stream_cdc_apply.  The
+        # fold is NOT idempotent under replay: a replayed epoch would
+        # union rows already folded into the persisted top-10, and
+        # limit(10) can then seat the same (event_id, value) row twice,
+        # displacing a legitimate entry — so the _epoch stamp guard is
+        # load-bearing here too, and the recovery preamble is what
+        # makes a crash between the two swap renames survivable.
         _recover_state_swap(base)
         if _state_epoch(cur) >= epoch_id:
             return
