@@ -202,70 +202,71 @@ def _bench_cost() -> dict[str, float]:
 #: high-risk never-sampled families.  Prune entries once they turn
 #: driver-green.  Round 8 composes the full 50-row sample window
 #: explicitly (the driver checks the first 50 rows of queries()):
-#: 2 fingerprint-stale re-verifies (stream_cdc_apply /
-#: stream_topk_snapshot gained the crash-safe swap recovery + epoch
-#: idempotence stamp for the failure-injection tier, VERDICT r7
-#: item 6) + 48 never-sampled picks from the 65 remaining — every
-#: never-sampled agg_* and graph_* op, join_interval_overlap and
-#: join_band, and ts_interp_linear (VERDICT r7 item 1's named
-#: priorities) with the rest cheapest-first per BENCH.json; the 17
-#: deferred non-priority ops (~15 s summed) close out in round 9.
+#: Round-9 window (VERDICT r8 item 1): 1 fingerprint-stale re-verify
+#: (stream_topk_snapshot — its replay-idempotence comment was corrected
+#: per ADVICE r9; code path unchanged) + the FINAL 17 never-sampled ops
+#: (closing driver coverage at 375/375), then 32 depth re-verification
+#: picks: the oldest green rows in the cumulative record (all r01-era
+#: §2.1-2.3/§2.6 scans/joins/set-ops whose evidence is eight rounds
+#: old), cheapest-first per BENCH.json so the window stays well inside
+#: the driver's per-round time budget (~25 s summed at sf0.1; the
+#: driver samples at sf0.01).
 _FRONTLOAD: tuple[str, ...] = (
-    # -- fingerprint-stale re-verifies (edited this round):
-    "stream_cdc_apply",
+    # -- fingerprint-stale re-verify (comment-only edit this round):
     "stream_topk_snapshot",
-    # -- never-sampled (no driver record at all), cheapest-first by
-    # BENCH.json with the verdict's priority families folded in; the
-    # six graph census ops and join_interval_overlap ride at the tail
-    # (they are the expensive picks that cost-order alone would defer):
-    "ts_out_of_order_audit",
-    "agg_lorenz_points",
-    "agg_quantile_sketch",
-    "etl_schema_drift_audit",
-    "ts_peak_valley",
-    "text_repetition",
-    "ts_running_balance",
-    "ts_trend_slope",
-    "sim_embedding_drift",
-    "text_pii_scrub",
-    "agg_hhi",
-    "text_dedup_normalized",
-    "agg_sketch_mergeable",
-    "ts_demand_charge",
-    "ts_cusum",
-    "join_band",
-    "ts_clock_phase_audit",
-    "etl_table_checksum",
-    "ts_streak",
-    "etl_incremental_rollup",
-    "agg_chi_square",
-    "sim_random_projection",
-    "ts_ramp_rate",
-    "ts_load_duration",
-    "agg_arg_extrema",
-    "ts_mom_growth",
-    "join_range_bucketed",
-    "ts_energy_integrate",
-    "ts_completeness",
-    "text_ngrams",
-    "text_rare_token_ratio",
-    "source_rate_stream",
-    "ts_event_transitions",
-    "agg_mode",
-    "text_paragraph_dedup",
-    "report_experiment_health",
-    "ts_ohlc",
-    "agg_tukey_outliers",
-    "graph_neighborhood_sample",
-    "ts_interp_linear",
-    "agg_decimal_exact",
-    "agg_corr_exact",
-    "graph_assortativity",
-    "graph_local_clustering",
-    "join_interval_overlap",
-    "graph_kcore",
-    "graph_connected_components",
-    "graph_jaccard_neighbors",
+    # -- the last 17 never-sampled ops (no driver record at all),
+    # cheapest-first by BENCH.json:
+    "ts_coincidence_factor",
+    "etl_gdpr_erasure",
+    "report_grid_health",
+    "ts_forecast_backtest",
+    "text_langid_eval",
+    "join_asof_nearest",
+    "ts_max_concurrency",
+    "ts_overlap_sweep",
+    "ts_tariff_billing",
+    "text_lang_id",
+    "ts_anomaly_mad",
+    "ts_theil_sen_slope",
+    "join_role_playing_dim",
+    "text_decontaminate",
+    "report_corpus_quality",
+    "etl_file_manifest",
+    "sim_ann_recall_eval",
+    # -- depth re-verification fill: oldest driver-green rows (r01),
+    # cheapest-first:
+    "source_range",
+    "scan_parquet",
+    "limit_n",
+    "topk_global",
+    "set_union_all",
+    "sample_split_train_test",
+    "filter_pred",
+    "offset_n",
+    "scan_parquet_pruned",
+    "project_unpivot",
+    "scan_partition_pruned",
+    "distinct_rows",
+    "project_case",
+    "project_cast",
+    "set_except",
+    "join_cross",
+    "scan_csv",
+    "project_posexplode",
+    "join_theta",
+    "set_union_distinct",
+    "set_intersect",
+    "join_range",
+    "join_left_semi",
+    "scan_orc",
+    "join_broadcast",
+    "set_except_all",
+    "join_left_anti",
+    "sort_multi",
+    "set_intersect_all",
+    "filter_null",
+    "join_right_outer",
+    "join_asof",
 )
 
 

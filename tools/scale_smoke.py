@@ -118,7 +118,8 @@ def main() -> int:
     unknown = [t for t in deferred if t not in REGISTRY]
     if unknown:
         ap.error(f"--defer names not in REGISTRY: {unknown}")
-    deferred = [t for t in deferred if t in set(names)]
+    name_set = set(names)
+    deferred = [t for t in deferred if t in name_set]
     if deferred:
         names = [n for n in names if n not in deferred]
 
