@@ -210,63 +210,66 @@ def _bench_cost() -> dict[str, float]:
 #: §2.1-2.3/§2.6 scans/joins/set-ops whose evidence is eight rounds
 #: old), cheapest-first per BENCH.json so the window stays well inside
 #: the driver's per-round time budget (~25 s summed at sf0.1; the
-#: driver samples at sf0.01).
+#: driver samples at sf0.01).  This tuple is the VERBATIM output of
+#: `python tools/compose_window.py --window 50 --fill-oldest` at r9
+#: HEAD — the maintenance-rotation windows from round 10 on are that
+#: one command.
 _FRONTLOAD: tuple[str, ...] = (
     # -- fingerprint-stale re-verify (comment-only edit this round):
     "stream_topk_snapshot",
     # -- the last 17 never-sampled ops (no driver record at all),
     # cheapest-first by BENCH.json:
-    "ts_coincidence_factor",
-    "etl_gdpr_erasure",
     "report_grid_health",
-    "ts_forecast_backtest",
-    "text_langid_eval",
+    "etl_gdpr_erasure",
     "join_asof_nearest",
+    "ts_coincidence_factor",
     "ts_max_concurrency",
-    "ts_overlap_sweep",
     "ts_tariff_billing",
-    "text_lang_id",
+    "ts_forecast_backtest",
+    "ts_overlap_sweep",
     "ts_anomaly_mad",
+    "text_langid_eval",
+    "text_lang_id",
     "ts_theil_sen_slope",
     "join_role_playing_dim",
-    "text_decontaminate",
     "report_corpus_quality",
+    "text_decontaminate",
     "etl_file_manifest",
     "sim_ann_recall_eval",
-    # -- depth re-verification fill: oldest driver-green rows (r01),
-    # cheapest-first:
+    # -- depth re-verification fill (--fill-oldest): oldest
+    # driver-green rows (r01), cheapest-first:
     "source_range",
     "scan_parquet",
-    "limit_n",
-    "topk_global",
-    "set_union_all",
     "sample_split_train_test",
-    "filter_pred",
+    "limit_n",
     "offset_n",
-    "scan_parquet_pruned",
     "project_unpivot",
-    "scan_partition_pruned",
+    "filter_pred",
+    "topk_global",
+    "scan_parquet_pruned",
     "distinct_rows",
+    "scan_partition_pruned",
     "project_case",
     "project_cast",
-    "set_except",
-    "join_cross",
     "scan_csv",
     "project_posexplode",
-    "join_theta",
+    "join_cross",
+    "set_except",
+    "set_union_all",
     "set_union_distinct",
-    "set_intersect",
     "join_range",
-    "join_left_semi",
+    "join_theta",
+    "set_intersect",
     "scan_orc",
+    "filter_null",
+    "join_left_semi",
     "join_broadcast",
     "set_except_all",
     "join_left_anti",
-    "sort_multi",
+    "join_full_outer",
+    "project_select",
     "set_intersect_all",
-    "filter_null",
-    "join_right_outer",
-    "join_asof",
+    "sort_multi",
 )
 
 

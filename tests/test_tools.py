@@ -134,3 +134,74 @@ def test_clean_composition_round_trip(compose, monkeypatch, capsys):
     lines = [l.strip().strip('",') for l in out.splitlines() if l.startswith('    "')]
     assert lines == ["w", "y", "x"]  # stale w first, then y (0.1) before x (2.0)
     assert "already matches" in out
+
+
+def test_fill_oldest_pads_with_oldest_green_skipping_rows_only(
+    compose, monkeypatch, capsys
+):
+    """Round-9: once the mandatory stale+never set no longer fills the
+    window, --fill-oldest pads it with valid-green ops ordered by the
+    age of their latest green round (cost tie-break), and never spends
+    a slot on an oracle-less rows-only op — its driver check is weaker
+    by design."""
+    from types import SimpleNamespace
+
+    mod, patch = compose
+    # n = never-sampled (mandatory); old/mid/new = covered green rows
+    # from rounds 1/2/3; ro = rows-only (oracle None), also round 1.
+    patch(
+        registry_names=["n", "old", "mid", "new", "ro"],
+        green=["old", "mid", "new", "ro"],
+        covered=["old", "mid", "new", "ro"],
+        frontload=["n", "old", "mid"],
+    )
+    import shared_solar_data_warehouse_spark.registry as reg
+
+    monkeypatch.setattr(
+        reg,
+        "REGISTRY",
+        {
+            name: SimpleNamespace(oracle=None if name == "ro" else "SELECT 1")
+            for name in ["n", "old", "mid", "new", "ro"]
+        },
+    )
+    monkeypatch.setattr(
+        mod,
+        "_latest_green_rounds",
+        lambda root: {"old": 1, "mid": 2, "new": 3, "ro": 1},
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["compose_window.py", "--window", "3", "--fill-oldest"]
+    )
+    rc = mod.main()
+    out = capsys.readouterr().out
+    lines = [l.strip().strip('",') for l in out.splitlines() if l.startswith('    "')]
+    # mandatory never-sampled 'n' first, then oldest green rows 1 and 2;
+    # 'ro' (also round 1) is skipped for being rows-only, 'new' (round 3)
+    # loses to older evidence.
+    assert lines == ["n", "old", "mid"]
+    assert "fill-oldest: 2 depth re-verifies" in out
+    assert "already matches" in out
+
+
+def test_fill_oldest_noop_when_mandatory_set_fills_window(
+    compose, monkeypatch, capsys
+):
+    """--fill-oldest must not displace mandatory stale/never picks."""
+    mod, patch = compose
+    patch(
+        registry_names=["a", "b", "c"],
+        green=["c"],
+        covered=["c"],
+        frontload=["a", "b"],
+    )
+    monkeypatch.setattr(mod, "_latest_green_rounds", lambda root: {"c": 1})
+    monkeypatch.setattr(
+        sys, "argv", ["compose_window.py", "--window", "2", "--fill-oldest"]
+    )
+    rc = mod.main()
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "fill-oldest" not in out  # nothing padded
+    lines = [l.strip().strip('",') for l in out.splitlines() if l.startswith('    "')]
+    assert lines == ["a", "b"]

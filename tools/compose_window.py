@@ -27,8 +27,16 @@ ts_*/win_*/agg_* domains for round 7) overrides cost order, so a
 "current window differs" report on that half is informational, not an
 error.
 
+Once the registry is fully driver-verified (round 9 closes the book),
+``--fill-oldest`` pads the window past the mandatory set with depth
+re-verification picks — valid-green ops ordered by the age of their
+latest green round (cost tie-break), skipping the 4 oracle-less
+rows-only ops whose driver check is weaker by design.  At ~50/round
+the whole 375-op registry re-verifies every ~7.5 rounds without ever
+editing op code.
+
 Usage:
-    python tools/compose_window.py [--window 50]
+    python tools/compose_window.py [--window 50] [--fill-oldest]
 """
 
 from __future__ import annotations
@@ -40,9 +48,52 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _latest_green_rounds(repo_root: str) -> dict[str, int]:
+    """op -> the LAST round whose CORRECTNESS_r*.json recorded it green
+    (same green criterion as registry.driver_green).  Drives the
+    ``--fill-oldest`` rotation: once every op is driver-verified, depth
+    re-verification should spend slots on the rows whose evidence is
+    oldest, keeping every record's age bounded."""
+    import glob
+    import json
+    import re
+
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("rows_match") and row.get("schema_match") and row.get(
+                "hash_match"
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", type=int, default=50)
+    ap.add_argument(
+        "--fill-oldest",
+        action="store_true",
+        help="pad the proposed window to --window rows with depth "
+        "re-verification picks once the mandatory stale+never set no "
+        "longer fills it: valid-green ops, oldest latest-green round "
+        "first (bench-cost tie-break), skipping the oracle-less "
+        "rows-only ops — a hash-checkable op always spends the slot "
+        "better (the round-10+ maintenance rotation, PLANS.md r9)",
+    )
     args = ap.parse_args()
 
     from shared_solar_data_warehouse_spark.registry import (
@@ -73,6 +124,29 @@ def main() -> int:
     )
 
     window = (stale + [n for n in never if n not in stale])[: args.window]
+
+    if args.fill_oldest and len(window) < args.window:
+        from shared_solar_data_warehouse_spark.registry import _repo_root
+
+        latest = _latest_green_rounds(_repo_root())
+        in_window = set(window)
+        fillable = sorted(
+            (
+                n
+                for n in covered
+                if n not in in_window
+                and getattr(REGISTRY.get(n), "oracle", None) is not None
+            ),
+            key=lambda n: (latest.get(n, 0), cost.get(n, 0.5), n),
+        )
+        fill = fillable[: args.window - len(window)]
+        window = window + fill
+        if fill:
+            ages = sorted({latest.get(n, 0) for n in fill})
+            print(
+                f"fill-oldest: {len(fill)} depth re-verifies from green "
+                f"rounds {ages} (oldest first, cost tie-break)"
+            )
 
     if phantoms:
         print(
