@@ -92,6 +92,26 @@ GOLDEN_OPS = (
     "agg_cat_entropy",
     "text_char_entropy",
     "text_bigram_perplexity",
+    # round-9: the 16 ops making their driver debut in the r9 window
+    # (report_grid_health, the 17th, was already frozen above) — the
+    # ops with the thinnest historical evidence get a DuckDB-free local
+    # pin before the driver samples them:
+    "ts_coincidence_factor",
+    "etl_gdpr_erasure",
+    "join_asof_nearest",
+    "ts_max_concurrency",
+    "ts_tariff_billing",
+    "ts_forecast_backtest",
+    "ts_overlap_sweep",
+    "ts_anomaly_mad",
+    "text_langid_eval",
+    "text_lang_id",
+    "ts_theil_sen_slope",
+    "join_role_playing_dim",
+    "report_corpus_quality",
+    "text_decontaminate",
+    "etl_file_manifest",
+    "sim_ann_recall_eval",
 )
 
 
