@@ -205,3 +205,58 @@ def test_fill_oldest_noop_when_mandatory_set_fills_window(
     assert "fill-oldest" not in out  # nothing padded
     lines = [l.strip().strip('",') for l in out.splitlines() if l.startswith('    "')]
     assert lines == ["a", "b"]
+
+
+def test_update_fingerprints_four_branches(monkeypatch, tmp_path, capsys):
+    """Round-9 pin for tools/update_fingerprints.py, the OTHER
+    round-start landmine: a wrong update rule can stamp an edited-but-
+    unverified op's source as 'driver-green', silently faking coverage.
+    The four branches in one run:
+
+      new:     green op with no record        -> record current
+      kept:    record matches current         -> keep
+      updated: record differs AND op is green
+               in the LATEST round            -> re-stamp (driver just
+                                                 verified the new source)
+      stale:   record differs, NOT in latest  -> keep the OLD record so
+               driver_covered() stays false and the op rotates back in
+    """
+    import importlib
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.syspath_prepend(os.path.join(repo, "tools"))
+    mod = importlib.import_module("update_fingerprints")
+
+    monkeypatch.setattr(mod, "load_all_ops", lambda: None)
+    monkeypatch.setattr(
+        mod, "REGISTRY", {n: n for n in ["new", "kept", "upd", "stale"]}
+    )
+    # 'gone' is green historically but left the registry -> dropped.
+    monkeypatch.setattr(
+        mod, "driver_green", lambda: {"new", "kept", "upd", "stale", "gone"}
+    )
+    monkeypatch.setattr(
+        mod,
+        "_recorded_fingerprints",
+        lambda: {"kept": "fp_kept", "upd": "fp_old", "stale": "fp_old"},
+    )
+    # current source fingerprints: kept unchanged, upd+stale both edited
+    cur = {"new": "fp_new", "kept": "fp_kept", "upd": "fp_cur", "stale": "fp_cur"}
+    monkeypatch.setattr(mod, "op_fingerprint", lambda o: cur[o])
+    # only 'upd' was re-verified by the latest driver round
+    monkeypatch.setattr(mod, "_latest_round_green", lambda: {"upd"})
+    monkeypatch.setattr(mod, "_repo_root", lambda: str(tmp_path))
+
+    assert mod.main() == 0
+    out = capsys.readouterr().out
+    assert "new=1 kept=1 updated=1 stale=1" in out
+    written = json.loads((tmp_path / "OP_FINGERPRINTS.json").read_text())
+    assert written == {
+        "new": "fp_new",
+        "kept": "fp_kept",
+        "upd": "fp_cur",     # re-stamped: driver verified the edit
+        "stale": "fp_old",   # NOT re-stamped: stays invalid, rotates back
+    }
+    assert "gone" not in written
