@@ -190,6 +190,20 @@ def run_mirror(
     return results
 
 
+def summarize(results: list[dict]) -> tuple[int, int, list[dict]]:
+    """Print the canonical `N PASS, N ROWS_ONLY, N FAILING of N` block
+    (plus one line per failure) and return (npass, nrows_only, bad).
+    Shared by main() and the invariance probes so every sweep reports
+    the same taxonomy."""
+    bad = [r for r in results if r["status"] not in ("PASS", "ROWS_ONLY")]
+    npass = sum(1 for r in results if r["status"] == "PASS")
+    nrows = sum(1 for r in results if r["status"] == "ROWS_ONLY")
+    print(f"\n{npass} PASS, {nrows} ROWS_ONLY, {len(bad)} FAILING of {len(results)}")
+    for r in bad:
+        print(f"  FAIL {r['name']}: {r['status']} {r.get('error', '')}")
+    return npass, nrows, bad
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -205,12 +219,7 @@ def main() -> int:
     args = ap.parse_args()
     only = args.only.split(",") if args.only else None
     results = run_mirror(args.sf_dir, only=only, verbose=args.verbose)
-    bad = [r for r in results if r["status"] not in ("PASS", "ROWS_ONLY")]
-    npass = sum(1 for r in results if r["status"] == "PASS")
-    nrows = sum(1 for r in results if r["status"] == "ROWS_ONLY")
-    print(f"\n{npass} PASS, {nrows} ROWS_ONLY, {len(bad)} FAILING of {len(results)}")
-    for r in bad:
-        print(f"  FAIL {r['name']}: {r['status']} {r.get('error', '')}")
+    npass, nrows, bad = summarize(results)
     if args.json:
         import json
 

@@ -130,12 +130,25 @@ def _recorded_fingerprints() -> dict[str, str]:
         return {}
 
 
+def _is_green_row(row: object) -> bool:
+    """THE green criterion for a driver ``CORRECTNESS_r*.json`` record:
+    all three matches true, or the documented rows-only check
+    (``err == "no_oracle"`` with a row count) for oracle-less ops.
+
+    Single source of truth — also used by tools/update_fingerprints.py
+    and tools/compose_window.py, so a future change to the criterion
+    cannot silently diverge between coverage, fingerprint stamping, and
+    rotation-age computation (ADVICE r9 review)."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+        return True
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
 def driver_green() -> set[str]:
     """Ops green in ANY past driver ``CORRECTNESS_r*.json`` (no
-    invalidation — the raw union of green rows).
-
-    Green = all three matches true, or the documented rows-only check
-    (``err == "no_oracle"`` with a row count) for oracle-less ops.
+    invalidation — the raw union of green rows, per ``_is_green_row``).
     """
     import glob
     import json
@@ -149,13 +162,7 @@ def driver_green() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("rows_match") and row.get("schema_match") and row.get(
-                "hash_match"
-            ):
-                covered.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            if _is_green_row(row):
                 covered.add(name)
     return covered
 

@@ -54,7 +54,10 @@ def pin_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_session(app_name: str = "shared_solar_data_warehouse_spark") -> SparkSession:
+def get_session(
+    app_name: str = "shared_solar_data_warehouse_spark",
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     """Build (or get) the pinned local session for tests/bench.
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
@@ -62,6 +65,14 @@ def get_session(app_name: str = "shared_solar_data_warehouse_spark") -> SparkSes
     in memory and 200 partitions would be pure scheduling overhead; at
     100 TB this knob is instead set ~2-3× total executor cores and AQE
     coalesces from there.
+
+    ``extra_confs`` are applied LAST at builder time (they win over the
+    defaults above) — the invariance probes use this to pin a static
+    conf like ``spark.sql.autoBroadcastJoinThreshold=-1`` before the
+    JVM exists, without duplicating the rest of this builder.  Note
+    ``getOrCreate`` ignores builder confs when a session already
+    exists; callers that REQUIRE an extra conf must verify it stuck
+    (see tools/mirror_nobroadcast.py).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
@@ -73,6 +84,8 @@ def get_session(app_name: str = "shared_solar_data_warehouse_spark") -> SparkSes
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_confs or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -50,13 +50,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _latest_green_rounds(repo_root: str) -> dict[str, int]:
     """op -> the LAST round whose CORRECTNESS_r*.json recorded it green
-    (same green criterion as registry.driver_green).  Drives the
+    (registry._is_green_row is the shared criterion).  Drives the
     ``--fill-oldest`` rotation: once every op is driver-verified, depth
     re-verification should spend slots on the rows whose evidence is
     oldest, keeping every record's age bounded."""
     import glob
     import json
     import re
+
+    from shared_solar_data_warehouse_spark.registry import _is_green_row
 
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
@@ -70,13 +72,7 @@ def _latest_green_rounds(repo_root: str) -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("rows_match") and row.get("schema_match") and row.get(
-                "hash_match"
-            ):
-                latest[name] = max(latest.get(name, 0), rnd)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            if _is_green_row(row):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 

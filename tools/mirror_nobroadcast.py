@@ -4,18 +4,20 @@ auto-broadcast join demoted to a shuffle join.
 One axis of the per-round execution-config invariance sweep (SURVEY
 §5.5b; the other two are ``SPARK_GRAFT_CPUS=7`` and ``=1`` runs of the
 mirror CLI).  ``spark.sql.autoBroadcastJoinThreshold`` is fixed at
-session build time in ``session.get_session`` and is not a
-``pin_session`` runtime conf, so this axis needs its own JVM with the
-threshold pinned to ``-1`` before the first query plans — hence a
-script rather than an env var.  Until round 9 this script was
-reconstructed by hand each round; it is committed so the sweep is a
-one-liner:
+session build time and is not a ``pin_session`` runtime conf, so this
+axis needs its own JVM with the threshold pinned to ``-1`` before the
+first query plans — hence a script rather than an env var.  Until
+round 9 this script was reconstructed by hand each round; it is
+committed so the sweep is a one-liner:
 
     python tools/mirror_nobroadcast.py [--sf-dir /root/testdata/sf0.01]
 
-PASS = the same 371/4/0 summary as the local[32] record — no registry
-answer may depend on join-strategy choice (the regime where dimension
-tables stop fitting executor memory on a real cluster).
+The session builder and the summary taxonomy are the shared ones
+(``session.get_session`` with an ``extra_confs`` override and
+``mirror.summarize``), so the probe cannot drift from the local[32]
+record it exists to replicate.  PASS = the same 371/4/0 summary — no
+registry answer may depend on join-strategy choice (the regime where
+dimension tables stop fitting executor memory on a real cluster).
 """
 
 from __future__ import annotations
@@ -33,37 +35,24 @@ def main() -> int:
     ap.add_argument("--verbose", "-v", action="store_true")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from shared_solar_data_warehouse_spark.mirror import run_mirror, summarize
+    from shared_solar_data_warehouse_spark.session import get_session
 
-    from shared_solar_data_warehouse_spark.mirror import run_mirror
-    from shared_solar_data_warehouse_spark.session import pin_session
-
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("sswh-nobroadcast-probe")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-        .getOrCreate()
+    spark = get_session(
+        "sswh-nobroadcast-probe",
+        extra_confs={"spark.sql.autoBroadcastJoinThreshold": "-1"},
     )
-    spark.sparkContext.setLogLevel("WARN")
-    pin_session(spark)
     # getOrCreate() can hand back a pre-existing session whose threshold
-    # is NOT -1 — that would silently probe the wrong regime, so fail
-    # loudly instead.
-    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1", (
-        "session already existed with broadcasts enabled — run this "
-        "script in its own process"
-    )
+    # is NOT -1 — that would silently probe the wrong regime.  A bare
+    # assert would be compiled out under `python -O`, so fail hard.
+    if spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1":
+        raise SystemExit(
+            "session already existed with broadcasts enabled — run this "
+            "script in its own process"
+        )
 
     results = run_mirror(args.sf_dir, spark=spark, verbose=args.verbose)
-    bad = [r for r in results if r["status"] not in ("PASS", "ROWS_ONLY")]
-    npass = sum(1 for r in results if r["status"] == "PASS")
-    nrows = sum(1 for r in results if r["status"] == "ROWS_ONLY")
-    print(f"\n{npass} PASS, {nrows} ROWS_ONLY, {len(bad)} FAILING of {len(results)}")
-    for r in bad:
-        print(f"  FAIL {r['name']}: {r['status']} {r.get('error', '')}")
+    _, _, bad = summarize(results)
     return 1 if bad else 0
 
 

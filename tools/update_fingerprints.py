@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from shared_solar_data_warehouse_spark.registry import (  # noqa: E402
     REGISTRY,
+    _is_green_row,
     _recorded_fingerprints,
     _repo_root,
     driver_green,
@@ -55,15 +56,7 @@ def _latest_round_green() -> set[str]:
             data = json.load(fh)
     except (OSError, ValueError):
         return set()
-    green = set()
-    for name, row in data.items():
-        if not isinstance(row, dict):
-            continue
-        if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
-            green.add(name)
-        elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-            green.add(name)
-    return green
+    return {name for name, row in data.items() if _is_green_row(row)}
 
 
 def main() -> int:
@@ -71,7 +64,9 @@ def main() -> int:
     recorded = _recorded_fingerprints()
     latest_green = _latest_round_green()
     out: dict[str, str] = {}
-    n_new = n_kept = n_updated = n_stale = 0
+    n_new = n_kept = 0
+    updated: list[str] = []
+    stale: list[str] = []
     for name in sorted(driver_green()):
         if name not in REGISTRY:
             continue
@@ -85,18 +80,28 @@ def main() -> int:
             n_kept += 1
         elif name in latest_green:
             out[name] = cur
-            n_updated += 1
+            updated.append(name)
         else:
             out[name] = rec  # changed since green, not re-verified: stays invalid
-            n_stale += 1
+            stale.append(name)
     path = os.path.join(_repo_root(), "OP_FINGERPRINTS.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
         fh.write("\n")
     print(
         f"{len(out)} records -> {path} "
-        f"(new={n_new} kept={n_kept} updated={n_updated} stale={n_stale})"
+        f"(new={n_new} kept={n_kept} updated={len(updated)} stale={len(stale)})"
     )
+    # Name the re-stamped ops: an "updated" entry is only correct for
+    # source the driver actually verified.  Run at round start, the list
+    # is exactly the previous round's re-verified edits; run MID-round,
+    # an op edited after its latest-round green gets its NEW source
+    # stamped as green — seeing its name here is the tripwire to
+    # `git checkout -- OP_FINGERPRINTS.json` and re-run at the right time.
+    if updated:
+        print(f"  re-stamped (green in latest round, source changed): {updated}")
+    if stale:
+        print(f"  kept stale (edited since green, NOT re-verified): {stale}")
     return 0
 
 
