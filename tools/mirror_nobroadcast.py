@@ -33,6 +33,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--verbose", "-v", action="store_true")
+    ap.add_argument(
+        "--expect-pass",
+        type=int,
+        default=371,
+        help="expected PASS count; exit nonzero if the summary drifts "
+        "(a 370/5 registry drift is a failure even with zero FAILING rows)",
+    )
+    ap.add_argument(
+        "--expect-rows-only", type=int, default=4, help="expected ROWS_ONLY count"
+    )
     args = ap.parse_args()
 
     from shared_solar_data_warehouse_spark.mirror import run_mirror, summarize
@@ -52,8 +62,19 @@ def main() -> int:
         )
 
     results = run_mirror(args.sf_dir, spark=spark, verbose=args.verbose)
-    _, _, bad = summarize(results)
-    return 1 if bad else 0
+    npass, nrows, bad = summarize(results)
+    if bad:
+        return 1
+    # PASS means the SAME summary as the local[32] record, not merely
+    # zero failures — a count drift (e.g. 370/5) must not read as green
+    # in a scripted sweep (ADVICE r9).
+    if (npass, nrows) != (args.expect_pass, args.expect_rows_only):
+        print(
+            f"count drift: got {npass}/{nrows}, expected "
+            f"{args.expect_pass}/{args.expect_rows_only}"
+        )
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
