@@ -208,75 +208,71 @@ def _bench_cost() -> dict[str, float]:
 #: round (their old green rows are fingerprint-invalidated), then
 #: high-risk never-sampled families.  Prune entries once they turn
 #: driver-green.  Round 8 composes the full 50-row sample window
-#: explicitly (the driver checks the first 50 rows of queries()):
-#: Round-9 window (VERDICT r8 item 1): 1 fingerprint-stale re-verify
-#: (stream_topk_snapshot — its replay-idempotence comment was corrected
-#: per ADVICE r9; code path unchanged) + the FINAL 17 never-sampled ops
-#: (closing driver coverage at 375/375), then 32 depth re-verification
-#: picks: the oldest green rows in the cumulative record (all r01-era
-#: §2.1-2.3/§2.6 scans/joins/set-ops whose evidence is eight rounds
-#: old), cheapest-first per BENCH.json so the window stays well inside
-#: the driver's per-round time budget (~25 s summed at sf0.1; the
-#: driver samples at sf0.01).  This tuple is the VERBATIM output of
-#: `python tools/compose_window.py --window 50 --fill-oldest` at r9
+#: explicitly (the driver checks the first 50 rows of queries()).
+#: Round-10 window (VERDICT r9 item 1): driver coverage closed at
+#: 375/375 in round 9 and the registry is frozen, so this is the first
+#: pure maintenance rotation — zero stale, zero never-sampled, 50
+#: depth re-verification picks via `--fill-oldest`: the oldest
+#: remaining green rows (r01–r02 era — the asof/outer/bucketed join
+#: family, dedup core, the udf_surface demos, and the fn_* scalar
+#: batteries), oldest-round-first with cheapest-first tie-break per
+#: BENCH.json.  This tuple is the VERBATIM output of
+#: `python tools/compose_window.py --window 50 --fill-oldest` at r10
 #: HEAD — the maintenance-rotation windows from round 10 on are that
 #: one command.
 _FRONTLOAD: tuple[str, ...] = (
-    # -- fingerprint-stale re-verify (comment-only edit this round):
-    "stream_topk_snapshot",
-    # -- the last 17 never-sampled ops (no driver record at all),
-    # cheapest-first by BENCH.json:
-    "report_grid_health",
-    "etl_gdpr_erasure",
-    "join_asof_nearest",
-    "ts_coincidence_factor",
-    "ts_max_concurrency",
-    "ts_tariff_billing",
-    "ts_forecast_backtest",
-    "ts_overlap_sweep",
-    "ts_anomaly_mad",
-    "text_langid_eval",
-    "text_lang_id",
-    "ts_theil_sen_slope",
-    "join_role_playing_dim",
-    "report_corpus_quality",
-    "text_decontaminate",
-    "etl_file_manifest",
-    "sim_ann_recall_eval",
-    # -- depth re-verification fill (--fill-oldest): oldest
-    # driver-green rows (r01), cheapest-first:
-    "source_range",
-    "scan_parquet",
-    "sample_split_train_test",
-    "limit_n",
-    "offset_n",
-    "project_unpivot",
-    "filter_pred",
-    "topk_global",
-    "scan_parquet_pruned",
-    "distinct_rows",
-    "scan_partition_pruned",
-    "project_case",
-    "project_cast",
-    "scan_csv",
-    "project_posexplode",
-    "join_cross",
-    "set_except",
-    "set_union_all",
-    "set_union_distinct",
-    "join_range",
-    "join_theta",
-    "set_intersect",
-    "scan_orc",
-    "filter_null",
-    "join_left_semi",
-    "join_broadcast",
-    "set_except_all",
-    "join_left_anti",
-    "join_full_outer",
-    "project_select",
-    "set_intersect_all",
-    "sort_multi",
+    # -- depth re-verification fill (--fill-oldest): oldest green rows
+    # first (r01), then r02, cheapest-first within each round:
+    "join_asof_forward",
+    "dedup_by_key",
+    "join_right_outer",
+    "join_left_outer",
+    "join_shuffle_hash",
+    "scan_json",
+    "join_asof",
+    "scan_parquet_schema_evolution",
+    "sink_csv",
+    "join_bucketed",
+    "join_inner_eq",
+    "flagship_revenue_by_nation",
+    "join_self",
+    "join_skew_salted",
+    "sink_parquet",
+    "join_multikey",
+    "dedup_near_shingle",
+    "dedup_cluster",
+    "dedup_keep_canonical",
+    "fn_null",
+    "sim_embedding_norm",
+    "mm_column",
+    "fn_encode",
+    "sample_stratified",
+    "fn_regex",
+    "fn_hash",
+    "agg_string_agg",
+    "text_tokenize",
+    "agg_grouping_sets",
+    "fn_array_hof",
+    "udf_map_in_arrow",
+    "fn_struct",
+    "udf_python_rowwise",
+    "fn_string_dist",
+    "join_null_safe",
+    "dedup_exact",
+    "udf_map_in_pandas",
+    "udf_udtf",
+    "udf_pandas_scalar",
+    "stream_sink_foreachbatch",
+    "text_token_count",
+    "topk_per_group",
+    "text_length_histogram",
+    "agg_percentile",
+    "text_lang_stats",
+    "text_fingerprint",
+    "agg_pivot",
+    "fn_string",
+    "agg_first_last",
+    "text_quality_filter",
 )
 
 
