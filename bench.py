@@ -123,11 +123,17 @@ def main() -> int:
 
     # Persist the full per-query record next to this script (committed
     # as BENCH.json — also feeds registry.driver_order's cost hints).
+    # SPARK_GRAFT_BENCH_OUT redirects the record (A/B windows must not
+    # clobber the committed one — the r10 session lost its best window's
+    # full per-query map exactly this way).
     here = os.path.dirname(os.path.abspath(__file__))
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "BENCH.json")
+    )
     try:
         if only:
             raise OSError  # subset run: never clobber the committed record
-        with open(os.path.join(here, "BENCH.json"), "w") as fh:
+        with open(out_path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:

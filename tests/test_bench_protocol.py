@@ -52,3 +52,32 @@ def test_bench_stdout_final_line_parses_and_fits_tail_buffer():
     # the subset knob must never clobber the committed full record
     committed = json.load(open(os.path.join(REPO, "BENCH.json")))
     assert len(committed["queries"]) > 3
+
+
+def test_bench_out_env_redirects_record(monkeypatch, tmp_path):
+    """SPARK_GRAFT_BENCH_OUT must redirect the full per-query record —
+    A/B windows run against alternate checkouts must not clobber the
+    committed BENCH.json (the r10 session lost its best window's map
+    exactly that way)."""
+    import importlib
+
+    monkeypatch.syspath_prepend(REPO)
+    bench = importlib.import_module("bench")
+
+    import shared_solar_data_warehouse_spark.registry as reg
+    import shared_solar_data_warehouse_spark.session as sess
+
+    monkeypatch.setattr(reg, "REGISTRY", {})
+    monkeypatch.setattr(reg, "load_all_ops", lambda: None)
+    monkeypatch.setattr(sess, "get_session", lambda *a, **kw: None)
+    out = tmp_path / "bench_window.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(out))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ONLY", raising=False)
+
+    committed_before = open(os.path.join(REPO, "BENCH.json")).read()
+    assert bench.main() == 0
+    rec = json.loads(out.read_text())
+    assert rec["metric"] == "total_sec_full_registry"
+    assert rec["queries"] == {}
+    # the committed record is untouched
+    assert open(os.path.join(REPO, "BENCH.json")).read() == committed_before
