@@ -221,58 +221,56 @@ def _bench_cost() -> dict[str, float]:
 #: HEAD — the maintenance-rotation windows from round 10 on are that
 #: one command.
 _FRONTLOAD: tuple[str, ...] = (
-    # -- depth re-verification fill (--fill-oldest): oldest green rows
-    # first (r01), then r02, cheapest-first within each round:
-    "join_asof_forward",
-    "dedup_by_key",
     "join_right_outer",
+    "join_asof_forward",
     "join_left_outer",
     "join_shuffle_hash",
-    "scan_json",
-    "join_asof",
     "scan_parquet_schema_evolution",
-    "sink_csv",
+    "join_asof",
+    "dedup_by_key",
+    "scan_json",
     "join_bucketed",
+    "sink_csv",
     "join_inner_eq",
-    "flagship_revenue_by_nation",
     "join_self",
     "join_skew_salted",
+    "flagship_revenue_by_nation",
     "sink_parquet",
     "join_multikey",
-    "dedup_near_shingle",
     "dedup_cluster",
-    "dedup_keep_canonical",
-    "fn_null",
-    "sim_embedding_norm",
+    "dedup_near_shingle",
     "mm_column",
-    "fn_encode",
+    "dedup_keep_canonical",
     "sample_stratified",
-    "fn_regex",
-    "fn_hash",
-    "agg_string_agg",
-    "text_tokenize",
-    "agg_grouping_sets",
-    "fn_array_hof",
-    "udf_map_in_arrow",
-    "fn_struct",
-    "udf_python_rowwise",
-    "fn_string_dist",
-    "join_null_safe",
-    "dedup_exact",
-    "udf_map_in_pandas",
-    "udf_udtf",
-    "udf_pandas_scalar",
-    "stream_sink_foreachbatch",
-    "text_token_count",
-    "topk_per_group",
-    "text_length_histogram",
-    "agg_percentile",
-    "text_lang_stats",
-    "text_fingerprint",
-    "agg_pivot",
-    "fn_string",
-    "agg_first_last",
     "text_quality_filter",
+    "text_tokenize",
+    "sim_embedding_norm",
+    "fn_encode",
+    "text_length_histogram",
+    "fn_null",
+    "text_token_count",
+    "fn_hash",
+    "fn_array_hof",
+    "topk_per_group",
+    "text_lang_stats",
+    "dedup_exact",
+    "text_fingerprint",
+    "join_null_safe",
+    "agg_string_agg",
+    "udf_map_in_arrow",
+    "fn_regex",
+    "udf_python_rowwise",
+    "udf_udtf",
+    "udf_map_in_pandas",
+    "stream_sink_foreachbatch",
+    "udf_pandas_scalar",
+    "fn_string_dist",
+    "ts_gap_detect",
+    "fn_struct",
+    "agg_grouping_sets",
+    "agg_percentile",
+    "fn_string",
+    "agg_pivot",
 )
 
 
