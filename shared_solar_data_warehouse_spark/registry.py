@@ -219,7 +219,13 @@ def _bench_cost() -> dict[str, float]:
 #: BENCH.json.  This tuple is the VERBATIM output of
 #: `python tools/compose_window.py --window 50 --fill-oldest` at r10
 #: HEAD — the maintenance-rotation windows from round 10 on are that
-#: one command.
+#: one command.  Expected state after the r10 driver round lands:
+#: oldest remaining HASH evidence is r02 ×2 (`agg_first_last` — it
+#: lost the final tie-break swap when the close BENCH.json shifted
+#: costs — and `fn_bitwise`), which head the r11 fill; the two
+#: rows-only ops (`row_sample` r01, `fn_hash_spark` r02) are
+#: deliberately never rotated by --fill-oldest since a re-sample
+#: adds no hash evidence.
 _FRONTLOAD: tuple[str, ...] = (
     "join_right_outer",
     "join_asof_forward",
