@@ -125,19 +125,29 @@ def main() -> int:
     # as BENCH.json — also feeds registry.driver_order's cost hints).
     # SPARK_GRAFT_BENCH_OUT redirects the record (A/B windows must not
     # clobber the committed one — the r10 session lost its best window's
-    # full per-query map exactly this way).
+    # full per-query map exactly this way).  An explicit redirect is
+    # honored even on subset runs (it can't clobber anything), and a
+    # failed write to it warns on stderr instead of silently losing a
+    # ~5-minute window's record.  The destination is always echoed to
+    # stderr so a redirect leaked from an earlier shell can't silently
+    # divert a round-close run (stderr, never stdout — the driver
+    # parses the final JSON line from a bounded stdout tail).
     here = os.path.dirname(os.path.abspath(__file__))
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", os.path.join(here, "BENCH.json")
-    )
-    try:
-        if only:
-            raise OSError  # subset run: never clobber the committed record
-        with open(out_path, "w") as fh:
-            json.dump(out, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError:
-        pass
+    explicit_out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    out_path = explicit_out or os.path.join(here, "BENCH.json")
+    if only and not explicit_out:
+        pass  # subset run: never clobber the committed record
+    else:
+        try:
+            with open(out_path, "w") as fh:
+                json.dump(out, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+            print(f"record -> {out_path}", file=sys.stderr)
+        except OSError as exc:
+            print(
+                f"WARNING: could not write bench record to {out_path}: {exc}",
+                file=sys.stderr,
+            )
 
     # Stdout protocol: the driver records only the LAST ~2000 chars of
     # stdout and parses the final JSON line from that tail (round 1's

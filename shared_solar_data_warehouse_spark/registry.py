@@ -223,9 +223,10 @@ def _bench_cost() -> dict[str, float]:
 #: oldest remaining HASH evidence is r02 ×2 (`agg_first_last` — it
 #: lost the final tie-break swap when the close BENCH.json shifted
 #: costs — and `fn_bitwise`), which head the r11 fill; the two
-#: rows-only ops (`row_sample` r01, `fn_hash_spark` r02) are
-#: deliberately never rotated by --fill-oldest since a re-sample
-#: adds no hash evidence.
+#: r01–r02-era rows-only ops (`row_sample` r01, `fn_hash_spark` r02
+#: — of the registry's four rows-only ops total) are, like all
+#: rows-only rows, deliberately never rotated by --fill-oldest
+#: since a re-sample adds no hash evidence.
 _FRONTLOAD: tuple[str, ...] = (
     "join_right_outer",
     "join_asof_forward",

@@ -81,3 +81,58 @@ def test_bench_out_env_redirects_record(monkeypatch, tmp_path):
     assert rec["queries"] == {}
     # the committed record is untouched
     assert open(os.path.join(REPO, "BENCH.json")).read() == committed_before
+
+
+def _patched_bench(monkeypatch):
+    import importlib
+
+    monkeypatch.syspath_prepend(REPO)
+    bench = importlib.import_module("bench")
+    import shared_solar_data_warehouse_spark.registry as reg
+    import shared_solar_data_warehouse_spark.session as sess
+
+    monkeypatch.setattr(reg, "REGISTRY", {})
+    monkeypatch.setattr(reg, "load_all_ops", lambda: None)
+    monkeypatch.setattr(sess, "get_session", lambda *a, **kw: None)
+    return bench
+
+
+def test_bench_out_honored_on_subset_runs(monkeypatch, tmp_path):
+    """An EXPLICIT redirect can't clobber the committed record, so the
+    subset guard must not suppress it (code-review r10): a subset A/B
+    iteration that asks for a record at a path must get one."""
+    bench = _patched_bench(monkeypatch)
+    out = tmp_path / "subset.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(out))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", "project_select")
+    committed_before = open(os.path.join(REPO, "BENCH.json")).read()
+    assert bench.main() == 0
+    assert json.loads(out.read_text())["metric"] == "total_sec_full_registry"
+    assert open(os.path.join(REPO, "BENCH.json")).read() == committed_before
+
+
+def test_bench_out_write_failure_warns_on_stderr(monkeypatch, tmp_path, capsys):
+    """A failed write to an explicit redirect path must WARN, not
+    silently lose a multi-minute window's record (code-review r10).
+    stderr only — the driver parses stdout's bounded tail."""
+    bench = _patched_bench(monkeypatch)
+    monkeypatch.setenv(
+        "SPARK_GRAFT_BENCH_OUT", str(tmp_path / "no-such-dir" / "w.json")
+    )
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ONLY", raising=False)
+    assert bench.main() == 0
+    err = capsys.readouterr().err
+    assert "WARNING: could not write bench record" in err
+
+
+def test_bench_out_destination_echoed_to_stderr(monkeypatch, tmp_path, capsys):
+    """The record destination is echoed to stderr so a redirect leaked
+    from an earlier shell can't silently divert a round-close run."""
+    bench = _patched_bench(monkeypatch)
+    out = tmp_path / "w.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(out))
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ONLY", raising=False)
+    assert bench.main() == 0
+    captured = capsys.readouterr()
+    assert f"record -> {out}" in captured.err
+    assert "record ->" not in captured.out
