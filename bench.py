@@ -133,10 +133,24 @@ def main() -> int:
     # divert a round-close run (stderr, never stdout — the driver
     # parses the final JSON line from a bounded stdout tail).
     here = os.path.dirname(os.path.abspath(__file__))
+    committed_path = os.path.join(here, "BENCH.json")
     explicit_out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
-    out_path = explicit_out or os.path.join(here, "BENCH.json")
-    if only and not explicit_out:
-        pass  # subset run: never clobber the committed record
+    out_path = explicit_out or committed_path
+    # ADVICE r10: an explicit redirect that resolves to the committed
+    # BENCH.json path must NOT bypass the subset guard — "it can't
+    # clobber anything" only holds when the redirect points elsewhere.
+    redirect_is_committed = explicit_out is not None and (
+        os.path.realpath(out_path) == os.path.realpath(committed_path)
+    )
+    redirect_failed = False
+    if only and (not explicit_out or redirect_is_committed):
+        if redirect_is_committed:
+            print(
+                "refusing to write subset record: SPARK_GRAFT_BENCH_OUT "
+                f"resolves to the committed record {committed_path}",
+                file=sys.stderr,
+            )
+        # subset run: never clobber the committed record
     else:
         try:
             with open(out_path, "w") as fh:
@@ -148,6 +162,10 @@ def main() -> int:
                 f"WARNING: could not write bench record to {out_path}: {exc}",
                 file=sys.stderr,
             )
+            # ADVICE r10: a scripted A/B harness needs the loss of an
+            # explicitly requested record to be visible in the exit
+            # status, not just on stderr (stdout protocol unaffected).
+            redirect_failed = explicit_out is not None
 
     # Stdout protocol: the driver records only the LAST ~2000 chars of
     # stdout and parses the final JSON line from that tail (round 1's
@@ -185,7 +203,11 @@ def main() -> int:
             compact["queries_truncated_to_slowest"] = len(compact["queries"])
             break
     print(json.dumps(compact, separators=(",", ":")))
-    return 1 if failures else 0
+    if failures:
+        return 1
+    if redirect_failed:
+        return 3  # distinct from query failures: requested record lost
+    return 0
 
 
 if __name__ == "__main__":

@@ -111,18 +111,40 @@ def test_bench_out_honored_on_subset_runs(monkeypatch, tmp_path):
     assert open(os.path.join(REPO, "BENCH.json")).read() == committed_before
 
 
-def test_bench_out_write_failure_warns_on_stderr(monkeypatch, tmp_path, capsys):
-    """A failed write to an explicit redirect path must WARN, not
-    silently lose a multi-minute window's record (code-review r10).
-    stderr only — the driver parses stdout's bounded tail."""
+def test_bench_out_write_failure_warns_and_exits_nonzero(
+    monkeypatch, tmp_path, capsys
+):
+    """A failed write to an explicit redirect path must WARN on stderr
+    (the driver parses stdout's bounded tail) AND return a distinct
+    nonzero exit code so a scripted A/B harness can detect the loss of
+    the window's record from the exit status (ADVICE r10)."""
     bench = _patched_bench(monkeypatch)
     monkeypatch.setenv(
         "SPARK_GRAFT_BENCH_OUT", str(tmp_path / "no-such-dir" / "w.json")
     )
     monkeypatch.delenv("SPARK_GRAFT_BENCH_ONLY", raising=False)
-    assert bench.main() == 0
+    assert bench.main() == 3
     err = capsys.readouterr().err
     assert "WARNING: could not write bench record" in err
+
+
+def test_bench_out_subset_refuses_committed_path(monkeypatch, capsys):
+    """An explicit redirect that RESOLVES to the committed BENCH.json is
+    exactly the clobber the subset guard exists to prevent (ADVICE r10):
+    a subset run must refuse it, leave the committed record untouched,
+    and say so on stderr."""
+    bench = _patched_bench(monkeypatch)
+    committed = os.path.join(REPO, "BENCH.json")
+    # a non-normalized spelling of the same path — realpath must catch it
+    monkeypatch.setenv(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, ".", "BENCH.json")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ONLY", "project_select")
+    committed_before = open(committed).read()
+    assert bench.main() == 0
+    assert open(committed).read() == committed_before
+    err = capsys.readouterr().err
+    assert "refusing to write subset record" in err
 
 
 def test_bench_out_destination_echoed_to_stderr(monkeypatch, tmp_path, capsys):
