@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from shared_solar_data_warehouse_spark.parity import dround, sql_dround
 from shared_solar_data_warehouse_spark.registry import op
-from shared_solar_data_warehouse_spark.sources.io import load_table
+from shared_solar_data_warehouse_spark.sources.io import load_table, spread
 
 
 @op(
@@ -237,21 +237,21 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat uses only BIGINT-rendered terms — double→string formatting
     is engine-specific and never crosses the checksum boundary.
 
-    Repartitioned after the scan: the fixture is a single-row-group
-    parquet file, so the scan is one task no matter the split config —
-    one narrow exchange of 4 input columns buys 32-way parallel
-    evaluation; at real scale the input is many files and this
-    repartition is dropped."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select(
+    Spread after the scan (io.spread, r11): the fixture is a
+    single-row-group parquet file, so the scan is one task no matter
+    the split config — one narrow exchange of 4 input columns buys
+    core-count-wide parallel evaluation; at real scale the input
+    already has more splits than cores and spread is a no-op (the
+    hard-coded repartition(32) this replaces would have SHRUNK it)."""
+    li = spread(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
             "l_linenumber",
             "l_extendedprice",
             "l_quantity",
             "l_discount",
-        )
-        .repartition(32)
+        ),
     )
     row_hash = F.expr(
         "CAST(conv(substr(md5(concat_ws(':', CAST(l_orderkey AS BIGINT),"

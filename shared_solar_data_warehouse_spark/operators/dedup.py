@@ -27,7 +27,7 @@ _LOG = logging.getLogger("shared_solar_data_warehouse_spark.dedup")
 
 from shared_solar_data_warehouse_spark.materialize import memo_checkpoint
 from shared_solar_data_warehouse_spark.registry import op
-from shared_solar_data_warehouse_spark.sources.io import load_table
+from shared_solar_data_warehouse_spark.sources.io import load_table, spread
 
 #: Jaccard threshold for "near-duplicate" over 3-word shingle sets.
 NEAR_DUP_TAU = 0.35
@@ -89,7 +89,7 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents").repartition(32)
+        d = spread(spark, load_table(spark, sf_dir, "documents"))
         return (
             d.withColumn("toks", F.split("text", " "))
             .filter(F.size("toks") >= 3)
@@ -673,7 +673,7 @@ def _simhash_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def build() -> DataFrame:
-        d = load_table(spark, sf_dir, "documents").repartition(32)
+        d = spread(spark, load_table(spark, sf_dir, "documents"))
         tw = (
             d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
             .groupBy("doc_id", "tok")
@@ -960,16 +960,16 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates, but every token of that paragraph is still
     memorization fuel.
 
-    Plan: positional 8-gram explode (`transform(sequence(...))` +
-    `slice`), one shuffle into the shingle census (count-distinct-docs
-    collapses to a dup BOOLEAN before the join back, so the census side
-    is one bit per distinct shingle), a shingle-keyed sort-merge join
-    back to positions, then a source-bounded final aggregate.  All
-    counts integer; the rate is truncating ppm.  100 TB path: identical
-    shape with the shingle string replaced by its 128-bit hash for
-    shuffle width (collision-verify within bucket, as
-    `dedup_near_minhash` does) and a document-frequency cap on the
-    census to bound hot-boilerplate posting lists.
+    Plan (r11): ONE positional 8-gram explode (`transform(sequence)` +
+    `slice`), compressed immediately to (shingle, doc, source, cnt) by
+    a partially-map-side aggregate, then one count window over the
+    shingle partitioning (distinct docs per shingle == compressed row
+    count) and a source-bounded final aggregate.  All counts integer;
+    the rate is truncating ppm.  100 TB path: identical shape with the
+    shingle string replaced by its 128-bit hash for shuffle width
+    (collision-verify within bucket, as `dedup_near_minhash` does) and
+    a document-frequency cap on the census to bound hot-boilerplate
+    posting lists.
     """
     d = load_table(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
@@ -984,21 +984,33 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     )
-    census = spans.groupBy("shingle").agg(
-        (F.count_distinct("doc_id") >= 2).alias("dup")
+    # r11 (guide §2.3/§2.4): the r10 shape evaluated the 8-gram explode
+    # TWICE (census side + span side) and sort-merge-joined the FULL
+    # span table back to the census on the wide shingle string.  Instead
+    # compress spans to one row per (shingle, doc, source) with a
+    # repetition count — map-side partial aggregation collapses within-
+    # doc repeats before the exchange — and flag duplication with ONE
+    # count window over the shingle partitioning: distinct docs per
+    # shingle is exactly the compressed row count.  One explode pass,
+    # two exchanges of the compressed table, no join
+    # (plan: 2 explodes + SMJ -> 1 explode + window; same answer since
+    # source is functionally dependent on doc_id).
+    comp = spans.groupBy("shingle", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    flagged = spans.join(census, "shingle")
+    w = Window.partitionBy("shingle")
+    flagged = comp.withColumn("ndocs", F.count(F.lit(1)).over(w))
     return flagged.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("total_spans"),
-        F.sum(F.when(F.col("dup"), 1).otherwise(0))
+        F.sum("cnt").cast("bigint").alias("total_spans"),
+        F.sum(F.when(F.col("ndocs") >= 2, F.col("cnt")).otherwise(0))
         .cast("bigint")
         .alias("dup_spans"),
-        F.count_distinct(F.when(F.col("dup"), F.col("doc_id")))
+        F.count_distinct(F.when(F.col("ndocs") >= 2, F.col("doc_id")))
         .cast("bigint")
         .alias("n_docs_with_dup"),
         F.expr(
-            "CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) * 1000000"
-            " DIV count(*) AS BIGINT)"
+            "CAST(sum(CASE WHEN ndocs >= 2 THEN cnt ELSE 0 END) * 1000000"
+            " DIV sum(cnt) AS BIGINT)"
         ).alias("dup_span_ppm"),
     )
 

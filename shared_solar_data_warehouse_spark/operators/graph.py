@@ -17,8 +17,9 @@ bit-for-bit, no float-sum nondeterminism anywhere.
 
 Scale: edges materialize once (memo_checkpoint) and each round is one
 shuffle on dst — at 100 TB you'd co-partition edges and ranks on the
-join key once and reuse the exchange across rounds; node count N flows
-through a broadcast 1-row cross join, never a driver collect.
+join key once and reuse the exchange across rounds; node count N is
+the session-memoized scalar the regime gates already require
+(one count() of the node-sized distinct, reused by every graph op).
 """
 
 from __future__ import annotations
@@ -199,7 +200,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nn = deg.agg(F.count(F.lit(1)).alias("n"))
     # Node-cardinality sides (deg, ranks) broadcast while the node set
     # is genuinely broadcastable (edges outnumber nodes ~30:1 here), so
     # every per-round join stays map-side and the only shuffle is the
@@ -207,6 +207,15 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges and ranks on the node key instead — forcing the broadcast
     # unconditionally OOM'd at a 100x replication probe.
     n_nodes = _n_graph_nodes(spark, sf_dir)
+    # The node count N is already a session-memoized driver int (the
+    # regime gate input) and equals count(deg) exactly — distinct src
+    # IS deg's key set.  Feeding it back as a literal replaces the r10
+    # plan's per-round 1-row crossJoin(nn) (each one re-derived deg →
+    # an Exchange + HashAggregate over the E-sized table per round:
+    # 25 Exchanges / 22 edge-RDD scans in the before-plan) with a
+    # constant; the IEEE doubles 1.0/N and 0.15/N are bit-identical
+    # either way (guide §2.4: remove shuffles outright).
+    nd = F.lit(n_nodes).cast("double")
     edges_d = edges.join(_node_side(deg, n_nodes), "src")
     if n_nodes > BROADCAST_MAX_NODES:
         # Co-partitioned regime (VERDICT r5 item 5): pin ONE exchange
@@ -215,12 +224,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # LogicalRDD), so every round's join with the freshly-shuffled
         # ranks reuses the same edge layout instead of re-shuffling
         # E rows per round — at the 100x probe that re-shuffle was the
-        # whole cost.  Not taken at fixture scale (broadcast regime),
-        # so sf0.1 plans are unchanged.
+        # whole cost.
         edges_d = edges_d.repartition("src").localCheckpoint()
-    ranks = deg.crossJoin(nn).select(
+    else:
+        # Broadcast regime: materialize the deg-joined edge table once
+        # (lazy — first round's job computes it) so rounds 2..K scan
+        # the RDD instead of re-running the edges⋈deg broadcast join
+        # per round (guide §2.4; same barrier discipline as the CC/
+        # kcore rounds).  Storage is one extra E-sized narrow table
+        # next to the _edges memo itself.
+        edges_d = edges_d.localCheckpoint(eager=False)
+    ranks = deg.select(
         F.col("src").alias("node"),
-        (F.lit(1.0) / F.col("n").cast("double")).alias("pr"),
+        (F.lit(1.0) / nd).alias("pr"),
     )
     for _ in range(_ROUNDS):
         contribs = edges_d.join(
@@ -235,11 +251,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = (
             contribs.groupBy("dst")
             .agg(F.sum("units").alias("s"))
-            .crossJoin(nn)
             .select(
                 F.col("dst").alias("node"),
                 (
-                    F.lit(0.15) / F.col("n").cast("double")
+                    F.lit(0.15) / nd
                     + F.lit(0.85) * (F.col("s").cast("double") / F.lit(_UNIT))
                 ).alias("pr"),
             )
@@ -599,18 +614,34 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared memo_checkpoint.  The oracle unrolls the identical rounds as
     chained CTEs — everything is integer counts, hash-exact."""
     e = _edges(spark, sf_dir)
+    deg = None
     for rnd in range(_KCORE_ROUNDS):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("src")
+        # Materialize the round's degree census once (lazy checkpoint —
+        # the stats job below triggers it): the fixpoint probe, both
+        # keep-side broadcasts AND (on early exit) the final output all
+        # read this node-sized RDD instead of re-running the E-sized
+        # groupBy up to 4x per round (guide §1.2 step 1; the r10 shape
+        # paid two separate count() jobs per round, each re-deriving
+        # deg from the edge list).
+        deg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=False)
+        )
         # Fixpoint early-exit: when no node fell below K this round the
         # remaining unrolled rounds are identities, so skipping them is
         # value-identical to the oracle's full K-round chain (verified
-        # row-equal at sf0.1 and ~sf1; ~40% cheaper at both).  The two
-        # counts are per-round aggregates over the node-sized deg
-        # table — cheap next to a skipped edge-filter round.
-        n_keep = keep.count()
-        if n_keep == deg.count():
+        # row-equal at sf0.1 and ~sf1; ~40% cheaper at both).  One
+        # fused aggregate job answers both counts (was: two jobs).
+        stats = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.count_if(F.col("deg") >= _KCORE_K).alias("n_keep"),
+        ).first()
+        n_keep = int(stats["n_keep"])
+        if n_keep == int(stats["n_nodes"]):
             break
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("src")
+        deg = None  # e changes below: census must be recomputed at exit
         e = (
             e.join(
                 _node_side(keep.withColumnRenamed("src", "ka"), n_keep),
@@ -633,7 +664,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # closing aggregate, and its join shape stays explain-visible).
         if rnd < _KCORE_ROUNDS - 1:
             e = e.localCheckpoint(eager=False)
-    return e.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree")).select(
+    # On early exit the final census IS the round's (already
+    # materialized) deg table — the surviving-edge degree count and the
+    # core-degree output are the same aggregate, so reuse it instead of
+    # one more pass over e.  When the loop ran out of rounds after a
+    # filter, e changed since the last census: recompute.
+    census = (
+        deg.withColumnRenamed("deg", "core_degree")
+        if deg is not None
+        else e.groupBy("src").agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return census.select(
         F.substring("src", 1, 1).alias("side"),
         F.substring("src", 2, 20).cast("bigint").alias("node_id"),
         "core_degree",

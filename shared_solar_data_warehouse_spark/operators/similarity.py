@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shared_solar_data_warehouse_spark.registry import op
-from shared_solar_data_warehouse_spark.sources.io import load_table
+from shared_solar_data_warehouse_spark.sources.io import load_table, spread
 
 #: How many query vectors the kNN demos use (vec_id < N_QUERIES).
 N_QUERIES = 20
@@ -438,7 +438,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query side of the bucket join) — without the barrier the Python
     # signature pass runs twice (SURVEY.md §5.4 projection-collapse).
     buckets = (
-        emb.repartition(32)
+        spread(spark, emb)
         .select("vec_id", "embedding")
         .mapInPandas(band_buckets, "vec_id long, bucket long")
         .localCheckpoint(eager=True)
@@ -1473,68 +1473,101 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-ambiguous).  Renormalization divides by ceil(max/1e6) — no widening multiply,
     so no intermediate ever exceeds the fold-back sum itself (≤ ~1e17
     at sf1; beyond ~1e9 rows widen the fold-back to DECIMAL).
-    Plan per step: one broadcast of the d-vector onto the long-form
-    dims, one vec-keyed aggregate, one broadcast of the row-projection
-    vector, one pos-keyed aggregate — four rounds of two exchanges
-    each, the Spark-ML gramian-free shape; convergence depth is a
-    documented constant (4), not data-dependent."""
+    Plan per step (r11, guide §2.3/§2.4): vectors stay ROW-LOCAL as
+    quantized arrays — the projection X̃v is one zip_with/aggregate
+    fold per row (no vec-keyed exchange at all), and the fold-back
+    X̃ᵀp is one posexplode feeding a pos-keyed aggregate whose
+    map-side partials collapse to ≤d rows per task, so each step
+    shuffles O(d × tasks) longs instead of re-exchanging the long-form
+    (vec, pos, x) table twice.  The r10 long-form shape paid 2 full
+    exchanges + 2 node-table broadcasts per step.  Convergence depth
+    is a documented constant (4), not data-dependent."""
     e = load_table(spark, sf_dir, "embeddings")
-    raw = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).select(
+    xq_arr = e.select(
         "vec_id",
-        F.col("pos").cast("long").alias("pos"),
-        F.expr("CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)").alias("xq"),
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+        ).alias("xq"),
     )
-    ctr = raw.groupBy("pos").agg(
-        F.expr("CAST(sum(xq) DIV count(*) AS BIGINT)").alias("cq")
+    # Per-dimension truncated integer means, collected to ONE d-array
+    # row (pos-ordered) — the only pass over the long form.
+    ctr = (
+        xq_arr.select(F.posexplode("xq").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.expr("CAST(sum(x) DIV count(*) AS BIGINT)").alias("cq"))
     )
+    ctr_row = ctr.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cq"))),
+            lambda st: st["cq"],
+        ).alias("cqs")
+    ).localCheckpoint(eager=False)  # read twice: centering + v0
     dims = (
-        raw.join(F.broadcast(ctr), "pos")
-        .select("vec_id", "pos", (F.col("xq") - F.col("cq")).cast("long").alias("xc"))
+        xq_arr.crossJoin(F.broadcast(ctr_row))
+        .select(
+            "vec_id",
+            F.expr("zip_with(xq, cqs, (a, b) -> a - b)").alias("xc"),
+        )
         .localCheckpoint(eager=False)
     )
-    v = dims.select("pos").distinct().select("pos", F.lit(1).cast("long").alias("v"))
+    # v as a single broadcast d-array row; v0 = all-ones.
+    v_row = ctr_row.select(F.expr("transform(cqs, c -> 1L)").alias("vs"))
+    fold = "aggregate(zip_with(xc, vs, (a, b) -> a * b), 0L, (s, x) -> s + x)"
     for _ in range(4):
-        # Every projection/fold-back is consumed TWICE (its own max +
-        # the renormalized vector) — checkpoint each so the unrolled
-        # chain stays linear instead of 4^depth re-evaluation (the
-        # kmeans/graph-band rule; measured 54 s -> ~2 s at sf0.1).
+        # The projection is consumed twice (its own max + the scaled
+        # fold-back) — checkpoint it so the unrolled chain stays linear
+        # instead of 4^depth re-evaluation (the kmeans/graph-band rule).
+        # p is consumed twice (its max + the scaled fold-back): the
+        # checkpoint keeps the unrolled chain linear — without it the
+        # doubly-referenced rounds re-evaluate 2^depth times through
+        # the nested broadcast subtrees (measured 4.2 s vs 2.2 s).
         p = (
-            dims.join(F.broadcast(v), "pos")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("xc") * F.col("v")).cast("long").alias("p"))
+            dims.crossJoin(F.broadcast(v_row))
+            .select("xc", F.expr(fold).cast("long").alias("p"))
             .localCheckpoint(eager=False)
         )
         s = p.agg(F.max(F.abs(F.col("p"))).cast("long").alias("s"))
-        pq = p.crossJoin(F.broadcast(s)).select(
-            "vec_id",
-            F.expr(
-                "CAST(p DIV ((s + 999999) DIV 1000000) AS BIGINT)"
-            ).alias("pq"),
-        )
         w = (
-            dims.join(F.broadcast(pq), "vec_id")
+            p.crossJoin(F.broadcast(s))
+            .select(
+                F.posexplode(
+                    F.expr(
+                        "transform(xc,"
+                        " c -> c * CAST(p DIV ((s + 999999) DIV 1000000)"
+                        " AS BIGINT))"
+                    )
+                ).alias("pos", "wx")
+            )
             .groupBy("pos")
-            .agg(F.sum(F.col("xc") * F.col("pq")).cast("long").alias("w"))
-            .localCheckpoint(eager=False)
+            .agg(F.sum("wx").cast("long").alias("w"))
         )
-        t = w.agg(F.max(F.abs(F.col("w"))).cast("long").alias("s"))
-        v = w.crossJoin(F.broadcast(t)).select(
-            "pos",
+        # Renormalize INSIDE the one-row collected array: the max-|w|
+        # and the truncating division are array expressions over the
+        # d-element state, so `w` is consumed exactly once and the round
+        # needs no second barrier (the r10 shape checkpointed both p and
+        # w; p's checkpoint alone keeps the chain linear).
+        v_row = w.agg(
+            F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("ws")
+        ).select(
             F.expr(
-                "CAST(w DIV ((s + 999999) DIV 1000000) AS BIGINT)"
-            ).alias("v"),
+                "transform(ws, s -> CAST(s.w DIV"
+                " ((aggregate(ws, 0L, (m, x) -> greatest(m, abs(x.w)))"
+                " + 999999) DIV 1000000) AS BIGINT))"
+            ).alias("vs")
         )
-    v = v.localCheckpoint(eager=False)  # read twice: anchor + output
+    out = v_row.select(
+        F.posexplode("vs").alias("pos", "v")
+    ).select(F.col("pos").cast("long").alias("pos"), "v")
+    out = out.localCheckpoint(eager=False)  # read twice: anchor + output
     anchor = (
-        v.orderBy(F.abs(F.col("v")).desc(), F.col("pos").asc())
+        out.orderBy(F.abs(F.col("v")).desc(), F.col("pos").asc())
         .limit(1)
         .select(
             F.expr("CASE WHEN v < 0 THEN -1 ELSE 1 END").alias("flip")
         )
     )
-    return v.crossJoin(F.broadcast(anchor)).select(
+    return out.crossJoin(F.broadcast(anchor)).select(
         "pos", (F.col("v") * F.col("flip")).cast("long").alias("component_q6")
     )
 

@@ -1335,21 +1335,56 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parity.sql_ln_*, evaluated on the ≤vocab² MODEL table, never per
     corpus row), quantized to integer 1e-12 units (round-half-up via
     floor(x·1e12-0.5)+1) BEFORE the tf-weighted per-doc sum; display
-    is one floor-based 1e-6 snap of a ratio of exact BIGINTs.  Plan:
-    doc bigrams from a (doc_id)-partitioned lead window, then the
-    model tables (≤ vocab² rows) broadcast back over the doc tf table
-    — one window exchange + one (doc_id) agg; exactly the distributed
-    KenLM-scoring shape of the unigram op with a bigger broadcast."""
+    is one floor-based 1e-6 snap of a ratio of exact BIGINTs.  Plan
+    (r11): doc bigrams are row-LOCAL (index-sequence transform over
+    the token array — the lead-window + posexplode shape and its
+    doc_id exchange removed, guide §2.4), then the model tables
+    (≤ vocab² rows, built by map-side-collapsing aggregates straight
+    from the instance stream) broadcast back over the bigram
+    instances — the only exchanges carry ≤vocab² and ≤n_docs rows;
+    the distributed KenLM-scoring shape of the unigram op with a
+    bigger broadcast."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    # r11 (guide §2.4): bigrams are row-LOCAL — derive them from the
+    # token array with an index-sequence transform (text_ngrams'
+    # 1-based element_at idiom) instead of the r10 posexplode + lead
+    # window, which shuffled and sorted the whole token explosion on
+    # doc_id just to pair adjacent rows.  Removes the widest exchange
+    # in the plan outright; same (w1, w2) multiset per document.
+    # The pairing is slice+arrays_zip, NOT a transform(sequence(...))
+    # lambda: higher-order-function lambdas run interpreted, so after
+    # projection collapse the inlined split() re-evaluates per element
+    # (quadratic per doc — measured 4.5 s vs 1.1 s at sf0.1); slice/
+    # arrays_zip are ordinary codegen expressions with subexpression
+    # elimination, so the split runs once per row.
+    big = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        # size >= 2 guard: docs with < 2 tokens contribute no bigrams
+        # (the lead-window shape dropped them via w2 IS NOT NULL —
+        # same row set).
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.slice("toks", 1, F.size("toks") - 1).alias("w1s"),
+            F.slice("toks", 2, F.size("toks") - 1).alias("w2s"),
+        )
+        .select("doc_id", F.explode(F.arrays_zip("w1s", "w2s")).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.w1s").alias("w1"),
+            F.col("b.w2s").alias("w2"),
+        )
     )
-    wlead = Window.partitionBy("doc_id").orderBy("pos")
-    big = tok.select(
-        "doc_id", F.col("w").alias("w1"), F.lead("w").over(wlead).alias("w2")
-    ).filter(F.col("w2").isNotNull())
-    dtf = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
-    c2 = dtf.groupBy("w1", "w2").agg(F.sum("tf").alias("n2"))
+    # r11: the intermediate per-(doc, w1, w2) tf table is gone — the
+    # MODEL only needs bigram-TYPE counts (map-side partials collapse
+    # the instance stream straight to ≤vocab² rows per task), and the
+    # per-doc sum runs over instances directly: Σ_types tf·q is
+    # Σ_instances q, exactly, in BIGINT.  The (doc,w1,w2) exchange of
+    # ~every bigram instance (256k rows at sf0.1, evaluated on BOTH
+    # branches) is removed outright; the surviving exchanges carry
+    # ≤vocab² and ≤n_docs rows (guide §2.3 "aggregate before you
+    # shuffle").
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     model = (
         c2.join(c1, "w1")
@@ -1365,14 +1400,12 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
-    terms = dtf.join(F.broadcast(model), ["w1", "w2"]).select(
-        "doc_id", F.col("tf").cast("bigint").alias("tf"), "q"
-    )
+    terms = big.join(F.broadcast(model), ["w1", "w2"]).select("doc_id", "q")
     return terms.groupBy("doc_id").agg(
-        F.sum("tf").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.expr(
-            "floor(CAST(-CAST(sum(tf * q) AS BIGINT) AS DOUBLE)"
-            " / (CAST(sum(tf) AS DOUBLE) * 1.0e6) + 5.0e-1) / 1.0e6"
+            "floor(CAST(-CAST(sum(q) AS BIGINT) AS DOUBLE)"
+            " / (CAST(count(*) AS DOUBLE) * 1.0e6) + 5.0e-1) / 1.0e6"
         ).alias("xent2_bits"),
     )
 

@@ -51,6 +51,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin-spread a scan across the available cores ONLY when
+    its natural split count cannot feed them (r11, guide §2.5/§6).
+
+    The driver fixtures are single-row-group parquet files, so scans
+    arrive as 1-3 partitions regardless of split config and a CPU-heavy
+    projection or Python pass would run one task wide; at real scale
+    the input is many files/row-groups and this is a no-op — the old
+    hard-coded ``repartition(32)`` would have SHRUNK a many-thousand-
+    partition scan on a cluster (the local-constant trap the
+    optimization guide §2 calls out).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Expose fixture tables as temp views for SQL-twin operators."""
     for name in names or TABLES:
