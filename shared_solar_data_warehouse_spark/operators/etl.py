@@ -547,8 +547,13 @@ def etl_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shared_solar_data_warehouse_spark.sources.io import scratch_dir
 
     path = scratch_dir(sf_dir, "etl_file_manifest")
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "ship_year", F.year("l_shipdate")
+    # Only the stats columns travel to the scratch layout: the manifest
+    # job reads back exactly (l_orderkey, l_quantity) + the partition
+    # dir, so writing lineitem's other 13 columns was pure write+read
+    # amplification (guide §2.3/§6 — project before heavy I/O; the r11
+    # before-plan's re-read ReadSchema already proved the rest unused).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", F.year("l_shipdate").alias("ship_year")
     )
     li.repartition("ship_year").write.partitionBy("ship_year").mode(
         "overwrite"
@@ -623,15 +628,22 @@ def etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shared_solar_data_warehouse_spark.sources.io import scratch_dir
 
     path = scratch_dir(sf_dir, "etl_compaction_plan")
+    # The fragmented layout carries one payload column: the manifest
+    # census below reads only row counts and file paths (the r11
+    # before-plan's re-read ReadSchema is struct<>), so materializing
+    # lineitem's full width was write amplification with zero readers
+    # (guide §6 — the plan is computed from metadata-sized inputs).
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
-        "l_shipdate",
         F.year("l_shipdate").cast("bigint").alias("ship_year"),
         F.expr("CAST(l_orderkey % 8 AS BIGINT)").alias("frag"),
     )
     li.repartition("ship_year", "frag").write.partitionBy(
         "ship_year", "frag"
     ).mode("overwrite").parquet(path)
+    # Lazy barrier: the census feeds BOTH the window side and the
+    # `target` scalar — without it the whole scratch re-read + two-level
+    # aggregate ran twice (duplicated subtree in the r11 before-plan).
     m = (
         spark.read.parquet(path)
         .withColumn("_file", F.input_file_name())
@@ -647,6 +659,7 @@ def etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.countDistinct("_file").alias("n_files"),
         )
+        .localCheckpoint(eager=False)
     )
     target = m.agg(
         F.greatest(

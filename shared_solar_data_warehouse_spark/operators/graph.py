@@ -238,7 +238,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"),
         (F.lit(1.0) / nd).alias("pr"),
     )
-    for _ in range(_ROUNDS):
+    for rnd in range(_ROUNDS):
         contribs = edges_d.join(
             _node_side(ranks.select(F.col("node").alias("src"), "pr"), n_nodes),
             "src",
@@ -259,6 +259,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
+        # Same inter-round barrier as the CC/kcore loops: round K+1's
+        # broadcast subtree embeds round K's whole aggregation, and
+        # under AQE those duplicated subtrees are separate sub-jobs
+        # (exchange reuse does not bridge them) — without the barrier
+        # the round chain re-executes quadratically.  Last round is
+        # consumed exactly once by the output projection.
+        if rnd < _ROUNDS - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
         (F.floor(F.col("pr") * 100000000.0 + 0.5) / 100000000.0).alias("pagerank"),
@@ -519,28 +527,48 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets (same semantics, near-linear), with the degree table broadcast
     at the final join (suppliers << edges).
     """
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # The distinct customer–supplier pair set already exists as the
+    # c→s half of the session's memoized trade_edges artifact (r11,
+    # guide §2.4: the orders⋈lineitem join + distinct was this op's
+    # single most expensive subtree, and every graph op in the band
+    # shares it).  Parse the integer keys back out of the node ids and
+    # apply the mktsegment restriction as a broadcast semi-join against
+    # the (tiny) filtered customer dim — bit-identical to deriving the
+    # pairs from the base tables.
     c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
+        .select(F.col("c_custkey").alias("custkey"))
     )
     e = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .select(F.col("o_custkey").alias("custkey"), F.col("l_suppkey").alias("suppkey"))
-        .distinct()
+        _edges(spark, sf_dir)
+        .filter(F.col("src").startswith("c"))
+        .select(
+            F.substring("src", 2, 20).cast("bigint").alias("custkey"),
+            F.substring("dst", 2, 20).cast("bigint").alias("suppkey"),
+        )
+        .join(F.broadcast(c), "custkey", "left_semi")
         # Materialize ONCE: three consumers (both wedge sides and the
-        # degree table) would otherwise re-derive the 3-way join +
-        # distinct (exchange reuse dedupes some but not all of it);
-        # with the dim-count gate below this is ~15% off the op's warm
-        # wall-clock at sf0.1 (min-of-3: 2.96 s -> 2.54 s).  The wedge
-        # join itself dominates what remains — inherent to the exact
-        # tier (the docstring names the minhash scale path).
+        # degree table) would otherwise re-filter the memoized edge
+        # table per consumer.  (An r11 attempt to also pre-partition on
+        # custkey before the barrier bought nothing: the checkpoint's
+        # LogicalRDD comes back UnknownPartitioning under AQE, so the
+        # self-join re-exchanges regardless — see the after-plan.)  The
+        # wedge join itself dominates what remains — inherent to the
+        # exact tier (the docstring names the minhash scale path).
         .localCheckpoint()
     )
-    deg = e.groupBy("suppkey").agg(F.count(F.lit(1)).alias("deg"))
+    # The degree table is read twice (d1/d2) — a lazy barrier keeps the
+    # supplier-sized aggregate from running twice over the edge list.
+    deg = e.groupBy("suppkey").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=False)
+    # Wedge counting stays the hash self-join on custkey: an r11 A/B of
+    # the posting-list rewrite (collect_list + nested-transform pair
+    # fan-out) measured 3.40 s vs 2.47 s — the interpreted lambda pair
+    # generator loses to the codegen'd join + partial-agg here, unlike
+    # exact_pairs where the avoided cost was a whole recomputed shingle
+    # subtree.  Measured, kept.
     a = e.select(F.col("custkey"), F.col("suppkey").alias("s1"))
     b = e.select(F.col("custkey"), F.col("suppkey").alias("s2"))
     pairs = (
@@ -738,37 +766,54 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound, shared via the session memo) so a graph past
     # BROADCAST_MAX_NODES co-partitions instead of OOMing.
     n_graph = _n_graph_nodes(spark, sf_dir)
-    visited = spark.createDataFrame(
+    # The trade graph is strictly bipartite (every edge is c↔s), so BFS
+    # layers alternate sides: candidates at depth d sit on the OPPOSITE
+    # side of layer d-1 and can only collide with layers of the SAME
+    # parity (d-2, d-4, ...).  Two r11 consequences (guide §2.3/§3):
+    # the per-round anti-join shrinks from the full visited union to
+    # the single layer d-2 (depth 3 never accumulates more), and each
+    # round probes only the matching direction-half of the memoized
+    # edge list instead of the whole doubled table.  Round barriers are
+    # lazy localCheckpoints as before (re-consumed layers materialize
+    # once; the final round is read exactly once by the union).
+    seeds = spark.createDataFrame(
         [(s, 0) for s in _BFS_SEEDS], "node string, dist int"
     )
-    frontier = visited
-    for d in range(1, _BFS_DEPTH + 1):
-        nxt = (
-            edges.join(
+    from_c = edges.filter(F.col("src").startswith("c"))
+    from_s = edges.filter(F.col("src").startswith("s"))
+
+    def expand(direction: DataFrame, frontier: DataFrame, d: int) -> DataFrame:
+        return (
+            direction.join(
                 _node_side(frontier.select(F.col("node").alias("src")), n_graph),
                 "src",
             )
             .select(F.col("dst").alias("node"))
             .distinct()
-            # The visited set is bounded by reached nodes — map-side
-            # anti-join while broadcastable.
-            .join(_node_side(visited.select("node"), n_graph), "node", "left_anti")
             .select("node", F.lit(d).cast("int").alias("dist"))
         )
+
+    # Seeds are all customer nodes, so odd depths expand c→s and even
+    # depths s→c; the anti-join target at depth d is layer d-2 alone
+    # (vacuous at d=1: visited holds only customers, candidates are
+    # suppliers).
+    directions = (from_c, from_s)
+    layers = [seeds]
+    for d in range(1, _BFS_DEPTH + 1):
+        nxt = expand(directions[(d - 1) % 2], layers[d - 1], d)
+        for prev in range(d - 2, -1, -2):  # all same-parity layers
+            nxt = nxt.join(
+                _node_side(layers[prev].select("node"), n_graph),
+                "node",
+                "left_anti",
+            )
         if d < _BFS_DEPTH:
-            # Lazily checkpoint rounds that later rounds re-consume
-            # (both as frontier and inside visited): first consumption
-            # materializes, later ones reuse — one fewer blocking pass
-            # per round than eager.  The FINAL round is read exactly
-            # once by the output union, so it isn't checkpointed at
-            # all.  (r4 measured: eager 2.03 s / lazy 1.96 s / none
-            # 2.38 s warm at sf0.1; fusing the distinct into the
-            # anti-join was flat — round job-overhead dominates at
-            # local scale, see PLANS.md.)
             nxt = nxt.localCheckpoint(eager=False)
-        visited = visited.unionAll(nxt)
-        frontier = nxt
-    return visited
+        layers.append(nxt)
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.unionAll(layer)
+    return out
 
 
 @op(
@@ -1128,34 +1173,47 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent.  At 100 TB: the distinct edge shuffle dominates
     (shared shape with the rest of the graph band); the community
     dimension is nation-bounded and every later aggregate is tiny."""
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("c_com")
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("s_com")
     )
+    # Reuse the session-memoized trade_edges pair set (its c→s half IS
+    # this op's distinct (custkey, suppkey) list) instead of re-running
+    # the orders⋈lineitem join + distinct — the op's dominant subtree
+    # in the r11 before-plan (guide §2.4).
     pairs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
-        .distinct()
+        _edges(spark, sf_dir)
+        .filter(F.col("src").startswith("c"))
+        .select(
+            F.substring("src", 2, 20).cast("bigint").alias("ck"),
+            F.substring("dst", 2, 20).cast("bigint").alias("sk"),
+        )
     )
     lab = pairs.join(F.broadcast(cust), "ck").join(F.broadcast(supp), "sk")
-    lab = lab.localCheckpoint(eager=False)  # read 3x: m, e_in, both deg sides
-    m = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # Fold the labeled edge list straight into the (c_com, s_com)
+    # contingency table: ONE pass + one ~nations² exchange replaces the
+    # four separate passes (m, e_in, both deg arms) the r10 shape ran
+    # over the edge-sized checkpoint (guide §2.3 "aggregate before you
+    # shuffle" — every later aggregate here reads ≤625 rows).  The lazy
+    # barrier now guards the tiny table, read by m/e_in/deg below.
+    g = (
+        lab.groupBy("c_com", "s_com")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    m = g.agg(F.sum("n").cast("bigint").alias("m"))
     e_in = (
-        lab.filter(F.col("c_com") == F.col("s_com"))
+        g.filter(F.col("c_com") == F.col("s_com"))
         .groupBy(F.col("c_com").alias("com"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("e_c"))
+        .agg(F.sum("n").cast("bigint").alias("e_c"))
     )
     deg = (
-        lab.groupBy(F.col("c_com").alias("com"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        g.groupBy(F.col("c_com").alias("com"))
+        .agg(F.sum("n").alias("cnt"))
         .unionAll(
-            lab.groupBy(F.col("s_com").alias("com")).agg(
-                F.count(F.lit(1)).alias("cnt")
-            )
+            g.groupBy(F.col("s_com").alias("com")).agg(F.sum("n").alias("cnt"))
         )
         .groupBy("com")
         .agg(F.sum("cnt").cast("bigint").alias("a_c"))

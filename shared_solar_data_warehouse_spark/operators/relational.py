@@ -1664,6 +1664,13 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(epoch_s).alias("s0"),
         (F.max(epoch_s) + 1).alias("s1"),
     )
+    # The self-join consumes `s` twice; without a barrier each side
+    # re-runs the full events scan + groupBy exchange (the r11 before-
+    # plan shows the aggregate subtree duplicated under both join
+    # inputs).  The session table is user x day rows — tiny — so one
+    # lazy localCheckpoint halves the op's scan/shuffle work (guide
+    # §2.4: shared subtrees should pay their exchange once).
+    s = s.localCheckpoint(eager=False)
     a = s.alias("a")
     b = s.alias("b")
     pairs = a.join(

@@ -2248,10 +2248,14 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the full ±62-rung domain), one per OUTPUT row (vocab²-
     bounded), floor-snapped to the 1e-6 grid."""
     d = load_table(spark, sf_dir, "documents")
+    # Four consumers (n_docs, the df dimension, both wedge sides) read
+    # this distinct — one lazy barrier makes the explode+distinct
+    # exchange run once instead of per consumer (guide §2.4).
     toks = (
         d.filter(F.length("text") > 0)
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
     df_t = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))

@@ -176,10 +176,15 @@ def test_q17_scalar_subquery_decorrelates(spark, registry):
 def test_pagerank_rounds_broadcast_node_sides(spark, registry):
     """Every per-round join in the unrolled PageRank must broadcast the
     node-cardinality side (deg/ranks); the only shuffles should be the
-    aggregations, not SortMergeJoins over the edge list."""
+    aggregations, not SortMergeJoins over the edge list.  Since r11 the
+    deg-joined edge table and rounds 1..K-1 are materialized
+    localCheckpoints (guide §2.4 — each round's aggregate runs exactly
+    once), so the visible plan is the FINAL round only: its ranks side
+    must still broadcast against the materialized edge RDD."""
     plan = plan_of(registry, spark, "graph_pagerank")
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") >= 6  # deg + ranks per round
+    assert plan.count("BroadcastHashJoin") >= 1  # final round's ranks join
+    assert "ExistingRDD" in plan  # materialized edge table + prior round
 
 
 def test_pagerank_copartitioned_regime_matches_broadcast(
