@@ -897,10 +897,24 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared double expression (agg_corr_exact's scheme; degrees are
     small so x·y ≤ deg_max² ≈ 1e6 per edge — far inside BIGINT)."""
     edges = _edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Lazy barrier: deg feeds BOTH broadcast sides below — without it
+    # each broadcast build re-ran the degree aggregate over the edge
+    # list (r11, guide §2.4).
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
+    )
     n_nodes = _n_graph_nodes(spark, sf_dir)
+    # The doubled edge table is symmetric, so the directed-edge moments
+    # mirror exactly: every undirected pair contributes (d_u,d_v) AND
+    # (d_v,d_u).  Folding over the c→s half only and doubling/mirroring
+    # (n=2·n_h, sx=sy=Σ(x+y), sxx=syy=Σ(x²+y²), sxy=2·Σxy — all exact
+    # BIGINT identities) halves the probe/moment work (r11, guide
+    # §2.3: don't compute what algebra gives you for free).
     pairs = (
-        edges.join(
+        edges.filter(F.col("src").startswith("c"))
+        .join(
             _node_side(deg.select(F.col("src"), F.col("d").alias("x")), n_nodes),
             "src",
         )
@@ -914,12 +928,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("x", "y")
     )
     m = pairs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.expr("x * x")).alias("sxx"),
-        F.sum(F.expr("y * y")).alias("syy"),
-        F.sum(F.expr("x * y")).alias("sxy"),
+        (F.count(F.lit(1)) * 2).alias("n"),
+        F.sum(F.expr("x + y")).alias("sx"),
+        F.sum(F.expr("x + y")).alias("sy"),
+        F.sum(F.expr("x * x + y * y")).alias("sxx"),
+        F.sum(F.expr("x * x + y * y")).alias("syy"),
+        (F.sum(F.expr("x * y")) * 2).alias("sxy"),
     )
     corr = (
         "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"

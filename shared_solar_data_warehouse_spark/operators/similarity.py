@@ -311,6 +311,67 @@ def _lsh_plane_sign(p: int, j: int) -> int:
     return 1 if h % 2 == 0 else -1
 
 
+def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket) sign-LSH band-bucket table, memoized per
+    (context, sf_dir) — the similarity family's signature ETL artifact,
+    the exact analog of the dedup band's shingle/simhash memos: at
+    100 TB the signature job writes this once per corpus snapshot and
+    every index/query/eval job reads the materialized table (r11;
+    previously `sim_ann_lsh` re-ran the Python signature pass per call
+    and `sim_ann_recall_eval` re-ran it again via the builder).  The
+    barrier also keeps the bucket join's two consumers (corpus side AND
+    query side) from re-executing the mapInPandas (SURVEY.md §5.4
+    projection-collapse)."""
+
+    def build() -> DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        planes = np.array(
+            [
+                [_lsh_plane_sign(p, j) for j in range(64)]
+                for p in range(_LSH_N_PLANES)
+            ],
+            dtype=np.int64,
+        )
+
+        def band_buckets(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+                q = np.floor(m * _LSH_QSCALE).astype(np.int64)
+                bits = (q @ planes.T >= 0).astype(np.int64)  # (n × 24) signs
+                vec_ids = pdf["vec_id"].to_numpy()
+                # bucket id = band index (3 bits) ++ band value (3
+                # bits): globally unique per (band, pattern) — same
+                # keying as the string 'b:xyz' bucket, integer-cheap.
+                frames = []
+                for b in range(8):
+                    val = (
+                        bits[:, b * 3] * 4
+                        + bits[:, b * 3 + 1] * 2
+                        + bits[:, b * 3 + 2]
+                    )
+                    frames.append(
+                        pd.DataFrame({"vec_id": vec_ids, "bucket": b * 8 + val})
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return (
+            spread(spark, emb)
+            .select("vec_id", "embedding")
+            .mapInPandas(band_buckets, "vec_id long, bucket long")
+        )
+
+    from shared_solar_data_warehouse_spark.materialize import memo_checkpoint
+
+    return memo_checkpoint(spark, ("lsh_buckets", sf_dir), build)
+
+
 def _sim_ann_lsh_oracle() -> str:
     """DuckDB mirror of the full sign-LSH pipeline: md5-parity planes
     → integer-quantized sign bits → 8×3 banding → bucket join →
@@ -402,47 +463,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       the vectors re-enter via two broadcast joins against the
       (small) corpus table.
     """
-    import numpy as np
-    import pandas as pd
-
-    planes = np.array(
-        [
-            [_lsh_plane_sign(p, j) for j in range(64)]
-            for p in range(_LSH_N_PLANES)
-        ],
-        dtype=np.int64,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def band_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q = np.floor(m * _LSH_QSCALE).astype(np.int64)
-            bits = (q @ planes.T >= 0).astype(np.int64)  # (n × 24) signs
-            vec_ids = pdf["vec_id"].to_numpy()
-            # bucket id = band index (3 bits) ++ band value (3 bits):
-            # globally unique per (band, pattern) — same keying as the
-            # string 'b:xyz' bucket, integer-cheap.
-            frames = []
-            for b in range(8):
-                val = bits[:, b * 3] * 4 + bits[:, b * 3 + 1] * 2 + bits[:, b * 3 + 2]
-                frames.append(
-                    pd.DataFrame({"vec_id": vec_ids, "bucket": b * 8 + val})
-                )
-            yield pd.concat(frames, ignore_index=True)
-
-    # Materialized: the bucket table is read twice (corpus side AND
-    # query side of the bucket join) — without the barrier the Python
-    # signature pass runs twice (SURVEY.md §5.4 projection-collapse).
-    buckets = (
-        spread(spark, emb)
-        .select("vec_id", "embedding")
-        .mapInPandas(band_buckets, "vec_id long, bucket long")
-        .localCheckpoint(eager=True)
-    )
+    buckets = _lsh_buckets(spark, sf_dir)
     queries = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "bucket"
     )

@@ -848,6 +848,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.select("doc_id", F.explode(shingles).alias("shingle"))
         .distinct()
+        # NOT barriered (r11 measured): the doc_id%-mod filters below
+        # push past the distinct, so the eval and corpus sides process
+        # DISJOINT doc partitions — a checkpoint here would force one
+        # full-corpus materialization where the two sides already
+        # split the work, and measured slower.
     )
     ev = sh.filter(F.col("doc_id") % DECON_EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_doc"), "shingle"
@@ -1459,6 +1464,10 @@ def report_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nh"),
     )
+    # The normalized-hash projection (two regex passes + md5 per row)
+    # feeds BOTH the cluster census and the join probe — one lazy
+    # barrier halves the op's per-row regex work (r11, guide §2.4).
+    norm = norm.localCheckpoint(eager=False)
     clusters = norm.groupBy("nh").agg(F.count(F.lit(1)).alias("csize"))
     j = norm.join(F.broadcast(clusters), "nh")
     return j.groupBy("lang").agg(
