@@ -315,6 +315,50 @@ _NEAR_MINHASH_ORACLE = f"""
 """
 
 
+def minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh, sig) MinHash signature table, memoized per
+    (context, sf_dir) — the dedup band's second-stage ETL artifact
+    (r11): the 24-lane md5-prefix fold over every shingle is the
+    band's single most expensive projection, and both
+    `dedup_near_minhash` and `dedup_minhash_calibration` consumed it
+    per call.  At 100 TB this IS the signature job's output table
+    (SURVEY.md §7.4), written once per corpus snapshot.  Downstream
+    band keys derive from the MATERIALIZED sig arrays, so the
+    CollapseProject 24× hash-inline trap the per-op comments guard
+    against cannot re-open."""
+
+    def build() -> DataFrame:
+        s = shingle_sets(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
+        sig = _lane_minima(F.col("shingles"), _LSH_PERMS)
+        return s.select(
+            "doc_id",
+            "n_sh",
+            # Bind the fold once as a lambda element (the established
+            # anti-CollapseProject idiom) so the single build evaluates
+            # one fold per doc.
+            F.element_at(F.transform(F.array(sig), lambda g: g), 1).alias(
+                "sig"
+            ),
+        )
+
+    return memo_checkpoint(spark, ("minhash_sigs", sf_dir), build)
+
+
+def _bands_of(sg) -> F.Column:
+    """'band:lane0:lane1' keys from a (materialized) signature array."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(band),
+                F.element_at(sg, band * MINHASH_ROWS + 1),
+                F.element_at(sg, band * MINHASH_ROWS + 2),
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+
+
 @op(
     "dedup_near_minhash",
     oracle=_NEAR_MINHASH_ORACLE.format(bucket_list=_lsh_bucket_sql()),
@@ -342,30 +386,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact pairs at tau, and precision == 1.0 (the
     verification step discards false candidates).
     """
-    s = shingle_sets(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
-    # Band keys: 'band:lane0:lane1' strings (portable across engines).
-    # The signature array is bound ONCE as a lambda variable (transform
-    # over a single-element array) — referencing a `sig` alias from a
-    # separate select would let CollapseProject inline the whole
-    # hash+fold subtree into all 24 element_at band expressions.
-    sig = _lane_minima(F.col("shingles"), _LSH_PERMS)
-
-    def bands_of(sg) -> F.Column:
-        return F.array(
-            *[
-                F.concat_ws(
-                    ":",
-                    F.lit(band),
-                    F.element_at(sg, band * MINHASH_ROWS + 1),
-                    F.element_at(sg, band * MINHASH_ROWS + 2),
-                )
-                for band in range(MINHASH_BANDS)
-            ]
-        )
-
-    bands = F.element_at(F.transform(F.array(sig), bands_of), 1)
-    banded = s.select(
-        "doc_id", "n_sh", "shingles", bands.alias("bands")
+    # Signatures come from the shared memo artifact (one 24-lane fold
+    # per corpus snapshot, r11); band keys derive from the MATERIALIZED
+    # sig arrays, so no hash recompute is reachable.
+    banded = minhash_sigs(spark, sf_dir).select(
+        "doc_id", "n_sh", _bands_of(F.col("sig")).alias("bands")
     )
     # Candidate pairs carry only ids: group each bucket's posting list
     # and emit its pairs JVM-side (same shape as exact_pairs) — the
@@ -397,7 +422,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange and NEVER through the driver.  (The ~sf3 probe caught
     # the original shape force-broadcasting candidates-joined-with-
     # sh_a: a payload that grows with candidates x array width.)
-    sh = s.select("doc_id", "n_sh", "shingles")
+    sh = shingle_sets(spark, sf_dir).select(
+        "doc_id", F.size("shingles").alias("n_sh"), "shingles"
+    )
     half = sh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_sh").alias("n_a"),
@@ -1209,33 +1236,16 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (arrays move once through a partitioned exchange, never
     through the driver) — the dedup_near_minhash skeleton with the
     verification step swapped for the estimator/exact comparison."""
-    s = shingle_sets(spark, sf_dir).withColumn("n_sh", F.size("shingles"))
-    sig = _lane_minima(F.col("shingles"), _LSH_PERMS)
-
-    def bands_of(sg) -> F.Column:
-        return F.array(
-            *[
-                F.concat_ws(
-                    ":",
-                    F.lit(band),
-                    F.element_at(sg, band * MINHASH_ROWS + 1),
-                    F.element_at(sg, band * MINHASH_ROWS + 2),
-                )
-                for band in range(MINHASH_BANDS)
-            ]
-        )
-
-    with_sig = s.select(
-        "doc_id",
-        "n_sh",
-        "shingles",
-        F.element_at(F.transform(F.array(sig), lambda g: g), 1).alias("sig"),
+    # Signatures from the shared memo (r11 — one 24-lane fold per
+    # corpus snapshot); shingle arrays re-attach from the shingle memo
+    # by an un-hinted doc_id join (never broadcast: the shingle payload
+    # is corpus-sized at scale — AQE picks the strategy from runtime
+    # sizes, the same rule as the candidate joins below).
+    with_sig = minhash_sigs(spark, sf_dir).join(
+        shingle_sets(spark, sf_dir), "doc_id"
     )
     banded = with_sig.select(
-        "doc_id",
-        F.element_at(
-            F.transform(F.array(F.col("sig")), bands_of), 1
-        ).alias("bands"),
+        "doc_id", _bands_of(F.col("sig")).alias("bands")
     )
     buckets = banded.select("doc_id", F.explode("bands").alias("bucket"))
     pair_expr = (

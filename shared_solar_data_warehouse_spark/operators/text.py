@@ -575,6 +575,15 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document Pandas UDF computing the histogram in one pass (numpy
     bincount over codepoints) to avoid materializing n_chars rows —
     the explode form is the oracle-checkable reference semantics.
+
+    r11 attempt, measured and REVERTED: computing the per-(doc,char)
+    counts as run lengths of the row-locally array_sort'ed char array
+    (boundary filter over sequence + transform diffs — explode only
+    the ~alphabet-sized run list) was bit-identical (oracle PASS ×2
+    SF) but 2x SLOWER at sf0.1 (min-of-3 2.71 s vs 1.28 s): the
+    nested higher-order lambdas evaluate interpreted per element,
+    losing to the whole-stage-codegen explode + partially-aggregated
+    hash count it replaced.
     """
     d = (
         load_table(spark, sf_dir, "documents")

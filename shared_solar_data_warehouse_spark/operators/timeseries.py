@@ -726,37 +726,61 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjust=False): the classic streaming smoother a meter-head keeps —
     y_0 = x_0, y_t = 0.7*y_{t-1} + 0.3*x_t over time-ordered readings.
 
-    The recursion is inherently sequential per key, so it runs as a
-    grouped-map applyInPandas (one Arrow batch per circuit); the
+    The recursion is inherently sequential per key, so it runs in the
+    Python lane — but as ONE linear ``mapInPandas`` pass over a
+    user-hashed, partition-locally (user_id, ts, event_id)-sorted
+    stream (r11, guide §4: the previous grouped-map applyInPandas paid
+    a pandas sort + 1-row-DataFrame construction per circuit).  The
     explicit ``0.7*acc + 0.3*x`` Python loop is the SAME IEEE-double
-    expression the oracle's ``list_reduce`` lambda folds, so the result
-    is bit-identical (pandas ``ewm`` would vectorize via a different
-    update form).  Explicit repartition on user_id satisfies the
-    grouped-map distribution and resists AQE single-task coalescing;
-    at 100 TB circuits spread evenly and each group is one pass.
+    expression the oracle's ``list_reduce`` lambda folds, in the SAME
+    per-user order, so the result stays bit-identical (pandas ``ewm``
+    would vectorize via a different update form).  Explicit keyed
+    repartition resists AQE single-task coalescing; at 100 TB circuits
+    spread evenly and each partition is one pass.
     """
     import math
 
-    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        acc = None
-        for x in pdf["value"]:
-            x = float(x)
-            acc = x if acc is None else 0.7 * acc + 0.3 * x
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "ewma_level": [math.floor(acc * 10000.0 + 0.5) / 10000.0],
-            }
-        )
+    def smooth_stream(batches):
+        users: list = []
+        ns: list = []
+        levels: list = []
+        cur = None
+        acc = 0.0
+        n = 0
+        for pdf in batches:
+            for u, x in zip(
+                pdf["user_id"].to_numpy(), pdf["value"].to_numpy()
+            ):
+                if u != cur:
+                    if cur is not None:
+                        users.append(int(cur))
+                        ns.append(n)
+                        levels.append(
+                            math.floor(acc * 10000.0 + 0.5) / 10000.0
+                        )
+                    cur = u
+                    n = 0
+                x = float(x)
+                acc = x if n == 0 else 0.7 * acc + 0.3 * x
+                n += 1
+        if cur is not None:
+            users.append(int(cur))
+            ns.append(n)
+            levels.append(math.floor(acc * 10000.0 + 0.5) / 10000.0)
+        if users:
+            yield pd.DataFrame(
+                {"user_id": users, "n_events": ns, "ewma_level": levels}
+            )
 
     e = load_table(spark, sf_dir, "events")
     return (
         e.select("user_id", "ts", "event_id", "value")
-        .repartition(32, "user_id")
-        .groupBy("user_id")
-        .applyInPandas(smooth, "user_id long, n_events long, ewma_level double")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select("user_id", "value")
+        .mapInPandas(
+            smooth_stream, "user_id long, n_events long, ewma_level double"
+        )
     )
 
 
@@ -3778,15 +3802,22 @@ def ts_battery_soc(spark: SparkSession, sf_dir: str) -> DataFrame:
     The clamp makes the fold order-dependent and NOT expressible as a
     window sum (the ts_cusum linearization works for one-sided min
     clamps; the two-sided clamp has no prefix-sum closed form), so
-    this is the contractual ``applyInPandas`` stateful lane: one hash
-    exchange on user_id, each group folded sequentially in an Arrow
-    batch, emitting (final_soc_cents, n_steps, clamp counts) per user.
+    this is the Python stateful lane: one hash exchange on user_id, a
+    partition-local sort on (user_id, ts, event_id), then ONE linear
+    ``mapInPandas`` pass per partition that folds every user's
+    contiguous run and emits (final_soc_cents, n_steps, clamp counts)
+    per user.  (r11, guide §4: the previous grouped-map
+    ``applyInPandas`` paid a pandas sort + 1-row-DataFrame construction
+    PER USER — tens of thousands of tiny frames; the per-partition
+    stream fold is the same integer recurrence with per-batch, not
+    per-group, Arrow overhead.  ``udf_apply_in_pandas`` stays the
+    grouped-map lane's contractual demo.)
     The oracle is the same fold as a DuckDB RECURSIVE CTE over
     row_number'd steps — depth = max events per user (~43 at sf0.1),
     bounded by the per-key sequence length, never by corpus size.
     All-integer state: no IEEE value crosses engines.  At 100 TB:
     per-user sequences are short and independent — partition by key,
-    fold within partition (the streaming twin is
+    sort within partition, fold linearly (the streaming twin is
     applyInPandasWithState with the soc as state); the shuffle carries
     only (user_id, ts, event_id, delta)."""
     import pandas as pd
@@ -3808,35 +3839,66 @@ def ts_battery_soc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cap = BATTERY_CAP_CENTS
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        soc = 0
-        lo = hi = 0
-        for d in pdf["delta"]:
-            raw = soc + int(d)
-            if raw < 0:
-                soc = 0
-                lo += 1
-            elif raw > cap:
-                soc = cap
-                hi += 1
-            else:
-                soc = raw
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "final_soc_cents": [soc],
-                "n_steps": [len(pdf)],
-                "n_clamp_lo": [lo],
-                "n_clamp_hi": [hi],
-            }
-        )
+    def fold_stream(batches):
+        users: list = []
+        socs: list = []
+        ns: list = []
+        los: list = []
+        his: list = []
+        cur = None
+        soc = steps = lo = hi = 0
+        for pdf in batches:
+            for u, d in zip(
+                pdf["user_id"].to_numpy(), pdf["delta"].to_numpy()
+            ):
+                if u != cur:
+                    if cur is not None:
+                        users.append(int(cur))
+                        socs.append(soc)
+                        ns.append(steps)
+                        los.append(lo)
+                        his.append(hi)
+                    cur = u
+                    soc = steps = lo = hi = 0
+                steps += 1
+                raw = soc + int(d)
+                if raw < 0:
+                    soc = 0
+                    lo += 1
+                elif raw > cap:
+                    soc = cap
+                    hi += 1
+                else:
+                    soc = raw
+        if cur is not None:
+            users.append(int(cur))
+            socs.append(soc)
+            ns.append(steps)
+            los.append(lo)
+            his.append(hi)
+        if users:
+            yield pd.DataFrame(
+                {
+                    "user_id": users,
+                    "final_soc_cents": socs,
+                    "n_steps": ns,
+                    "n_clamp_lo": los,
+                    "n_clamp_hi": his,
+                }
+            )
 
-    # Explicit repartition: exempt from AQE coalescing so the grouped
-    # Python stage keeps one task per core (see udf_apply_in_pandas).
-    e = e.repartition(32, "user_id")
-    return e.groupBy("user_id").applyInPandas(
-        fold,
+    # Explicit keyed repartition (one task per core, exempt from AQE
+    # coalescing — see udf_apply_in_pandas) + partition-local sort:
+    # every user's rows are contiguous and time-ordered, so the fold
+    # is a single pass.  Only (user_id, delta) cross into Python —
+    # the sort keys stay JVM-side (guide §4.2).
+    e = (
+        e.repartition(spark.sparkContext.defaultParallelism, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .select("user_id", "delta")
+    )
+    return e.mapInPandas(
+        fold_stream,
         "user_id long, final_soc_cents long, n_steps long,"
         " n_clamp_lo long, n_clamp_hi long",
     )

@@ -306,6 +306,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     requires protobuf, which this container lacks, so the engine ships
     the stable ``applyInPandasWithState`` twin — same state model, same
     oracle."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -313,14 +314,24 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, last_es, max_gap = (
             state.get if state.exists else (0, None, 0)
         )
+        # Vectorized per chunk (r11, guide §4): the scan over sorted
+        # arrival seconds is max(diff) + the state-boundary gap —
+        # integer-exact and order-identical to the per-row loop it
+        # replaces (gaps compare in the same sorted order).
         for pdf in pdf_iter:
-            pdf = pdf.sort_values("es")
-            for es in pdf["es"]:
-                es = int(es)
-                if last_es is not None and es - last_es > max_gap:
-                    max_gap = es - last_es
-                last_es = es
-                n += 1
+            es = np.sort(pdf["es"].to_numpy())
+            if es.size == 0:
+                continue
+            if last_es is not None:
+                g = int(es[0]) - last_es
+                if g > max_gap:
+                    max_gap = g
+            if es.size > 1:
+                mg = int(np.diff(es).max())
+                if mg > max_gap:
+                    max_gap = mg
+            last_es = int(es[-1])
+            n += int(es.size)
         state.update((n, last_es, max_gap))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "max_gap_s": [max_gap]}
@@ -513,14 +524,23 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-buffer pattern instead)."""
     import math
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def fold_level(key, pdf_iter, state: GroupState):
         n, acc = state.get if state.exists else (0, None)
-        pdf = pd.concat(list(pdf_iter))
-        pdf = pdf.sort_values(["us", "event_id"])
-        for x in pdf["value"]:
+        # np.lexsort on the raw arrays instead of a per-group pandas
+        # concat + sort_values (r11, guide §4): (us, event_id) is a
+        # total order, so the permutation — and therefore the IEEE
+        # fold sequence — is identical; only the per-group constant
+        # cost changes.
+        pdfs = list(pdf_iter)
+        pdf = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs)
+        order = np.lexsort(
+            (pdf["event_id"].to_numpy(), pdf["us"].to_numpy())
+        )
+        for x in pdf["value"].to_numpy()[order]:
             x = float(x)
             acc = x if acc is None else 0.7 * acc + 0.3 * x
             n += 1
