@@ -2361,12 +2361,18 @@ def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a stable exemplar.
 
     Scale shape: the bigram fan-out is a zero-shuffle per-row map
-    (transform over the token array, exploded), and the census is one
-    hash aggregate bounded by the FEATURE DIM (1024
-    rows), not by the corpus: partials merge associatively, distinct
-    counts stay bucket-local.  At 100 TB the long-format (doc,
-    feature, count) matrix this census profiles would be written as
-    the training artifact; the census itself is the cheap side table."""
+    (transform over the token array, exploded), and the census is
+    feature-dim-bounded (1024 rows), not corpus-bounded.  Two distinct
+    dimensions (bigram, doc) in ONE aggregate would plan as an
+    Expand ×3 of the whole exploded stream (the r11 before-plan);
+    instead each runs as its own partially-aggregated codegen pass —
+    (feature, bigram) counts rolled up to the feature census, and a
+    (feature, doc) dedupe counted per feature — joined broadcast on
+    the 1024-row feature domain (guide §2.3: two narrow map-side-
+    combined exchanges beat one 3×-expanded one).  At 100 TB the
+    long-format (doc, feature, count) matrix this census profiles
+    would be written as the training artifact; the census itself is
+    the cheap side table."""
     d = load_table(spark, sf_dir, "documents")
     bigrams = (
         d.withColumn("t", F.split(F.col("text"), " "))
@@ -2387,9 +2393,24 @@ def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % HASH_FEATURE_DIM,
     )
-    return hashed.groupBy("feature_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("total_count"),
-        F.countDistinct("bigram").cast("bigint").alias("n_distinct_bigrams"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    per_bigram = hashed.groupBy("feature_id", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    census = per_bigram.groupBy("feature_id").agg(
+        F.sum("c").cast("bigint").alias("total_count"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bigrams"),
         F.min("bigram").alias("example_bigram"),
+    )
+    docs = (
+        hashed.select("feature_id", "doc_id")
+        .dropDuplicates()
+        .groupBy("feature_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    return census.join(F.broadcast(docs), "feature_id").select(
+        "feature_id",
+        "total_count",
+        "n_distinct_bigrams",
+        "n_docs",
+        "example_bigram",
     )
