@@ -209,76 +209,77 @@ def _bench_cost() -> dict[str, float]:
 #: high-risk never-sampled families.  Prune entries once they turn
 #: driver-green.  Round 8 composes the full 50-row sample window
 #: explicitly (the driver checks the first 50 rows of queries()).
-#: Round-11 window (VERDICT r10 item 2): second pure maintenance
-#: rotation at the frozen 375-op registry — zero stale, zero
-#: never-sampled, 50 depth re-verification picks via `--fill-oldest`:
-#: the oldest remaining green rows (r02–r04 era, drawn from green
-#: rounds [2, 3, 4] — headed by the two predicted r02 stragglers
-#: `agg_first_last` and `fn_bitwise`, then the r03 block: the fn_*
-#: scalar batteries, the scan_csv/text/gzip sources, the
-#: win_ntile/percent_rank pair, the etl audit trio, and the early
-#: ts_* solar ops), oldest-round-first with cheapest-first tie-break
-#: per the committed r11 BENCH.json (committed BEFORE this
-#: recomposition — the r10 order trap: a new BENCH.json shifts the
-#: tie-breaks, so the window is always composed against the record
-#: the round closes with).  This tuple is the VERBATIM output of
-#: `python tools/compose_window.py --window 50 --fill-oldest` at r11
-#: HEAD.  Expected state after the r11 driver round lands: every r02
-#: hash row is refreshed, oldest remaining hash evidence advances to
-#: r03, and the four rows-only ops (`row_sample` r01, `fn_hash_spark`
-#: r02, `fn_nondet` r05, `source_rate_stream` r08) remain deliberately
-#: unrotated by --fill-oldest since a re-sample adds no hash evidence.
+#: Round-11 window, RECOMPOSED AT ROUND CLOSE (the optimization round
+#: edited op sources, so the "pure maintenance rotation" composed at
+#: round start no longer held): 26 MANDATORY stale re-verifies — every
+#: driver-green op whose fingerprint changed under this round's
+#: optimization edits (the r11 slow-band/dedup/ts/stream/text work,
+#: including docstring-only touches: the fingerprint keys on source
+#: text) — then 24 `--fill-oldest` depth picks from green rounds
+#: [2, 3], headed by the two predicted r02 stragglers `agg_first_last`
+#: and `fn_bitwise`, oldest-round-first with cheapest-first tie-break
+#: per the r11-close BENCH.json (refreshed BEFORE this recomposition —
+#: the r10 order trap: a new BENCH.json shifts the tie-breaks, so the
+#: window is always composed against the record the round closes
+#: with).  This tuple is the VERBATIM output of `python
+#: tools/compose_window.py --window 50 --fill-oldest` at r11 close
+#: HEAD.  Expected state after the r11 driver round lands: every
+#: optimization-touched op re-greens (the hash-identity proof for the
+#: round's restructurings), the r02 rows refresh, and the four
+#: rows-only ops (`row_sample` r01, `fn_hash_spark` r02, `fn_nondet`
+#: r05, `source_rate_stream` r08) remain deliberately unrotated by
+#: --fill-oldest since a re-sample adds no hash evidence.
 _FRONTLOAD: tuple[str, ...] = (
+    "agg_approx_distinct",
+    "dedup_minhash_calibration",
+    "dedup_near_minhash",
+    "dedup_span_ngram",
+    "etl_compaction_plan",
+    "etl_file_manifest",
+    "fn_math",
+    "graph_assortativity",
+    "graph_bfs_layers",
+    "graph_jaccard_neighbors",
+    "graph_kcore",
+    "graph_modularity",
+    "graph_pagerank",
+    "join_interval_overlap",
+    "report_corpus_quality",
+    "sim_ann_lsh",
+    "sim_pca_power_iteration",
+    "stream_ewma",
+    "stream_stateful",
+    "text_bigram_perplexity",
+    "text_char_entropy",
+    "text_cooccurrence_pmi",
+    "text_decontaminate",
+    "text_hashed_ngram_features",
+    "ts_battery_soc",
+    "ts_ewma",
     "agg_first_last",
     "fn_bitwise",
     "fn_struct_shape",
-    "text_wordcount",
-    "mm_content_type_sniff",
-    "fn_unicode",
     "mm_binary_file",
+    "text_wordcount",
+    "fn_unicode",
+    "mm_content_type_sniff",
+    "set_union_by_name",
+    "fn_format",
     "text_html_strip",
     "text_stopwords",
-    "set_union_by_name",
+    "text_zipf_census",
+    "agg_grouping_id",
     "sample_reservoir",
     "win_ntile",
-    "udf_arrow_scalar",
-    "fn_format",
     "agg_bool",
     "agg_benford",
-    "udf_pandas_iter",
     "text_source_quality",
-    "agg_grouping_id",
-    "win_percent_rank",
     "agg_heavy_hitters",
-    "text_zipf_census",
-    "agg_histogram",
-    "ts_load_profile",
-    "agg_gini",
-    "scan_text",
+    "udf_arrow_scalar",
+    "win_percent_rank",
     "scan_csv_gzip",
-    "etl_zorder_key",
-    "sort_within_partitions",
-    "win_row_number",
     "etl_cdc_diff",
-    "scan_csv_permissive",
-    "fn_url",
-    "fn_try_safe",
-    "fn_array",
-    "ts_downtime",
-    "fn_map",
-    "ts_seasonality_index",
-    "agg_collect",
-    "stream_ingest_files",
-    "join_mark_exists",
-    "ts_credit_reconciliation",
-    "ts_counter_reset",
-    "etl_dq_report",
-    "ts_rollup_two_level",
-    "sql_tpch_q12",
-    "source_calendar_spine",
-    "dedup_minhash_signature",
-    "text_inverted_index",
-    "text_quality_composite",
+    "udf_pandas_iter",
 )
 
 
