@@ -35,7 +35,11 @@ from shared_solar_data_warehouse_spark.parity import (
 _P_P2, _P_ELN2 = sql_ln_ladders(lo_e=-62, hi_e=0)
 _P_LOG2 = sql_log2_from_ln(sql_ln_final())
 from shared_solar_data_warehouse_spark.registry import op
-from shared_solar_data_warehouse_spark.sources.io import load_table, register_views
+from shared_solar_data_warehouse_spark.sources.io import (
+    load_table,
+    register_views,
+    spread,
+)
 
 
 @op(
@@ -83,9 +87,17 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-measure hash aggregate (TPC-H Q1 shape — the pricing
-    summary report analog of a per-record-type usage rollup)."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= "1998-09-02"
+    summary report analog of a per-record-type usage rollup).
+
+    Spread after the scan (io.spread, r11): the fixture is one parquet
+    row group, so the partial decimal aggregation otherwise runs a
+    single core wide; the filter still pushes below the exchange
+    (PushedFilters unchanged), and at real scale spread is a no-op."""
+    li = spread(
+        spark,
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= "1998-09-02"
+        ),
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -353,8 +365,10 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subtotal hierarchy: (flag,status) -> (flag) -> grand total, with
-    grouping() markers disambiguating rolled-up NULL keys."""
-    li = load_table(spark, sf_dir, "lineitem")
+    grouping() markers disambiguating rolled-up NULL keys.  Spread after
+    the one-row-group fixture scan (io.spread, r11) so the Expand ×3 +
+    partial aggregate run core-count wide; no-op at real scale."""
+    li = spread(spark, load_table(spark, sf_dir, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
@@ -562,11 +576,13 @@ def agg_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bit-stable, then floor-rounded.  Distributed cost: a single
     two-phase hash aggregate (5 partial moments per group); the fit
     arithmetic is per-group scalar work.  This is how you regress at
-    100 TB: ship sufficient statistics, never rows.
+    100 TB: ship sufficient statistics, never rows.  Spread after the
+    one-row-group fixture scan (io.spread, r11) so the moment partials
+    run core-count wide; no-op at real scale.
     """
     from shared_solar_data_warehouse_spark.parity import DEC
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(spark, load_table(spark, sf_dir, "lineitem"))
     sums = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         # Whole-number moments (quantity is integral, SURVEY.md §1) sum
@@ -641,7 +657,9 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     energy-weighted rates).  Spark has no weighted-avg builtin, so it's
     the two-sufficient-statistics construction — both sums exact
     decimal (order-independent partials), one double division under the
-    §5.4 floor-rounding.  Still a single two-phase hash aggregate."""
+    §5.4 floor-rounding.  Still a single two-phase hash aggregate.
+    (r11: io.spread measured +15% here — two decimal moments are too
+    little map-side work to pay for the extra exchange; left alone.)"""
     from shared_solar_data_warehouse_spark.parity import DEC
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -750,7 +768,9 @@ def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     past that, widen the unit or shard the group, and note Spark 4
     runs ANSI mode so an overflow raises rather than wrapping.  The
     statistics pattern is also the 100 TB shape: six partial sums
-    merge associatively; nothing re-scans."""
+    merge associatively; nothing re-scans.  (r11: io.spread measured
+    +17% here — mostly-BIGINT moments are too little map-side work to
+    pay for the extra exchange; left alone.)"""
     from shared_solar_data_warehouse_spark.parity import DEC
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -1037,7 +1057,9 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     final value is cast to DOUBLE only for transport: the exact sums
     fit in well under 2^53, so the cast is lossless and bit-identical.
     At 100 TB decimal aggregation costs ~2x a double sum but stays
-    map-side combinable — same plan shape as any sum."""
+    map-side combinable — same plan shape as any sum.  (r11: io.spread
+    measured +36% here — two decimal(18,2) sums are long-backed fast
+    path, too cheap to pay for the extra exchange; left alone.)"""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))

@@ -1715,7 +1715,10 @@ def join_role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation ONCE and the second join consumes a ReusedExchange — the
     optimizer recognizes the identical broadcast subtree, so a dim
     used in N roles costs one build, which is exactly why role-playing
-    beats materializing N dim copies at 100 TB."""
+    beats materializing N dim copies at 100 TB.  (r11: io.spread on the
+    probe measured +51% — the pipelined scan→5-broadcast-probe chain is
+    cheaper single-wide than paying an extra 600k-row exchange; left
+    alone.)"""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")

@@ -986,7 +986,9 @@ def win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB prices are still a bounded value domain (≤ ~1e7 distinct
     cents), and the documented two-pass alternative range-partitions
     by price and merges per-range frontiers (each range's running max
-    seeds the next — associative, same answer)."""
+    seeds the next — associative, same answer).  (r11: io.spread
+    measured +21% here — the ~100k-group partial agg duplicates its
+    hash table per task and the wider exchange loses; left alone.)"""
     li = load_table(spark, sf_dir, "lineitem")
     pts = li.groupBy(
         F.expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias(

@@ -211,11 +211,12 @@ def _bench_cost() -> dict[str, float]:
 #: explicitly (the driver checks the first 50 rows of queries()).
 #: Round-11 window, RECOMPOSED AT ROUND CLOSE (the optimization round
 #: edited op sources, so the "pure maintenance rotation" composed at
-#: round start no longer held): 26 MANDATORY stale re-verifies — every
+#: round start no longer held): 34 MANDATORY stale re-verifies — every
 #: driver-green op whose fingerprint changed under this round's
-#: optimization edits (the r11 slow-band/dedup/ts/stream/text work,
-#: including docstring-only touches: the fingerprint keys on source
-#: text) — then 24 `--fill-oldest` depth picks from green rounds
+#: optimization edits (the r11 slow-band/dedup/ts/stream/text work and
+#: the second-session aggregate-spread batch, including docstring-only
+#: touches: the fingerprint keys on source text) — then 16
+#: `--fill-oldest` depth picks from green rounds
 #: [2, 3], headed by the two predicted r02 stragglers `agg_first_last`
 #: and `fn_bitwise`, oldest-round-first with cheapest-first tie-break
 #: per the r11-close BENCH.json (refreshed BEFORE this recomposition —
@@ -231,6 +232,12 @@ def _bench_cost() -> dict[str, float]:
 #: --fill-oldest since a re-sample adds no hash evidence.
 _FRONTLOAD: tuple[str, ...] = (
     "agg_approx_distinct",
+    "agg_corr_exact",
+    "agg_decimal_exact",
+    "agg_groupby",
+    "agg_linreg",
+    "agg_rollup",
+    "agg_weighted_avg",
     "dedup_minhash_calibration",
     "dedup_near_minhash",
     "dedup_span_ngram",
@@ -244,6 +251,7 @@ _FRONTLOAD: tuple[str, ...] = (
     "graph_modularity",
     "graph_pagerank",
     "join_interval_overlap",
+    "join_role_playing_dim",
     "report_corpus_quality",
     "sim_ann_lsh",
     "sim_pca_power_iteration",
@@ -256,6 +264,7 @@ _FRONTLOAD: tuple[str, ...] = (
     "text_hashed_ngram_features",
     "ts_battery_soc",
     "ts_ewma",
+    "win_pareto_frontier",
     "agg_first_last",
     "fn_bitwise",
     "fn_struct_shape",
@@ -272,14 +281,6 @@ _FRONTLOAD: tuple[str, ...] = (
     "sample_reservoir",
     "win_ntile",
     "agg_bool",
-    "agg_benford",
-    "text_source_quality",
-    "agg_heavy_hitters",
-    "udf_arrow_scalar",
-    "win_percent_rank",
-    "scan_csv_gzip",
-    "etl_cdc_diff",
-    "udf_pandas_iter",
 )
 
 
