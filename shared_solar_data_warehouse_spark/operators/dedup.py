@@ -997,8 +997,14 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (collision-verify within bucket, as `dedup_near_minhash` does) and
     a document-frequency cap on the census to bound hot-boilerplate
     posting lists.
+
+    Spread after the scan (io.spread, r11 s3): the 8-gram positional
+    explode + array_join is the heaviest map work in the text band and
+    ran one task wide on the one-row-group fixture scan (interleaved
+    A/B min-of-3: 5.30 -> 2.47 s on the same window); no-op at real
+    scale.
     """
-    d = load_table(spark, sf_dir, "documents").withColumn(
+    d = spread(spark, load_table(spark, sf_dir, "documents")).withColumn(
         "toks", F.split("text", " ")
     )
     spans = d.filter(F.size("toks") >= SPAN_NGRAM_K).select(

@@ -30,7 +30,7 @@ from shared_solar_data_warehouse_spark.parity import (
     sql_log2_from_ln,
 )
 from shared_solar_data_warehouse_spark.registry import op
-from shared_solar_data_warehouse_spark.sources.io import load_table
+from shared_solar_data_warehouse_spark.sources.io import load_table, spread
 
 #: The two stopwords present in the fixtures' 31-token vocabulary.
 STOPWORDS = ("the", "a")
@@ -585,6 +585,11 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     losing to the whole-stage-codegen explode + partially-aggregated
     hash count it replaced.
     """
+    # r11 session 3: io.spread on the one-row-group scan measured
+    # SLOWER here (interleaved A/B min-of-5: 0.95 plain vs 1.28 spread)
+    # — the single-char split explodes cheap narrow rows and the
+    # (doc,n,ch) partial aggregate collapses them before the exchange,
+    # so the extra round-robin exchange of (doc_id, text) never pays.
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
@@ -2372,8 +2377,14 @@ def text_hashed_ngram_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined exchanges beat one 3×-expanded one).  At 100 TB the
     long-format (doc, feature, count) matrix this census profiles
     would be written as the training artifact; the census itself is
-    the cheap side table."""
-    d = load_table(spark, sf_dir, "documents")
+    the cheap side table.
+
+    Spread after the scan (io.spread, r11 s3): the fixture is one
+    parquet row group, so the bigram explode + md5 hashing ran one
+    task wide; one narrow exchange of (doc_id, text) buys core-wide
+    map work (interleaved A/B min-of-5: 1.16 -> 0.92 s); no-op at
+    real scale."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     bigrams = (
         d.withColumn("t", F.split(F.col("text"), " "))
         .filter(F.size("t") >= 2)

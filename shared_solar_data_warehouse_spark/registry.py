@@ -211,12 +211,13 @@ def _bench_cost() -> dict[str, float]:
 #: explicitly (the driver checks the first 50 rows of queries()).
 #: Round-11 window, RECOMPOSED AT ROUND CLOSE (the optimization round
 #: edited op sources, so the "pure maintenance rotation" composed at
-#: round start no longer held): 34 MANDATORY stale re-verifies — every
+#: round start no longer held): 36 MANDATORY stale re-verifies — every
 #: driver-green op whose fingerprint changed under this round's
-#: optimization edits (the r11 slow-band/dedup/ts/stream/text work and
-#: the second-session aggregate-spread batch, including docstring-only
-#: touches: the fingerprint keys on source text) — then 16
-#: `--fill-oldest` depth picks from green rounds
+#: optimization edits (the r11 slow-band/dedup/ts/stream/text work,
+#: the second-session aggregate-spread batch, and the third-session
+#: text-explode-spread + sink-payload-narrowing batch, including
+#: docstring-only touches: the fingerprint keys on source text) — then
+#: 14 `--fill-oldest` depth picks from green rounds
 #: [2, 3], headed by the two predicted r02 stragglers `agg_first_last`
 #: and `fn_bitwise`, oldest-round-first with cheapest-first tie-break
 #: per the r11-close BENCH.json (refreshed BEFORE this recomposition —
@@ -255,6 +256,8 @@ _FRONTLOAD: tuple[str, ...] = (
     "report_corpus_quality",
     "sim_ann_lsh",
     "sim_pca_power_iteration",
+    "sink_parquet",
+    "sink_parquet_partitioned",
     "stream_ewma",
     "stream_stateful",
     "text_bigram_perplexity",
@@ -279,8 +282,6 @@ _FRONTLOAD: tuple[str, ...] = (
     "text_zipf_census",
     "agg_grouping_id",
     "sample_reservoir",
-    "win_ntile",
-    "agg_bool",
 )
 
 

