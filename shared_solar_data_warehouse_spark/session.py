@@ -82,6 +82,11 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python workers inherit the driver env in local mode, but pin it
+        # explicitly for cluster deployments too: numpy's THP madvise
+        # causes direct-compaction stalls on fragmented hosts (see
+        # __init__.py — measured 45x on the driver-side graph gathers).
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)

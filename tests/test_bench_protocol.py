@@ -147,6 +147,51 @@ def test_bench_out_subset_refuses_committed_path(monkeypatch, capsys):
     assert "refusing to write subset record" in err
 
 
+def test_bench_refuses_committed_overwrite_on_cpus_mismatch(
+    monkeypatch, tmp_path, capsys
+):
+    """A full run at a core count differing from the committed record's
+    must NOT overwrite the committed BENCH.json (VERDICT r11 item 2: the
+    driver's 8-core scaling run clobbered the round-close 32-core record
+    because bench.py wrote the committed path by default)."""
+    bench = _patched_bench(monkeypatch)
+    committed = tmp_path / "BENCH.json"
+    committed.write_text(json.dumps({"cpus": "32", "queries": {}}))
+    monkeypatch.setattr(bench, "_committed_path", lambda: str(committed))
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_OUT", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ONLY", raising=False)
+    before = committed.read_text()
+    assert bench.main() == 0
+    assert committed.read_text() == before
+    assert "refusing to overwrite" in capsys.readouterr().err
+    # an explicit redirect elsewhere still records the scaling run
+    out = tmp_path / "c8.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", str(out))
+    assert bench.main() == 0
+    assert json.loads(out.read_text())["cpus"] == "8"
+    assert committed.read_text() == before
+
+
+def test_bench_same_cpus_still_writes_committed(monkeypatch, tmp_path):
+    """The guard must not block the legitimate round-close path: same
+    core count as the committed record overwrites it as before."""
+    bench = _patched_bench(monkeypatch)
+    committed = tmp_path / "BENCH.json"
+    committed.write_text(json.dumps({"cpus": "32", "queries": {"x": 1.0}}))
+    monkeypatch.setattr(bench, "_committed_path", lambda: str(committed))
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "32")
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_OUT", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ONLY", raising=False)
+    assert bench.main() == 0
+    rec = json.loads(committed.read_text())
+    assert rec["cpus"] == "32"
+    assert rec["queries"] == {}
+    # memo_cold is on the record (VERDICT r11 item 7) — empty here since
+    # no memo artifact was built under the stubbed registry
+    assert "memo_cold" in rec
+
+
 def test_bench_out_destination_echoed_to_stderr(monkeypatch, tmp_path, capsys):
     """The record destination is echoed to stderr so a redirect leaked
     from an earlier shell can't silently divert a round-close run."""

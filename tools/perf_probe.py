@@ -57,7 +57,9 @@ def main() -> int:
     load_all_ops()
     spark = get_session("sswh-perf-probe")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    plans_dir = os.path.join(here, "plans", "r11")
+    plans_dir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLANS_TAG", "r12")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     for name in names:
