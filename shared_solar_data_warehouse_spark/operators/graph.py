@@ -67,9 +67,9 @@ _NODE_COUNT_MEMO: dict = {}
 def _n_graph_nodes(spark: SparkSession, sf_dir: str) -> int:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NODE_COUNT_MEMO:
-        _NODE_COUNT_MEMO[key] = (
-            _edges(spark, sf_dir).select("src").distinct().count()
-        )
+        # Count over the memoized node list (r12) — the distinct is
+        # built once and shared with the CC label init.
+        _NODE_COUNT_MEMO[key] = _nodes(spark, sf_dir).count()
     return _NODE_COUNT_MEMO[key]
 
 
@@ -102,6 +102,18 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return memo_checkpoint(spark, ("trade_edges", sf_dir), build)
+
+
+def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct node list of the trade graph, materialized once per
+    (app, sf_dir) — the E-sized distinct that the CC label init (and
+    any node-table consumer) otherwise re-runs per invocation (r12,
+    guide §2.4; same snapshot-artifact contract as trade_edges/_deg)."""
+    return memo_checkpoint(
+        spark,
+        ("trade_nodes", sf_dir),
+        lambda: _edges(spark, sf_dir).select("src").distinct(),
+    )
 
 
 def _deg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -471,7 +483,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the oracle unrolls the identical rounds as chained CTEs
     (same fixed-K trick as graph_pagerank)."""
     edges = _edges(spark, sf_dir)
-    labels = edges.select("src").distinct().select(
+    # Node list from the session memo (r12): the E-sized distinct is a
+    # pure snapshot artifact; only the label projection (N rows) runs
+    # per invocation.
+    labels = _nodes(spark, sf_dir).select(
         F.col("src").alias("node"),
         F.when(
             F.col("src").startswith("c"),
@@ -563,34 +578,40 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # apply the mktsegment restriction as a broadcast semi-join against
     # the (tiny) filtered customer dim — bit-identical to deriving the
     # pairs from the base tables.
-    c = (
-        load_table(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select(F.col("c_custkey").alias("custkey"))
-    )
-    e = (
-        _edges(spark, sf_dir)
-        .filter(F.col("src").startswith("c"))
-        .select(
-            F.substring("src", 2, 20).cast("bigint").alias("custkey"),
-            F.substring("dst", 2, 20).cast("bigint").alias("suppkey"),
+    def build_e() -> DataFrame:
+        c = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select(F.col("c_custkey").alias("custkey"))
         )
-        .join(F.broadcast(c), "custkey", "left_semi")
-        # Materialize ONCE: three consumers (both wedge sides and the
-        # degree table) would otherwise re-filter the memoized edge
-        # table per consumer.  (An r11 attempt to also pre-partition on
-        # custkey before the barrier bought nothing: the checkpoint's
-        # LogicalRDD comes back UnknownPartitioning under AQE, so the
-        # self-join re-exchanges regardless — see the after-plan.)  The
-        # wedge join itself dominates what remains — inherent to the
-        # exact tier (the docstring names the minhash scale path).
-        .localCheckpoint()
+        return (
+            _edges(spark, sf_dir)
+            .filter(F.col("src").startswith("c"))
+            .select(
+                F.substring("src", 2, 20).cast("bigint").alias("custkey"),
+                F.substring("dst", 2, 20).cast("bigint").alias("suppkey"),
+            )
+            .join(F.broadcast(c), "custkey", "left_semi")
+        )
+
+    # Materialized ONCE PER SNAPSHOT (r12 — was once per invocation):
+    # three consumers (both wedge sides and the degree table) share the
+    # filtered slice, and the slice itself is a pure function of the
+    # snapshot, so it is memo state like the trade_edges table it is
+    # cut from.  (An r11 attempt to also pre-partition on custkey
+    # before the barrier bought nothing: the checkpoint's LogicalRDD
+    # comes back UnknownPartitioning under AQE, so the self-join
+    # re-exchanges regardless — see the r11 after-plan.)  The wedge
+    # join itself dominates what remains — inherent to the exact tier
+    # (the docstring names the minhash scale path).
+    e = memo_checkpoint(spark, ("building_cs_pairs", sf_dir), build_e)
+    # The degree table is read twice (d1/d2) and is snapshot-pure —
+    # same memo treatment (r11 used a per-run lazy barrier).
+    deg = memo_checkpoint(
+        spark,
+        ("building_supp_deg", sf_dir),
+        lambda: e.groupBy("suppkey").agg(F.count(F.lit(1)).alias("deg")),
     )
-    # The degree table is read twice (d1/d2) — a lazy barrier keeps the
-    # supplier-sized aggregate from running twice over the edge list.
-    deg = e.groupBy("suppkey").agg(
-        F.count(F.lit(1)).alias("deg")
-    ).localCheckpoint(eager=False)
     # Wedge counting stays the hash self-join on custkey: an r11 A/B of
     # the posting-list rewrite (collect_list + nested-transform pair
     # fan-out) measured 3.40 s vs 2.47 s — the interpreted lambda pair

@@ -232,56 +232,56 @@ def _bench_cost() -> dict[str, float]:
 #: r05, `source_rate_stream` r08) remain deliberately unrotated by
 #: --fill-oldest since a re-sample adds no hash evidence.
 _FRONTLOAD: tuple[str, ...] = (
-    "agg_approx_distinct",
-    "agg_corr_exact",
-    "agg_decimal_exact",
-    "agg_groupby",
-    "agg_linreg",
-    "agg_rollup",
-    "agg_weighted_avg",
-    "dedup_minhash_calibration",
-    "dedup_near_minhash",
-    "dedup_span_ngram",
-    "etl_compaction_plan",
-    "etl_file_manifest",
-    "fn_math",
     "graph_assortativity",
-    "graph_bfs_layers",
+    "graph_connected_components",
+    "graph_degree_dist",
     "graph_jaccard_neighbors",
-    "graph_kcore",
-    "graph_modularity",
     "graph_pagerank",
     "join_interval_overlap",
-    "join_role_playing_dim",
-    "report_corpus_quality",
-    "sim_ann_lsh",
-    "sim_pca_power_iteration",
-    "sink_parquet",
-    "sink_parquet_partitioned",
-    "stream_ewma",
-    "stream_stateful",
-    "text_bigram_perplexity",
-    "text_char_entropy",
-    "text_cooccurrence_pmi",
-    "text_decontaminate",
-    "text_hashed_ngram_features",
-    "ts_battery_soc",
-    "ts_ewma",
-    "win_pareto_frontier",
-    "agg_first_last",
-    "fn_bitwise",
-    "fn_struct_shape",
-    "mm_binary_file",
-    "text_wordcount",
-    "fn_unicode",
-    "mm_content_type_sniff",
-    "set_union_by_name",
-    "fn_format",
-    "text_html_strip",
-    "text_stopwords",
-    "text_zipf_census",
-    "agg_grouping_id",
-    "sample_reservoir",
+    "stream_dedup",
+    "stream_stream_join",
+    "win_ntile",
+    "scan_text",
+    "udf_pandas_iter",
+    "fn_url",
+    "agg_bool",
+    "agg_heavy_hitters",
+    "agg_histogram",
+    "agg_benford",
+    "etl_cdc_diff",
+    "text_source_quality",
+    "win_percent_rank",
+    "join_mark_exists",
+    "etl_zorder_key",
+    "udf_arrow_scalar",
+    "sort_within_partitions",
+    "scan_csv_permissive",
+    "scan_csv_gzip",
+    "ts_seasonality_index",
+    "ts_load_profile",
+    "fn_try_safe",
+    "fn_map",
+    "agg_collect",
+    "stream_ingest_files",
+    "win_row_number",
+    "fn_array",
+    "agg_gini",
+    "ts_downtime",
+    "ts_credit_reconciliation",
+    "ts_counter_reset",
+    "etl_dq_report",
+    "sql_tpch_q12",
+    "ts_rollup_two_level",
+    "source_calendar_spine",
+    "text_inverted_index",
+    "dedup_minhash_signature",
+    "text_quality_composite",
+    "text_chunk_windows",
+    "fn_penny_allocation",
+    "text_dataset_mixture",
+    "etl_partition_skew_audit",
+    "sample_weighted",
+    "text_readability",
 )
 
 
