@@ -238,6 +238,7 @@ _FRONTLOAD: tuple[str, ...] = (
     "graph_jaccard_neighbors",
     "graph_pagerank",
     "join_interval_overlap",
+    "sim_pca_power_iteration",
     "stream_dedup",
     "stream_stream_join",
     "win_ntile",
@@ -281,7 +282,6 @@ _FRONTLOAD: tuple[str, ...] = (
     "text_dataset_mixture",
     "etl_partition_skew_audit",
     "sample_weighted",
-    "text_readability",
 )
 
 
