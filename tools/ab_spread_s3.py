@@ -47,27 +47,39 @@ def main() -> int:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    for name, mod in OPS.items():
-        # warm both variants once (codegen/JIT), then 3 interleaved pairs
-        mod.spread = identity
-        run(name)
-        with open(os.path.join(plans_dir, f"{name}_before.txt"), "w") as fh:
-            fh.write(explain_formatted(REGISTRY[name].builder(spark, SF)))
-        mod.spread = real_spread[mod]
-        run(name)
-        with open(os.path.join(plans_dir, f"{name}_after.txt"), "w") as fh:
-            fh.write(explain_formatted(REGISTRY[name].builder(spark, SF)))
-        a, b = [], []
-        for _ in range(3):
+    # ADVICE r11: restore the real spread symbols in a finally so an
+    # exception mid-loop cannot leave an operator module monkeypatched
+    # with the identity for the rest of the process.
+    try:
+        for name, mod in OPS.items():
+            # warm both variants once (codegen/JIT), then 3 interleaved
+            # pairs
             mod.spread = identity
-            a.append(run(name))
+            run(name)
+            with open(
+                os.path.join(plans_dir, f"{name}_before.txt"), "w"
+            ) as fh:
+                fh.write(explain_formatted(REGISTRY[name].builder(spark, SF)))
             mod.spread = real_spread[mod]
-            b.append(run(name))
-        print(
-            f"{name}: plain(min-of-3)={min(a):.3f} {sorted(a)} | "
-            f"spread={min(b):.3f} {sorted(b)}",
-            flush=True,
-        )
+            run(name)
+            with open(
+                os.path.join(plans_dir, f"{name}_after.txt"), "w"
+            ) as fh:
+                fh.write(explain_formatted(REGISTRY[name].builder(spark, SF)))
+            a, b = [], []
+            for _ in range(3):
+                mod.spread = identity
+                a.append(run(name))
+                mod.spread = real_spread[mod]
+                b.append(run(name))
+            print(
+                f"{name}: plain(min-of-3)={min(a):.3f} {sorted(a)} | "
+                f"spread={min(b):.3f} {sorted(b)}",
+                flush=True,
+            )
+    finally:
+        for mod, fn in real_spread.items():
+            mod.spread = fn
     return 0
 
 
